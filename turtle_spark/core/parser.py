@@ -1,0 +1,219 @@
+"""Turtle statement parser: token stream -> annotated triples.
+
+Re-implements the reference scanner's statement machine
+(nvkp/turtle ``scanner/scanner.go:101-357``) as a single O(n) pass:
+
+* ``@prefix``/``PREFIX``/``prefix`` and ``@base``/``BASE``/``base``
+  directives mutate per-document state sequentially;
+* ``;`` / ``,`` / ``.`` move the subject/predicate/object slot cursor;
+* ``[ ... ]`` anonymous blank-node property lists and ``( ... )`` RDF
+  collections are handled with explicit frame stacks.
+
+Where the reference *rewinds* — on ``]`` / ``)`` it splices the popped
+blank-node label in front of the unread bytes and restarts its scanner
+(O(remaining) per bracket, quadratic worst case) — this parser pushes
+the label onto a pending-token deque that is consumed before the
+tokenizer stream.  Observable behavior (triple order, blank-node
+numbering) is identical on every reference fixture; the asymptotic cost
+is linear, which is what lets a 100 TB corpus of documents run through
+Arrow-batched workers without pathological stragglers on bracket-heavy
+documents.
+
+Blank-node numbering is byte-faithful to the reference: ``_:bN`` ids
+allocate (a) at ``[``, and (b) at each collection-member consumption —
+including spliced-back inner heads — skipping labels already seen in
+the document (collision avoidance, scanner/scanner.go:334-345).
+
+One deliberate divergence: the reference decides "is this token a
+collection member" by comparing *byte offsets* of the innermost open
+frames, and those offsets reset on every rewind-splice, which can
+misclassify in documents mixing ``[ ... ( ... ) ... ( ... ) ... ]``.
+This parser uses monotonically increasing push serials, which agrees
+with the reference on all of its fixtures and with Turtle semantics on
+the cases the reference's offset reset would scramble.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import deque
+from dataclasses import dataclass, field
+
+from turtle_spark.core.sanitize import (
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_NIL_TOKEN,
+    RDF_REST,
+    TYPE_IRI,
+    sanitize_token,
+)
+from turtle_spark.core.tokenizer import next_token
+
+_BLANK_RE = re.compile(r"_:.+")
+
+#: slot order of an annotated triple
+Triple = tuple[str, str, str, str, str, str]
+
+
+@dataclass
+class ParseResult:
+    """Triples in emission order plus accumulated per-document state."""
+
+    triples: list[Triple] = field(default_factory=list)
+    base: str = ""
+    prefixes: dict[str, str] = field(default_factory=dict)
+
+
+def parse_document(
+    text: str, base: str = "", prefixes: dict[str, str] | None = None
+) -> ParseResult:
+    """Parse one Turtle document into annotated triples.
+
+    ``base`` / ``prefixes`` pre-seed the parse context (the reference's
+    ``Config``, config.go:28-50); document directives override them.
+    Parse state is scoped to this call — blank-node counters and prefix
+    maps never cross documents, which is what makes the extraction
+    stage embarrassingly parallel across a cluster.
+    """
+    result = ParseResult(base=base, prefixes=dict(prefixes) if prefixes else {})
+    pending: deque[str] = deque()  # injected tokens (popped blank-node labels)
+    pos = 0
+    serial = 0  # frame push-order stamp (replaces the reference's byte offsets)
+
+    cur_subject = ""
+    cur_predicate = ""
+    cur_index = 0
+
+    # [ ... ] frames: (serial, saved_subject, saved_predicate, saved_index, bn)
+    bn_lists: list[tuple[int, str, str, int, str]] = []
+    # ( ... ) frames: (serial, saved_index, saved_subject, saved_predicate, items)
+    # item = (token, label, datatype, blank_node, objecttype)
+    colls: list[tuple[int, int, str, str, list[tuple[str, str, str, str, str]]]] = []
+
+    blank_nodes: set[str] = set()
+    bn_counter = 0
+
+    def next_tok() -> str | None:
+        nonlocal pos
+        if pending:
+            return pending.popleft()
+        new_pos, tok = next_token(text, pos)
+        pos = new_pos
+        return tok
+
+    def new_blank_node() -> str:
+        nonlocal bn_counter
+        while True:
+            bn = f"_:b{bn_counter}"
+            bn_counter += 1
+            if bn in blank_nodes:
+                continue
+            blank_nodes.add(bn)
+            return bn
+
+    out = result.triples
+    while True:
+        token = next_tok()
+        if token is None:
+            break
+        serial += 1
+
+        # prefix directive: consumes the next two raw tokens
+        if token == "@prefix" or token.lower() == "prefix":
+            name = next_tok()
+            if name is None:
+                break
+            if len(name) == 0:
+                continue
+            name = name[:-1]  # strip trailing ':'
+            value = next_tok()
+            if value is None:
+                break
+            result.prefixes[name] = value.strip("<>")
+            continue
+
+        # base directive: consumes the next raw token, last-write-wins
+        if token == "@base" or token.lower() == "base":
+            value = next_tok()
+            if value is None:
+                break
+            result.base = value.strip("<>")
+            continue
+
+        if token == ";":
+            cur_index = 1
+            continue
+        if token == ",":
+            cur_index = 2
+            continue
+        if token == ".":
+            cur_index = 0
+            continue
+
+        if token == "[":
+            bn = new_blank_node()
+            bn_lists.append((serial, cur_subject, cur_predicate, cur_index, bn))
+            cur_subject = bn
+            cur_index = 1
+            continue
+
+        if token == "]":
+            if not bn_lists:
+                continue
+            _, saved_s, saved_p, saved_i, bn = bn_lists.pop()
+            # the popped label is re-consumed as an ordinary token in the
+            # restored outer context (subject or object position)
+            pending.appendleft(bn)
+            cur_subject, cur_predicate, cur_index = saved_s, saved_p, saved_i
+            continue
+
+        if token == "(":
+            colls.append((serial, cur_index, cur_subject, cur_predicate, []))
+            continue
+
+        in_collection = bool(colls) and (
+            not bn_lists or colls[-1][0] > bn_lists[-1][0]
+        )
+
+        if token != ")" and in_collection:
+            tok, label, datatype, typ = sanitize_token(
+                token, result.base, result.prefixes
+            )
+            colls[-1][4].append((tok, label, datatype, new_blank_node(), typ))
+            continue
+
+        if token == ")":
+            if not colls:
+                continue
+            _, saved_i, saved_s, saved_p, items = colls.pop()
+            for k, (itok, ilabel, idt, ibn, ityp) in enumerate(items):
+                out.append((ibn, RDF_FIRST, itok, ilabel, idt, ityp))
+                rest = items[k + 1][3] if k < len(items) - 1 else RDF_NIL
+                out.append((ibn, RDF_REST, rest, "", "", TYPE_IRI))
+            head = items[0][3] if items else RDF_NIL_TOKEN
+            pending.appendleft(head)
+            cur_index, cur_subject, cur_predicate = saved_i, saved_s, saved_p
+            continue
+
+        tok, label, datatype, typ = sanitize_token(token, result.base, result.prefixes)
+
+        # record blank-node labels for collision-avoiding allocation
+        if _BLANK_RE.search(tok):
+            blank_nodes.add(tok)
+
+        if cur_index == 0:
+            cur_subject = tok
+            cur_index = 1
+        elif cur_index == 1:
+            cur_predicate = tok
+            cur_index = 2
+        elif cur_index == 2:
+            out.append((cur_subject, cur_predicate, tok, label, datatype, typ))
+            cur_index = 0
+
+    return result
+
+
+def parse_triples(text: str, base: str = "", prefixes: dict[str, str] | None = None) -> list[Triple]:
+    """Convenience: just the annotated triples in emission order."""
+    return parse_document(text, base=base, prefixes=prefixes).triples

@@ -1,0 +1,49 @@
+"""SparkSession construction with the engine's scale defaults.
+
+Everything here is sized for the 100 TB / multi-executor target and
+merely *parameterized* down for local test runs:
+
+* AQE on (runtime re-planning, skew-join splitting, partition
+  coalescing) — at cluster scale this is what absorbs stats drift;
+* Arrow enabled for every pandas UDF boundary (the extraction parser is
+  batch-vectorized, never per-row Python);
+* shuffle partition count is a knob because the right value is a
+  function of input bytes per partition, not a constant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "turtle-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # generous Arrow batches: the parser loops documents inside one
+        # Python call, so bigger batches amortize the JVM<->Python hop
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
