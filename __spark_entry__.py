@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG-extraction pipeline slice;
+``queries``/``oracle_sql`` expose the engine's operator surface for
+the DuckDB cross-check at sf=0.01.
+
+Determinism discipline for oracle parity: money aggregates go through
+DECIMAL (exact in both engines) and are rounded before the final cast
+to DOUBLE; floating-point similarity scores are rounded to 6 decimals
+and every ranking orders by the *rounded* value with an id tiebreak,
+so Spark and DuckDB produce hash-identical results.
 """
 
 from __future__ import annotations
@@ -12,27 +16,439 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved docs corpus -> Arrow-batched Turtle
+    extraction -> globally well-formed triples (sf0.001 smoke scale)."""
+    from turtle_spark.operators.canonicalize import globalize_blank_nodes
+    from turtle_spark.operators.extract import extract_triples, media_triples, with_subject_hash
+    from turtle_spark.sources.corpus import fixture_docs, generate_docs
+
+    docs = generate_docs(spark, 300, seed=42).unionByName(fixture_docs(spark))
+    triples = globalize_blank_nodes(
+        extract_triples(docs).unionByName(media_triples(docs))
+    )
+    return with_subject_hash(triples)
+
+
+# --------------------------------------------------------------------------
+# relational / KG / training-data operator queries + DuckDB oracles
+# --------------------------------------------------------------------------
+
+def _q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")
+    disc_price = (dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount")))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec2("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec2("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    dec2 = lambda col: F.col(col).cast("decimal(18,2)")
+    rev = dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+_SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def _q_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(100)
+    )
+
+
+_SQL_TOP_LINEITEMS = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
+def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+_SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.col("event_type"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+_SQL_EVENTS_DAILY = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+"""
+
+
+def _q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.sha2(F.col("text"), 256)
+    w = Window.partitionBy(h)
+    return d.select(
+        "doc_id",
+        h.alias("content_hash"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )
+
+
+_SQL_EXACT_DEDUP_DOCS = """
+SELECT doc_id, sha256(text) AS content_hash,
+       doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text)) AS is_canonical
+FROM documents
+"""
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from turtle_spark.operators.textstats import doc_stats
+
+    return doc_stats(_t(spark, sf_dir, "documents"))
+
+
+# dollar-quoted so the quote characters inside the class need no escaping
+_PUNCT_SQL = r"""$$[.,;:!?'"()\[\]{}-]$$"""
+
+_SQL_DOC_STATS = f"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       LEN(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+       LENGTH(text) - LENGTH(regexp_replace(text, {_PUNCT_SQL}, '', 'g')) AS n_punct,
+       ROUND((LENGTH(text) - LENGTH(regexp_replace(text, {_PUNCT_SQL}, '', 'g'))) / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+       ROUND(LENGTH(text) / GREATEST(CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE), 1.0), 6) AS chars_per_word
+FROM documents
+"""
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from turtle_spark.operators.textstats import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def _marker_sql(marker: str) -> str:
+    return (
+        f"CAST((LENGTH(LOWER(text)) - LENGTH(REPLACE(LOWER(text), '{marker}', '')))"
+        f" / {len(marker)} AS BIGINT)"
+    )
+
+
+_SQL_LANGUAGE_ID = f"""
+WITH s AS (
+  SELECT doc_id,
+         {_marker_sql(' der ')} + {_marker_sql(' und ')} + {_marker_sql(' die ')} AS score_de,
+         {_marker_sql(' the ')} + {_marker_sql(' and ')} + {_marker_sql(' of ')} AS score_en,
+         {_marker_sql(' el ')} + {_marker_sql(' y ')} + {_marker_sql(' de la ')} AS score_es,
+         {_marker_sql(' le ')} + {_marker_sql(' et ')} + {_marker_sql(' les ')} AS score_fr
+  FROM documents
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+       CASE WHEN GREATEST(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+            WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
+            WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
+            WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM s
+"""
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from turtle_spark.operators.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+_SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_ws_tokens,
+       LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subword_tokens
+FROM documents
+"""
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from turtle_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.5,
+        posting_cap=1_000_000,  # exact at oracle scale
+    )
+
+
+_SQL_NGRAM_JACCARD = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         UNNEST(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS gram
+  FROM words WHERE len(w) >= 3
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id1, id2,
+       ROUND(n_common / (c1.n_grams + c2.n_grams - n_common), 6) AS jaccard
+FROM inter
+JOIN counts c1 ON c1.doc_id = id1
+JOIN counts c2 ON c2.doc_id = id2
+WHERE n_common / (c1.n_grams + c2.n_grams - n_common) >= 0.5
+"""
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from turtle_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return cosine_topk(e, e.where(F.col("vec_id") < 3), k=5)
+
+
+_SQL_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_inner_product(e.v, q.v)
+               / (SQRT(list_inner_product(e.v, e.v)) * SQRT(list_inner_product(q.v, q.v))), 6) AS cosine
+  FROM e, (SELECT * FROM e WHERE vec_id < 3) q
+  WHERE e.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+WHERE rn <= 5
+"""
+
+
+def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from turtle_spark.operators.similarity import cosine_pairs
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return cosine_pairs(e, threshold=0.8)
+
+
+_SQL_COSINE_PAIRS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_inner_product(a.v, b.v)
+             / (SQRT(list_inner_product(a.v, a.v)) * SQRT(list_inner_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.v, b.v)
+      / (SQRT(list_inner_product(a.v, a.v)) * SQRT(list_inner_product(b.v, b.v))) >= 0.8
+"""
+
+
+# -- non-SQL-expressible operators (rows-only driver check) ------------------
+
+def _q_kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG extraction summary over a deterministic interleaved corpus."""
+    from turtle_spark.operators.canonicalize import globalize_blank_nodes
+    from turtle_spark.operators.extract import extract_triples, media_triples
+    from turtle_spark.sources.corpus import fixture_docs, generate_docs
+
+    docs = generate_docs(spark, 200, seed=42).unionByName(fixture_docs(spark))
+    triples = globalize_blank_nodes(
+        extract_triples(docs).unionByName(media_triples(docs))
+    )
+    return (
+        triples.groupBy("objecttype")
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.count_distinct("subject").alias("n_subjects"),
+        )
+        .orderBy("objecttype")
+    )
+
+
+def _q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from turtle_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.5, shingle_k=5
+    )
+
+
+def _q_simhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from turtle_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from turtle_spark.operators.textstats import fingerprints
+
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from turtle_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dim = len(e.select("embedding").first()[0])
+    return lsh_topk(e, e.where(F.col("vec_id") < 3), dim=dim, k=5, n_bits=4, n_tables=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core
+        "q_lineitem_agg": _q_lineitem_agg,
+        "q_revenue_by_nation": _q_revenue_by_nation,
+        "q_top_orders_per_customer": _q_top_orders_per_customer,
+        "q_top_lineitems": _q_top_lineitems,
+        "q_customers_without_orders": _q_customers_without_orders,
+        "q_events_daily": _q_events_daily,
+        # training-data ops
+        "q_exact_dedup_docs": _q_exact_dedup_docs,
+        "q_doc_stats": _q_doc_stats,
+        "q_language_id": _q_language_id,
+        "q_token_counts": _q_token_counts,
+        "q_ngram_jaccard": _q_ngram_jaccard,
+        "q_cosine_topk": _q_cosine_topk,
+        "q_cosine_pairs": _q_cosine_pairs,
+        # non-SQL-expressible (rows-only checks)
+        "q_kg_extract": _q_kg_extract,
+        "q_minhash_dedup_docs": _q_minhash_dedup_docs,
+        "q_simhash_dedup_docs": _q_simhash_dedup_docs,
+        "q_doc_fingerprints": _q_doc_fingerprints,
+        "q_lsh_topk": _q_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_lineitem_agg": _SQL_LINEITEM_AGG,
+        "q_revenue_by_nation": _SQL_REVENUE_BY_NATION,
+        "q_top_orders_per_customer": _SQL_TOP_ORDERS_PER_CUSTOMER,
+        "q_top_lineitems": _SQL_TOP_LINEITEMS,
+        "q_customers_without_orders": _SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "q_events_daily": _SQL_EVENTS_DAILY,
+        "q_exact_dedup_docs": _SQL_EXACT_DEDUP_DOCS,
+        "q_doc_stats": _SQL_DOC_STATS,
+        "q_language_id": _SQL_LANGUAGE_ID,
+        "q_token_counts": _SQL_TOKEN_COUNTS,
+        "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "q_cosine_topk": _SQL_COSINE_TOPK,
+        "q_cosine_pairs": _SQL_COSINE_PAIRS,
+    }

@@ -1,0 +1,195 @@
+"""Training-data operators: dedup tiers, similarity search, text
+analysis, multimodal plumbing — over the driver's testdata tables."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from turtle_spark.operators.dedup import (
+    exact_dedup,
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from turtle_spark.operators.multimodal import (
+    decode_features,
+    sample_frames,
+    synthesize_media_table,
+)
+from turtle_spark.operators.similarity import cosine_pairs, cosine_topk, lsh_topk
+from turtle_spark.operators.textstats import doc_stats, fingerprints, language_id, token_counts
+from turtle_spark.sources.corpus import generate_docs
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- dedup -------------------------------------------------------------------
+
+def _dup_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog and walks away fast"),  # near dup
+        (4, "completely unrelated content about spark shuffle partitions here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    d = _dup_docs(spark)
+    groups = exact_duplicates(d).collect()
+    assert len(groups) == 1 and groups[0].n_docs == 2 and groups[0].keep_id == 1
+    kept = {r.doc_id for r in exact_dedup(d).collect()}
+    assert kept == {1, 3, 4}
+
+
+def test_ngram_jaccard_pairs(spark):
+    d = _dup_docs(spark)
+    pairs = {(r.id1, r.id2): r.jaccard for r in ngram_jaccard_pairs(d, n=3, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_near_duplicates(spark):
+    d = _dup_docs(spark)
+    ids = {r.doc_id: r.tid for r in d.select("doc_id", F.xxhash64(F.col("doc_id").cast("string")).alias("tid")).collect()}
+    pairs = {(r.src, r.dst) for r in minhash_near_duplicates(d, threshold=0.5).collect()}
+    assert tuple(sorted((ids[1], ids[2]))) in pairs
+    assert not any(ids[4] in p for p in pairs)
+
+
+def test_simhash_near_duplicates(spark):
+    d = _dup_docs(spark)
+    pairs = {(r.id1, r.id2): r.hamming for r in simhash_near_duplicates(d, max_hamming=8).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert not any(4 in p for p in pairs)
+
+
+# --- similarity --------------------------------------------------------------
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    queries = embeddings.orderBy("vec_id").limit(3)
+    got = cosine_topk(embeddings, queries, k=5).collect()
+    emb = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in embeddings.collect()}
+    for q in [r.vec_id for r in queries.collect()]:
+        qv = emb[q]
+        sims = {
+            i: float(np.dot(v, qv) / (np.linalg.norm(v) * np.linalg.norm(qv)))
+            for i, v in emb.items() if i != q
+        }
+        expected = sorted(sims, key=lambda i: (-round(sims[i], 6), i))[:5]
+        actual = [r.neighbor_id for r in sorted((x for x in got if x.query_id == q), key=lambda r: r.rank)]
+        assert actual == expected, q
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    queries = embeddings.orderBy("vec_id").limit(5)
+    dim = len(embeddings.first().embedding)
+    exact = cosine_topk(embeddings, queries, k=10).collect()
+    approx = lsh_topk(embeddings, queries, dim=dim, k=10, n_bits=4, n_tables=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # approximate path sanity floor
+
+
+def test_cosine_pairs_threshold(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # ~1.0 cosine with 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.id1, r.id2) for r in cosine_pairs(e, threshold=0.99).collect()}
+    assert pairs == {(1, 2)}
+
+
+# --- text analysis -------------------------------------------------------------
+
+def test_doc_stats_on_testdata(docs):
+    out = doc_stats(docs).collect()
+    assert len(out) == docs.count()
+    by_id = {r.doc_id: r for r in out}
+    sample = docs.first()
+    assert by_id[sample.doc_id].n_chars == len(sample.text)
+    assert all(r.n_words >= 0 and 0 <= r.punct_ratio <= 1 for r in out)
+
+
+def test_language_id(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat on the mat of the house"),
+            (2, "der Hund und die Katze und der Vogel in der Stadt"),
+            (3, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in language_id(d).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_token_counts(spark):
+    d = spark.createDataFrame([(1, "hello world, x2  tokens!"), (2, "")], "doc_id long, text string")
+    out = {r.doc_id: r for r in token_counts(d).collect()}
+    assert out[1].n_ws_tokens == 4
+    # hello | world | , | x | 2 | tokens | !
+    assert out[1].n_subword_tokens == 7
+    assert out[2].n_ws_tokens == 0
+
+
+def test_fingerprints_deterministic(spark, docs):
+    f1 = {r.doc_id: (r.fingerprint, r.simhash) for r in fingerprints(docs.limit(50)).collect()}
+    f2 = {r.doc_id: (r.fingerprint, r.simhash) for r in fingerprints(docs.limit(50).repartition(7)).collect()}
+    assert f1 == f2
+
+
+# --- multimodal ----------------------------------------------------------------
+
+def test_multimodal_plumbing(spark):
+    docs = generate_docs(spark, 40, seed=21)
+    media = synthesize_media_table(docs)
+    n_media = media.count()
+    assert n_media > 0
+    feats = decode_features(media, dim=16).collect()
+    assert len(feats) == n_media
+    assert all(len(r.features) == 16 for r in feats)
+    # deterministic across partitioning
+    feats2 = decode_features(media.repartition(9), dim=16).collect()
+    assert {r.media_ref: r.features for r in feats} == {r.media_ref: r.features for r in feats2}
+    # real decoder seam is explicit
+    with pytest.raises(NotImplementedError):
+        decode_features(media, stub=False)
+
+
+def test_frame_sampling(spark):
+    docs = generate_docs(spark, 60, seed=22)
+    media = synthesize_media_table(docs)
+    frames = sample_frames(media, every_ms=60000)
+    vids = media.where(F.col("media_type") == "video")
+    if vids.count() == 0:
+        pytest.skip("no synthetic video rows at this seed")
+    rows = frames.collect()
+    assert all(r.ts_ms % 60000 == 0 for r in rows)
+    per_ref = frames.groupBy("media_ref").count().collect()
+    durations = {r.media_ref: r.meta.duration_ms for r in vids.collect()}
+    for r in per_ref:
+        assert r["count"] == durations[r.media_ref] // 60000 + 1

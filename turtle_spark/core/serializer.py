@@ -59,10 +59,16 @@ class GraphBuffer:
         if obj not in objects:
             objects.append(obj)
 
-    def render(self) -> str:
-        """Serialize all consumed triples as sorted compact Turtle."""
+    def render(self, include_pragmas: bool = True) -> str:
+        """Serialize all consumed triples as sorted compact Turtle.
+
+        ``include_pragmas=False`` renders statement blocks only — used
+        by the distributed serializer, which groups by subject and
+        emits the pragma header exactly once at assembly time.
+        """
         parts: list[str] = []
-        self._write_pragmas(parts)
+        if include_pragmas:
+            self._write_pragmas(parts)
 
         for subject in sorted(self._m):
             parts.append(f"{self._sanitize(subject, TYPE_IRI, False)} ")

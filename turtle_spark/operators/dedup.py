@@ -1,0 +1,183 @@
+"""Deduplication family for training-data pipelines.
+
+Four tiers, cheapest first — at 100 TB you run them in this order and
+each tier shrinks the next tier's input:
+
+1. **exact** — sha256 content hash, groupBy; map-side partial
+   aggregation makes this one cheap shuffle of 32-byte keys;
+2. **ngram-Jaccard** — word-shingle inverted index join; exact but
+   quadratic per shared shingle, so shingle posting lists are capped
+   (same skew reasoning as the LSH bucket cap);
+3. **MinHash-LSH** — probabilistic blocking, reuses the linking
+   machinery (turtle_spark.operators.linking) over document text;
+4. **SimHash** — 64-bit sketch, Hamming-band self-join.
+
+Exact and ngram tiers are SQL-expressible and carry DuckDB oracles in
+``__spark_entry__``; sketch tiers get rows-only checks plus pytest
+ground-truth comparisons at small scale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from turtle_spark.operators import linking
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-hash groups with >1 member: (content_hash, n_docs, keep_id)."""
+    return (
+        docs.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each exact-content group."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    posting_cap: int = 1000,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similar pairs via inverted-index join.
+
+    Plan shape: explode distinct n-grams per doc -> (gram, doc) posting
+    lists capped at ``posting_cap`` (stop-gram protection) -> self-join
+    on gram -> per-pair intersection counts -> Jaccard against per-doc
+    gram counts.  One shuffle on gram, one on the pair key.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    doc_grams = (
+        docs.where(F.size(words) >= n)
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+    )
+    counts = doc_grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+
+    w = Window.partitionBy("gram").orderBy("id")
+    capped = (
+        doc_grams.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= posting_cap)
+        .drop("_rn")
+    )
+    a = capped.select(F.col("gram"), F.col("id").alias("id1"))
+    b = capped.select(F.col("gram"), F.col("id").alias("id2"))
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(counts.withColumnRenamed("id", "id1").withColumnRenamed("n_grams", "g1"), "id1")
+        .join(counts.withColumnRenamed("id", "id2").withColumnRenamed("n_grams", "g2"), "id2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("g1") + F.col("g2") - F.col("n_common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs over document text.
+
+    Reuses the linking stage verbatim — documents are just long
+    "terms".  Returns (src, dst, jaccard) keyed by xxhash64 of id.
+    """
+    terms = docs.select(
+        F.xxhash64(F.col(id_col).cast("string")).alias("term_id"),
+        F.col(text_col).alias("term"),
+    ).dropDuplicates(["term_id"])
+    return linking.link_terms(
+        terms,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        bucket_cap=bucket_cap,
+        threshold=threshold,
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit sketch into ``n_bands``
+    16-bit chunks; pairs within ``max_hamming`` must collide on at
+    least one chunk (pigeonhole), so the self-join is band-blocked
+    rather than quadratic."""
+    from turtle_spark.functions.hashing import simhash64
+
+    @pandas_udf(T.LongType())
+    def sh_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: simhash64(t or ""))
+
+    width = 64 // n_bands
+    sh = docs.select(F.col(id_col).alias("id"), sh_udf(F.col(text_col)).alias("simhash"))
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.chunk")
+    a = banded.select("band", "chunk", F.col("id").alias("id1"), F.col("simhash").alias("h1"))
+    b = banded.select("band", "chunk", F.col("id").alias("id2"), F.col("simhash").alias("h2"))
+    pairs = (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("id1") < F.col("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

@@ -1,0 +1,178 @@
+"""Stage C — entity linking: mention extraction + MinHash-LSH blocking.
+
+Pipeline (SURVEY.md §3.4):
+
+    triples -> mentions(term, term_id, kind)
+            -> MinHash signatures (Arrow-batched pandas UDF, numpy inside)
+            -> LSH band explosion -> bucket self-join (candidate pairs)
+            -> exact-similarity verification -> edges(src, dst)
+
+Scale design — this stage is where a naive implementation dies at
+100 TB, so the shuffle story is explicit:
+
+* the self-join key is ``(band_index, band_hash)``; bucket sizes are
+  **capped deterministically** before the join (hot buckets come from
+  stop-word-like terms; capping bounds the worst key at cap², making
+  AQE skew handling a safety net rather than the plan).  Dropped
+  candidates are only ever *extra* recall work, never correctness of
+  retained pairs;
+* signatures are computed once per *distinct* term, not per
+  occurrence: dedup first, then a narrow pandas_udf pass;
+* candidate pairs are verified with exact shingle Jaccard inside an
+  Arrow batch — cheap compared to letting false positives flow into
+  connected components;
+* everything downstream keys on ``term_id`` (xxhash64 of the term), a
+  long — joins shuffle 8-byte keys, not strings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from turtle_spark.functions.hashing import (
+    band_hashes,
+    char_shingle_hashes,
+    minhash_permutations,
+    minhash_signature,
+)
+
+DEFAULT_NUM_PERM = 128
+DEFAULT_BANDS = 32
+DEFAULT_SHINGLE_K = 4
+DEFAULT_BUCKET_CAP = 64
+DEFAULT_JACCARD = 0.6
+
+
+def extract_mentions(triples: DataFrame) -> DataFrame:
+    """Mention occurrences from the triple stream.
+
+    A mention is an entity surface form: any subject IRI and any IRI
+    object (blank nodes are doc-scoped and excluded — they canonicalize
+    via doc_id prefixing, not linking).  Result: one row per occurrence
+    with the 64-bit ``term_id`` join key.
+    """
+    subj = triples.where(~F.col("subject").startswith("_:")).select(
+        "doc_id", F.col("subject").alias("term")
+    )
+    obj = triples.where(
+        (F.col("objecttype") == "iri") & ~F.col("object").startswith("_:")
+    ).select("doc_id", F.col("object").alias("term"))
+    return (
+        subj.unionByName(obj)
+        .withColumn("term_id", F.xxhash64("term"))
+    )
+
+
+def distinct_terms(mentions: DataFrame) -> DataFrame:
+    return mentions.select("term_id", "term").dropDuplicates(["term_id"])
+
+
+def minhash_terms(
+    terms: DataFrame,
+    num_perm: int = DEFAULT_NUM_PERM,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+    seed: int = 7,
+) -> DataFrame:
+    """Add ``signature: array<long>`` per distinct term."""
+    a, b = minhash_permutations(num_perm, seed)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda s: minhash_signature(char_shingle_hashes(s or "", shingle_k), a, b).tolist()
+        )
+
+    return terms.withColumn("signature", sig_udf("term"))
+
+
+def lsh_buckets(signed: DataFrame, bands: int = DEFAULT_BANDS) -> DataFrame:
+    """Explode each signature into ``bands`` bucket keys."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def bands_udf(sig: pd.Series) -> pd.Series:
+        return sig.map(lambda s: band_hashes(np.asarray(s, dtype=np.int64), bands))
+
+    return signed.select(
+        "term_id",
+        "term",
+        F.posexplode(bands_udf("signature")).alias("band_index", "band_hash"),
+    )
+
+
+def candidate_pairs(
+    buckets: DataFrame, bucket_cap: int = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """Self-join LSH buckets into candidate term pairs.
+
+    Deterministic bucket capping (rank by term_id inside each bucket,
+    keep the first ``bucket_cap``) bounds the join fan-out at cap² per
+    key — the explicit skew control; hot stop-word-like buckets cannot
+    melt a reducer.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_index", "band_hash").orderBy("term_id")
+    capped = (
+        buckets.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= bucket_cap)
+        .drop("rank")
+    )
+    left = capped.select(
+        "band_index", "band_hash",
+        F.col("term_id").alias("src"), F.col("term").alias("src_term"),
+    )
+    right = capped.select(
+        "band_index", "band_hash",
+        F.col("term_id").alias("dst"), F.col("term").alias("dst_term"),
+    )
+    return (
+        left.join(right, ["band_index", "band_hash"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "src_term", "dst", "dst_term")
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+    threshold: float = DEFAULT_JACCARD,
+) -> DataFrame:
+    """Exact shingle-Jaccard filter over LSH candidates."""
+
+    @pandas_udf(T.DoubleType())
+    def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a))
+        for i, (x, y) in enumerate(zip(a, b)):
+            hx = char_shingle_hashes(x or "", shingle_k)
+            hy = char_shingle_hashes(y or "", shingle_k)
+            union = np.union1d(hx, hy).size
+            out[i] = (np.intersect1d(hx, hy).size / union) if union else 1.0
+        return pd.Series(out)
+
+    return (
+        pairs.withColumn("jaccard", jaccard_udf("src_term", "dst_term"))
+        .where(F.col("jaccard") >= threshold)
+        .select("src", "dst", "jaccard")
+    )
+
+
+def link_terms(
+    terms: DataFrame,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    threshold: float = DEFAULT_JACCARD,
+    seed: int = 7,
+) -> DataFrame:
+    """terms(term_id, term) -> verified similarity edges (src, dst)."""
+    signed = minhash_terms(terms, num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+    buckets = lsh_buckets(signed, bands=bands)
+    pairs = candidate_pairs(buckets, bucket_cap=bucket_cap)
+    return verify_pairs(pairs, shingle_k=shingle_k, threshold=threshold)

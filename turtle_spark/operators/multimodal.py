@@ -1,0 +1,141 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as ``binary`` columns
+with a metadata struct; decode / feature-extraction / resize /
+frame-sampling run as Arrow-batched ``mapInPandas`` transforms.
+
+The decode step itself is STUBBED in this container (no image/audio
+libraries are installed): ``decode_features(..., stub=True)`` produces
+a deterministic content-derived fake feature vector, and
+``stub=False`` raises ``NotImplementedError`` at the exact seam where
+a real decoder (PIL / torchaudio / pyav) would plug in.  Everything
+Spark-side — schema, batch shape, partition behavior, UDF signature —
+is real and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+_MEDIA_TYPES = ("image", "audio", "video")
+
+
+def synthesize_media_table(docs: DataFrame) -> DataFrame:
+    """Deterministic media rows for every media span in a docs table.
+
+    Payload = content-derived pseudo-bytes (media decode sources are
+    outside the sandbox); everything is a pure column expression.
+    """
+    span = F.explode("spans").alias("span")
+    media = docs.select("doc_id", span).where(F.col("span.kind") == "media")
+    h = F.xxhash64("span.media_ref")
+    return media.select(
+        F.col("span.media_ref").alias("media_ref"),
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(t) for t in _MEDIA_TYPES]),
+            (F.pmod(h, F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.concat(F.lit("payload:"), F.col("span.media_ref")), "utf-8").alias("payload"),
+        F.struct(
+            (F.pmod(h, F.lit(1920)) + 1).cast("int").alias("width"),
+            (F.pmod(h, F.lit(1080)) + 1).cast("int").alias("height"),
+            (F.pmod(h, F.lit(600000)) + 1).cast("int").alias("duration_ms"),
+            F.lit("synthetic").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _stub_features(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic fake embedding derived from payload bytes."""
+    data = np.frombuffer(payload or b"\0", dtype=np.uint8).astype(np.float32)
+    # fold into `dim` buckets, normalize — stable across processes
+    idx = np.arange(data.size) % dim
+    vec = np.zeros(dim, dtype=np.float32)
+    np.add.at(vec, idx, data)
+    norm = float(np.linalg.norm(vec)) or 1.0
+    return vec / norm
+
+
+def decode_features(media: DataFrame, dim: int = 64, stub: bool = True) -> DataFrame:
+    """media table -> feature vectors via Arrow-batched ``mapInPandas``.
+
+    ``stub=False`` is the seam for a real decoder and raises
+    ``NotImplementedError`` here by design.
+    """
+    if not stub:
+        raise NotImplementedError(
+            "real media decoding requires image/audio libraries not present "
+            "in this environment; plug a decoder in at this seam"
+        )
+
+    def batches(it):
+        for pdf in it:
+            feats = [
+                _stub_features(p, dim).tolist() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "features": feats,
+                    "n_bytes": pdf["payload"].map(lambda b: len(b or b"")).astype("int32"),
+                }
+            )
+
+    return media.select(
+        "media_ref", "doc_id", "media_type", "payload"
+    ).mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, stub: bool = True) -> DataFrame:
+    """Frame-sampling plumbing for video rows: one output row per
+    sampled timestamp (real frame decode stubbed)."""
+    if not stub:
+        raise NotImplementedError("real frame extraction not available in sandbox")
+    video = media.where(F.col("media_type") == "video")
+    ts = F.sequence(
+        F.lit(0),
+        F.col("meta.duration_ms"),
+        F.lit(every_ms),
+    )
+    return video.select(
+        "media_ref",
+        "doc_id",
+        F.posexplode(ts).alias("frame_index", "ts_ms"),
+    )

@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+* ``cosine_topk`` — brute-force exact top-k: broadcast the (small)
+  query set against the corpus, dot products via ``F.zip_with`` +
+  ``F.aggregate`` (JVM-side, no Python), window top-k per query.
+  The correctness baseline and the right plan whenever |queries| is
+  small — the corpus is scanned once, never shuffled.
+* ``lsh_topk`` — random-hyperplane LSH: sign-bit signatures bucket the
+  corpus; candidates are re-ranked exactly.  The scale path when the
+  query set itself is huge (query-corpus join becomes bucket-local).
+  Recall is tested against the brute-force baseline at small scale.
+
+Embedding-cosine near-duplicate detection (``cosine_pairs``) is the
+same dot-product machinery as a capped self-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return embeddings.withColumn("_norm", _norm(F.col(vec_col)))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (broadcast query side).
+
+    Output: (query_id, neighbor_id, cosine, rank); self-matches are
+    excluded.
+    """
+    corpus = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.col("_norm").alias("_cnorm"),
+    )
+    qs = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    scored = (
+        corpus.join(F.broadcast(qs))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_cvec"), F.col("_qvec"))
+                / (F.col("_cnorm") * F.col("_qnorm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((n_bits, dim)).astype(np.float32)
+
+
+def lsh_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane sign signature as a single long bucket key."""
+    planes = _hyperplanes(dim, n_bits, seed)
+
+    @pandas_udf(T.LongType())
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float32)))
+        bits = (mat @ planes.T) > 0  # (n, n_bits)
+        weights = (1 << np.arange(n_bits, dtype=np.int64))
+        return pd.Series(bits @ weights)
+
+    return embeddings.withColumn("bucket", sig_udf(F.col(vec_col)))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: union of ``n_tables`` hyperplane bucketings,
+    exact cosine re-rank of bucket-local candidates."""
+    parts = []
+    for t in range(n_tables):
+        c = lsh_signatures(embeddings, dim, n_bits, seed=13 + t, id_col=id_col, vec_col=vec_col)
+        q = lsh_signatures(queries, dim, n_bits, seed=13 + t, id_col=id_col, vec_col=vec_col)
+        parts.append(
+            c.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), "bucket").join(
+                q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"), "bucket"),
+                "bucket",
+            ).drop("bucket")
+        )
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionByName(p)
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"]).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cands.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("_cvec"), F.col("_qvec"))
+            / (_norm(F.col("_cvec")) * _norm(F.col("_qvec"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, broadcast self-join).
+
+    For corpora too large to self-join, gate through ``lsh_signatures``
+    buckets first; at oracle scale the exact join is the ground truth.
+    """
+    a = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"), F.col("_norm").alias("_n1")
+    )
+    b = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"), F.col("_norm").alias("_n2")
+    )
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2")), 6),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

@@ -1,0 +1,115 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, fingerprinting.
+
+All hot-path computation is JVM-side column expressions (whole-stage
+codegen); the only pandas UDF is the rolling-hash fingerprint.  Every
+SQL-expressible operator here deliberately sticks to functions with
+identical semantics in DuckDB (``replace``, ``length``, char-class
+regexes common to Java regex and RE2) so the driver's oracle checks
+compare apples to apples.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from turtle_spark.functions.hashing import rolling_fingerprint, simhash64
+
+# Stopword markers per language — surrounded by spaces so plain
+# substring counting (length-difference trick) works identically in
+# Spark and DuckDB SQL.
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " de la "],
+}
+
+_PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
+_WORD_RE = "[A-Za-z0-9]+"
+
+
+def _marker_count(col: F.Column, marker: str) -> F.Column:
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit(""))))
+        / F.lit(len(marker))
+    ).cast("long")
+
+
+def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality statistics — pure column expressions."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_words = F.regexp_count(c, F.lit(_WORD_RE))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, _PUNCT_CLASS, ""))
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        n_punct.alias("n_punct"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(
+            n_chars / F.greatest(n_words.cast("double"), F.lit(1.0)), 6
+        ).alias("chars_per_word"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram-marker language heuristic, argmax over marker hit counts."""
+    c = F.lower(F.col(text_col))
+    scores = {
+        lang: sum((_marker_count(c, m) for m in markers), F.lit(0).cast("long"))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = sorted(scores)  # deterministic tie-break order
+    best = F.greatest(*[scores[l] for l in langs])
+    pred = F.lit("und")
+    # reversed so that earlier (alphabetical) languages win ties
+    for lang in reversed(langs):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    out = docs.select(
+        F.col(id_col),
+        *[scores[l].alias(f"score_{l}") for l in langs],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword proxy count.
+
+    The subword proxy counts alternating character-class runs
+    (letters / digits / other) — a deterministic, SQL-expressible
+    stand-in for a real BPE vocabulary (which isn't in this container).
+    """
+    c = F.col(text_col)
+    ws_tokens = F.size(F.split(F.trim(c), r"\s+"))
+    subword = F.regexp_count(c, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+    return docs.select(
+        F.col(id_col),
+        F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(ws_tokens).cast("long").alias("n_ws_tokens"),
+        subword.cast("long").alias("n_subword_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rolling-hash document fingerprint + 64-bit SimHash (Arrow-batched)."""
+
+    @pandas_udf(T.LongType())
+    def fp_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: rolling_fingerprint(t or ""))
+
+    @pandas_udf(T.LongType())
+    def sh_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: simhash64(t or ""))
+
+    return docs.select(
+        F.col(id_col),
+        fp_udf(F.col(text_col)).alias("fingerprint"),
+        sh_udf(F.col(text_col)).alias("simhash"),
+    )

@@ -1,0 +1,109 @@
+"""The end-to-end KG-construction pipeline (SURVEY.md §3.4).
+
+    docs(doc_id, spans)                                  [A: scan]
+      -> extract_triples (mapInPandas, Arrow batches)    [B: extract]
+      -> media_triples (JVM explode)          ∪
+      -> globalize blank nodes (column exprs)
+      -> mentions -> MinHash-LSH -> verified edges       [C: link]
+      -> connected components (large/small star)         [D: canonicalize]
+      -> apply canonical map -> dropDuplicates
+      -> bucketed triple table by xxhash64(subject)      [E: materialize]
+
+Every stage checkpoints through ``StageManifest``: committed stages
+with matching input fingerprints are read back instead of recomputed,
+so a mid-run failure resumes where it stopped (north_rule resume
+contract).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from turtle_spark.operators import linking
+from turtle_spark.operators.canonicalize import (
+    apply_canonical_map,
+    canonical_map,
+    dedup_triples,
+    globalize_blank_nodes,
+)
+from turtle_spark.operators.cc import connected_components
+from turtle_spark.operators.extract import extract_triples, media_triples
+from turtle_spark.plans.manifest import StageManifest
+from turtle_spark.sources.storage import DEFAULT_BUCKETS, with_bucket
+
+
+@dataclass
+class PipelineResult:
+    triples: DataFrame
+    stages_resumed: list[str] = field(default_factory=list)
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    workdir: str,
+    input_fingerprint: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    link_threshold: float = linking.DEFAULT_JACCARD,
+    bucket_cap: int = linking.DEFAULT_BUCKET_CAP,
+) -> PipelineResult:
+    """Run (or resume) the full pipeline over a docs table.
+
+    ``input_fingerprint`` identifies the input corpus (e.g. a content
+    fingerprint or an immutable snapshot id); it keys every stage's
+    resume check.
+    """
+    manifest = StageManifest(workdir)
+    resumed: list[str] = []
+    metrics: dict[str, Any] = {}
+
+    def stage(name: str, thunk, partition_by=None) -> DataFrame:
+        df, was_resumed = manifest.load_or_compute(
+            spark, name, input_fingerprint, thunk, partition_by=partition_by
+        )
+        if was_resumed:
+            resumed.append(name)
+        rec = manifest.read(name)
+        metrics[name] = {"rows": rec["rows"]} if rec else {}
+        return df
+
+    # B: extraction — text spans through the parser, media spans JVM-side
+    triples = stage(
+        "extract",
+        lambda: globalize_blank_nodes(
+            extract_triples(docs).unionByName(media_triples(docs))
+        ),
+    )
+
+    # C: linking over distinct mention terms
+    terms = stage(
+        "terms",
+        lambda: linking.distinct_terms(linking.extract_mentions(triples)),
+    )
+    edges = stage(
+        "edges",
+        lambda: linking.link_terms(
+            terms, threshold=link_threshold, bucket_cap=bucket_cap
+        ),
+    )
+
+    # D: connected components + canonical rewrite
+    assignments = stage("components", lambda: connected_components(edges))
+    cmap = stage("canonical_map", lambda: canonical_map(terms, assignments))
+    canonical = stage(
+        "canonical_triples",
+        lambda: dedup_triples(apply_canonical_map(triples, cmap)),
+    )
+
+    # E: bucketed materialization
+    final = stage(
+        "materialize",
+        lambda: with_bucket(canonical, n_buckets),
+        partition_by=["bucket"],
+    )
+
+    return PipelineResult(triples=final, stages_resumed=resumed, metrics=metrics)
