@@ -366,7 +366,12 @@ def _q_kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from turtle_spark.operators.extract import extract_triples, media_triples
     from turtle_spark.sources.corpus import fixture_docs, generate_docs
 
-    docs = generate_docs(spark, 200, seed=42).unionByName(fixture_docs(spark))
+    docs = (
+        generate_docs(spark, 200, seed=42)
+        .unionByName(fixture_docs(spark))
+        .coalesce(8)
+        .persist()
+    )
     triples = globalize_blank_nodes(
         extract_triples(docs).unionByName(media_triples(docs))
     )

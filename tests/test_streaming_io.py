@@ -1,0 +1,99 @@
+"""Turtle file source/sink + Structured Streaming paths."""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import functions as F
+
+from tests.conftest import load_scan_fixtures
+from turtle_spark.core.parser import parse_triples
+from turtle_spark.sources.corpus import generate_docs
+from turtle_spark.sources.turtle_io import read_turtle, write_turtle_single
+from turtle_spark.streaming.stream import (
+    stream_docs,
+    stream_extract_triples,
+    stream_windowed_counts,
+    windowed_event_counts,
+)
+
+
+def test_read_turtle_files(spark, tmp_path):
+    cases = load_scan_fixtures()
+    d = tmp_path / "ttl"
+    d.mkdir()
+    for name in ("spiderman compact", "read_prefix_and_base", "collection_nested"):
+        (d / f"{name.replace(' ', '_')}.ttl").write_text(cases[name]["turtle"])
+    triples = read_turtle(spark, str(d))
+    by_doc = {}
+    for r in triples.orderBy("doc_id", "seq").collect():
+        key = pathlib.Path(r.doc_id.replace("file://", "")).stem
+        by_doc.setdefault(key, []).append([r.subject, r.predicate, r.object])
+    for name in ("spiderman compact", "read_prefix_and_base", "collection_nested"):
+        assert by_doc[name.replace(" ", "_")] == cases[name]["triples"], name
+
+
+def test_write_turtle_single_roundtrip(spark, tmp_path):
+    triples = spark.createDataFrame(
+        [
+            ("d", 0, "http://e/a", "http://e/p", "v1", "", "", "literal"),
+            ("d", 1, "http://e/b", "http://e/p", "http://e/a", "", "", "iri"),
+        ],
+        "doc_id string, seq long, subject string, predicate string, object string, label string, datatype string, objecttype string",
+    )
+    out = tmp_path / "out.ttl"
+    text = write_turtle_single(triples, str(out))
+    assert out.read_text() == text
+    reparsed = {t[:3] for t in parse_triples(text)}
+    assert ("http://e/a", "http://e/p", "v1") in reparsed
+    assert ("http://e/b", "http://e/p", "http://e/a") in reparsed
+
+
+def test_stream_extract_matches_batch(spark, tmp_path):
+    from turtle_spark.operators.extract import extract_triples
+
+    docs_path = str(tmp_path / "docs")
+    generate_docs(spark, 30, seed=17).write.parquet(docs_path)
+
+    out_path = str(tmp_path / "triples_out")
+    q = stream_extract_triples(
+        stream_docs(spark, docs_path),
+        out_path,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_path)
+    batch = extract_triples(spark.read.parquet(docs_path))
+    key = lambda r: (r.doc_id, r.seq)
+    assert sorted(streamed.collect(), key=key) == sorted(batch.collect(), key=key)
+
+
+def test_stream_windowed_counts_matches_batch(spark, tmp_path, sf_dir):
+    # stage events into a directory (streaming file source requirement)
+    events_dir = str(tmp_path / "events_dir")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(events_dir)
+    batch = windowed_event_counts(spark.read.parquet(events_dir), window="1 day")
+    out_path = str(tmp_path / "win_out")
+    q = stream_windowed_counts(
+        spark.readStream.schema(spark.read.parquet(events_dir).schema).parquet(events_dir),
+        out_path,
+        str(tmp_path / "win_ckpt"),
+        window="1 day",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out_path)
+    # append mode withholds windows not yet finalized by the watermark;
+    # everything emitted must match the batch result exactly
+    bkey = {
+        (r.window_start, r.event_type): (r.n_events, r.min_value, r.max_value)
+        for r in batch.collect()
+    }
+    emitted = streamed.collect()
+    assert len(emitted) > 0
+    for r in emitted:
+        assert bkey[(r.window_start, r.event_type)] == (
+            r.n_events, r.min_value, r.max_value,
+        )

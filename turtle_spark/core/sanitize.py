@@ -54,15 +54,37 @@ _LITERAL_DELIMS = ('"""', "'''", '"', "'")
 
 
 def trim(token: str) -> str:
-    """Strip the first matching delimiter pair (scanner/sanitize.go:143-157)."""
+    """Strip the first matching delimiter pair (scanner/sanitize.go:143-157).
+
+    Unrolled in the reference's pair order — this runs once per token
+    slot inside the extraction hot path.
+    """
     if not token:
         return ""
-    for left, right in _TRIM_PAIRS:
-        if token.startswith(left) and token.endswith(right):
-            t = token[len(left):] if left else token
-            if right and t.endswith(right):
-                t = t[: len(t) - len(right)]
-            return t
+    c0, cl = token[0], token[-1]
+    if c0 == '"':
+        if cl == '"':
+            if token[:3] == '"""' == token[-3:]:
+                t = token[3:]
+                return t[:-3] if t[-3:] == '"""' else t
+            t = token[1:]
+            return t[:-1] if t and t[-1] == '"' else t
+        if cl == ">":
+            return token[:-1]
+        return token
+    if c0 == "'":
+        if cl == "'":
+            if token[:3] == "'''" == token[-3:]:
+                t = token[3:]
+                return t[:-3] if t[-3:] == "'''" else t
+            t = token[1:]
+            return t[:-1] if t and t[-1] == "'" else t
+        if cl == ">":
+            return token[:-1]
+        return token
+    if cl == ">":
+        # pair ("<", ">") before the bare ("", ">") pair
+        return token[1:-1] if c0 == "<" else token[:-1]
     return token
 
 
@@ -152,20 +174,30 @@ def _go_url_string(scheme: str, netloc: str, path: str, query: str, fragment: st
     return s
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _split_base(base: str):
+    try:
+        return urlsplit(base)
+    except ValueError:
+        return None
+
+
+@lru_cache(maxsize=256)
 def _base_string(base: str) -> str:
     """Round-trip ``base`` the way Go's url.Parse + String would."""
-    try:
-        b = urlsplit(base)
-    except ValueError:
+    b = _split_base(base)
+    if b is None:
         return base
     return _go_url_string(b.scheme, b.netloc, b.path, b.query, b.fragment)
 
 
 def _go_join_path(base: str, rel: str) -> str:
     """``url.Parse(base).JoinPath(rel).String()`` equivalent."""
-    try:
-        b = urlsplit(base)
-    except ValueError:
+    b = _split_base(base)
+    if b is None:
         return base
     first = b.path
     if not first.startswith("/"):
@@ -186,13 +218,22 @@ def resolve_iri(token: str, base: str) -> str:
     anything else goes through Go-style lexical path joining, keeping
     the original base string when the join is an identity.
     """
-    if token in (".", "/") and base:
+    if not base:
+        # every rewriting branch requires a base (the reference guards
+        # each with base != ""), so skip URL parsing entirely
+        return token
+    if token in (".", "/"):
         return base
+    # fast path: scheme://non-slash means a host is present (the
+    # common absolute-IRI case) — skip full URL parsing
+    si = token.find("://")
+    if 0 < si and si + 3 < len(token) and token[si + 3] != "/" and token[:si].isalpha():
+        return token
     try:
         host = urlsplit(token).netloc
     except ValueError:
         host = ""
-    if host == "" and base:
+    if host == "":
         if base.endswith("#") and token.startswith("#"):
             return base + token[1:]
         b_str = _base_string(base)

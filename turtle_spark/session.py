@@ -41,7 +41,10 @@ def get_spark(
         # Python call, so bigger batches amortize the JVM<->Python hop
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # sized for local[32]: 32 concurrent tasks allocate fast; an
+        # undersized heap turns the extraction stage into a GC storm
+        # (measured 5x slowdown at 8g)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
