@@ -358,6 +358,64 @@ WHERE list_inner_product(a.v, b.v)
 """
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from turtle_spark.operators.sessions import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=120)
+
+
+_SQL_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > CAST(120 AS BIGINT) * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(MIN(value) + MAX(value), 6) AS value_range_sum
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    high = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    both = high.intersect(with_orders).select(
+        "c_custkey", F.lit("both").alias("tag")
+    )
+    only_high = high.exceptAll(with_orders).select(
+        "c_custkey", F.lit("high_only").alias("tag")
+    )
+    return both.unionByName(only_high)
+
+
+_SQL_SET_OPS = """
+SELECT c_custkey, 'both' AS tag FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders
+)
+UNION ALL
+SELECT c_custkey, 'high_only' AS tag FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders
+)
+"""
+
+
 # -- non-SQL-expressible operators (rows-only driver check) ------------------
 
 def _q_kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_lineitems": _q_top_lineitems,
         "q_customers_without_orders": _q_customers_without_orders,
         "q_events_daily": _q_events_daily,
+        "q_sessionize": _q_sessionize,
+        "q_set_ops": _q_set_ops,
         # training-data ops
         "q_exact_dedup_docs": _q_exact_dedup_docs,
         "q_doc_stats": _q_doc_stats,
@@ -449,6 +509,8 @@ def oracle_sql() -> dict[str, str]:
         "q_top_lineitems": _SQL_TOP_LINEITEMS,
         "q_customers_without_orders": _SQL_CUSTOMERS_WITHOUT_ORDERS,
         "q_events_daily": _SQL_EVENTS_DAILY,
+        "q_sessionize": _SQL_SESSIONIZE,
+        "q_set_ops": _SQL_SET_OPS,
         "q_exact_dedup_docs": _SQL_EXACT_DEDUP_DOCS,
         "q_doc_stats": _SQL_DOC_STATS,
         "q_language_id": _SQL_LANGUAGE_ID,

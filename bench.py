@@ -31,12 +31,14 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# Scaling pair N -> 4N.  Default 4 -> 16 rather than 8 -> 32: this VM
-# shows up to ~30% hypervisor steal time under full 32-way load, so a
-# pair that stays inside reliably-deliverable capacity measures the
+# Scaling pair N -> 4N.  Default 2 -> 8 rather than 8 -> 32: a
+# local[N] extraction run occupies ~2N CPUs (N JVM task threads
+# feeding Arrow + N Python parser workers), and this VM shows up to
+# ~30% hypervisor steal under full 32-way load — so 2 -> 8 (4 -> 16
+# CPUs of real demand) is the largest 4x pair that measures the
 # ENGINE's scaling rather than the host's throttling.  Override with
 # SPARK_GRAFT_SCALE_SMALL.
-SCALE_SMALL = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "4"))
+SCALE_SMALL = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "2"))
 SCALE_BIG = SCALE_SMALL * 4
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
 BENCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))

@@ -1,0 +1,58 @@
+"""Sessionization (both forms agree) + P/R metric operator."""
+
+from __future__ import annotations
+
+from turtle_spark.operators.extract import extract_triples
+from turtle_spark.operators.metrics import triple_set_pr
+from turtle_spark.operators.sessions import sessionize, sessionize_native
+from turtle_spark.sources.corpus import fixture_docs
+
+
+def test_sessionize_forms_agree(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = sessionize(events, gap_minutes=120)
+    b = sessionize_native(events, gap_minutes=120)
+    key = lambda r: (r.user_id, r.session_start)
+    ra, rb = sorted(a.collect(), key=key), sorted(b.collect(), key=key)
+    assert ra == rb
+    assert len(ra) > 0
+
+
+def test_sessionize_gap_boundary(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:29:00", 2.0),   # same session (29 min < 30)
+        (1, "2024-01-01 01:30:00", 3.0),   # new session (61 min gap)
+        (2, "2024-01-01 00:00:00", 4.0),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts string, value double")
+    events = events.withColumn("ts", events["ts"].cast("timestamp"))
+    out = sessionize(events, gap_minutes=30).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert len(per_user[1]) == 2
+    assert len(per_user[2]) == 1
+    first = min(per_user[1], key=lambda r: r.session_start)
+    assert first.n_events == 2
+
+
+def test_triple_pr_perfect_and_degraded(spark):
+    docs = fixture_docs(spark)
+    actual = extract_triples(docs)
+    pr = triple_set_pr(actual, actual)
+    assert pr.precision == 1.0 and pr.recall == 1.0
+
+    # drop some rows -> recall suffers, precision stays perfect
+    partial = actual.where("seq > 0")
+    pr2 = triple_set_pr(partial, actual)
+    assert pr2.precision == 1.0 and pr2.recall < 1.0
+
+    # corrupt rows -> precision suffers
+    from pyspark.sql import functions as F
+
+    corrupted = actual.withColumn(
+        "object", F.when(F.col("seq") == 0, F.lit("WRONG")).otherwise(F.col("object"))
+    )
+    pr3 = triple_set_pr(corrupted, actual)
+    assert pr3.precision < 1.0

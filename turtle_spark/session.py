@@ -37,6 +37,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # pin the session timezone so timestamp formatting matches the
+        # DuckDB oracle regardless of host TZ
+        .config("spark.sql.session.timeZone", "UTC")
         # generous Arrow batches: the parser loops documents inside one
         # Python call, so bigger batches amortize the JVM<->Python hop
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
