@@ -416,6 +416,307 @@ SELECT c_custkey, 'high_only' AS tag FROM (
 """
 
 
+def _q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest prior view by the same
+    user (operators.temporal.asof_join; DuckDB native ASOF JOIN oracle)."""
+    from turtle_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select("user_id", "ts", "view_id", F.col("ts").alias("view_ts"))
+    )
+    joined = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["view_id", "view_ts"],
+    )
+    # testdata timestamps are TIMESTAMP_NTZ; the session TZ is pinned to
+    # UTC, so the cast matches DuckDB's epoch_us on naive timestamps
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        us("ts").alias("purchase_us"),
+        F.coalesce("view_id", F.lit(-1)).alias("view_id"),
+        F.coalesce(us("view_ts"), F.lit(-1)).alias("view_us"),
+    )
+
+
+_SQL_ASOF_PURCHASE_VIEW = """
+WITH v AS (
+  SELECT user_id, ts, MAX(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       COALESCE(v.view_id, -1) AS view_id,
+       COALESCE(epoch_us(v.ts), -1) AS view_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def _q_interval_signup_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks within 2 days after each signup
+    (operators.temporal.interval_join, bucketed range-join plan)."""
+    from turtle_spark.operators.temporal import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    signups = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("ts_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 DAYS")).alias("ts_end"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").cast("decimal(18,6)").alias("value_d")
+    )
+    joined = interval_join(
+        clicks, signups, on=["user_id"], point_ts="ts",
+        start_col="ts_start", end_col="ts_end", bucket_width_s=43200,
+    )
+    return joined.groupBy("signup_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(F.sum("value_d"), 6).cast("double").alias("click_value"),
+    )
+
+
+_SQL_INTERVAL_SIGNUP_CLICKS = """
+SELECT s.event_id AS signup_id,
+       COUNT(*) AS n_clicks,
+       CAST(ROUND(SUM(CAST(c.value AS DECIMAL(18,6))), 6) AS DOUBLE) AS click_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON c.user_id = s.user_id
+ AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 2 DAY
+GROUP BY s.event_id
+"""
+
+
+def _q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles per event type."""
+    e = _t(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))")
+    return (
+        e.groupBy("event_type")
+        .agg(pct.alias("_p"), F.count("*").alias("n"))
+        .select(
+            "event_type",
+            F.round(F.element_at("_p", 1), 6).alias("p25"),
+            F.round(F.element_at("_p", 2), 6).alias("p50"),
+            F.round(F.element_at("_p", 3), 6).alias("p75"),
+            "n",
+        )
+    )
+
+
+_SQL_EVENT_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+def _q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP region -> nation revenue (multi-level aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dec2 = lambda col: F.col(col).cast("decimal(18,2)")
+    rev = dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+_SQL_REVENUE_ROLLUP = """
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def _q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style monthly promo revenue share (broadcast dim join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    dec2 = lambda col: F.col(col).cast("decimal(18,2)")
+    rev = dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return (
+        joined.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)), 2)
+            .cast("double")
+            .alias("promo_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_share",
+            F.round(F.col("promo_revenue") / F.col("total_revenue"), 6),
+        )
+    )
+
+
+_SQL_PROMO_REVENUE = """
+WITH m AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS promo_revenue,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY strftime(l_shipdate, '%Y-%m')
+)
+SELECT ship_month, promo_revenue, total_revenue,
+       ROUND(promo_revenue / total_revenue, 6) AS promo_share
+FROM m
+"""
+
+
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top-10 unshipped BUILDING orders by revenue."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1996-01-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1996-01-15")
+    dec2 = lambda col: F.col(col).cast("decimal(18,2)")
+    rev = dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-01-15'
+  AND l_shipdate > TIMESTAMP '1996-01-15'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def _q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: ASIA revenue where customer and supplier share a
+    nation (join-order showcase: two broadcast dims, three fact joins)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dec2 = lambda col: F.col(col).cast("decimal(18,2)")
+    rev = dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_SQL_LOCAL_SUPPLIER_REVENUE = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from turtle_spark.operators.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+_SQL_QUALITY_SCORE = rf"""
+WITH b AS (
+  SELECT doc_id,
+         GREATEST(LENGTH(text), 1) AS n_chars,
+         LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+         GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                       ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END, 1) AS n_ws,
+         {_marker_sql(' the ')} + {_marker_sql(' and ')} + {_marker_sql(' of ')} AS stop_hits
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         stop_hits / CAST(n_ws AS DOUBLE) AS stop_ratio,
+         n_alpha / CAST(n_chars AS DOUBLE) AS alpha_ratio,
+         n_upper / CAST(GREATEST(n_alpha, 1) AS DOUBLE) AS upper_ratio
+  FROM b
+)
+SELECT doc_id,
+       ROUND(stop_ratio, 6) AS stop_ratio,
+       ROUND(alpha_ratio, 6) AS alpha_ratio,
+       ROUND(upper_ratio, 6) AS upper_ratio,
+       ROUND(0.4 * LEAST(stop_ratio * 5, 1.0) + 0.4 * alpha_ratio + 0.2 * (1.0 - upper_ratio), 6) AS score
+FROM s
+"""
+
+
 # -- non-SQL-expressible operators (rows-only driver check) ------------------
 
 def _q_kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,6 +774,50 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, e.where(F.col("vec_id") < 3), dim=dim, k=5, n_bits=4, n_tables=8)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from turtle_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return ivf_topk(
+        e, e.where(F.col("vec_id") < 3), k=5, n_centroids=8, n_probe=4
+    )
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesized media table -> stub decoder ->
+    per-type feature summary (deterministic)."""
+    from turtle_spark.operators.multimodal import decode_features, synthesize_media_table
+    from turtle_spark.sources.corpus import generate_docs
+
+    docs = generate_docs(spark, 200, seed=42)
+    feats = decode_features(synthesize_media_table(docs), dim=16)
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.sum(F.round(F.element_at("features", 1), 4)), 4).alias("f0_sum"),
+        )
+        .orderBy("media_type")
+    )
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: frames per video at 1 fps."""
+    from turtle_spark.operators.multimodal import sample_frames, synthesize_media_table
+    from turtle_spark.sources.corpus import generate_docs
+
+    docs = generate_docs(spark, 200, seed=42)
+    frames = sample_frames(synthesize_media_table(docs), every_ms=1000)
+    return (
+        frames.groupBy("media_ref")
+        .agg(F.count("*").alias("n_frames"), F.max("ts_ms").alias("last_ts_ms"))
+        .orderBy("media_ref")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core
@@ -484,6 +829,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_daily": _q_events_daily,
         "q_sessionize": _q_sessionize,
         "q_set_ops": _q_set_ops,
+        "q_revenue_rollup": _q_revenue_rollup,
+        "q_promo_revenue": _q_promo_revenue,
+        "q_shipping_priority": _q_shipping_priority,
+        "q_local_supplier_revenue": _q_local_supplier_revenue,
+        "q_event_percentiles": _q_event_percentiles,
+        # temporal joins
+        "q_asof_purchase_view": _q_asof_purchase_view,
+        "q_interval_signup_clicks": _q_interval_signup_clicks,
         # training-data ops
         "q_exact_dedup_docs": _q_exact_dedup_docs,
         "q_doc_stats": _q_doc_stats,
@@ -492,12 +845,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_cosine_topk": _q_cosine_topk,
         "q_cosine_pairs": _q_cosine_pairs,
+        "q_quality_score": _q_quality_score,
         # non-SQL-expressible (rows-only checks)
         "q_kg_extract": _q_kg_extract,
         "q_minhash_dedup_docs": _q_minhash_dedup_docs,
         "q_simhash_dedup_docs": _q_simhash_dedup_docs,
         "q_doc_fingerprints": _q_doc_fingerprints,
         "q_lsh_topk": _q_lsh_topk,
+        "q_ivf_topk": _q_ivf_topk,
+        "q_media_features": _q_media_features,
+        "q_frame_sample": _q_frame_sample,
     }
 
 
@@ -518,4 +875,12 @@ def oracle_sql() -> dict[str, str]:
         "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "q_cosine_topk": _SQL_COSINE_TOPK,
         "q_cosine_pairs": _SQL_COSINE_PAIRS,
+        "q_revenue_rollup": _SQL_REVENUE_ROLLUP,
+        "q_promo_revenue": _SQL_PROMO_REVENUE,
+        "q_shipping_priority": _SQL_SHIPPING_PRIORITY,
+        "q_local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
+        "q_event_percentiles": _SQL_EVENT_PERCENTILES,
+        "q_asof_purchase_view": _SQL_ASOF_PURCHASE_VIEW,
+        "q_interval_signup_clicks": _SQL_INTERVAL_SIGNUP_CLICKS,
+        "q_quality_score": _SQL_QUALITY_SCORE,
     }

@@ -1,0 +1,160 @@
+"""Ground-truth tests for the temporal joins (as-of / interval) and the
+IVF approximate-nearest-neighbor path.
+
+Temporal semantics pinned here:
+* as-of picks the LATEST right row with right_ts <= left_ts per key,
+  including equality ties (right row visible at its own timestamp);
+* left rows with no preceding right row survive with nulls;
+* interval join is inclusive on both endpoints and correct across
+  coarse-bucket boundaries.
+IVF: probing every cell must equal brute force exactly; probing a
+subset must keep recall high on clustered data.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from turtle_spark.operators.similarity import cosine_topk, ivf_topk
+from turtle_spark.operators.temporal import asof_join, interval_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 1),
+            ("A", _ts("2024-01-01 10:05:00"), 2),
+            ("A", _ts("2024-01-01 09:00:00"), 3),  # before any quote
+            ("B", _ts("2024-01-01 10:00:00"), 4),
+            ("C", _ts("2024-01-01 10:00:00"), 5),  # key with no quotes
+        ],
+        "sym string, ts timestamp, trade_id int",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:59:00"), 100.0),
+            ("A", _ts("2024-01-01 10:05:00"), 101.0),  # equality tie
+            ("B", _ts("2024-01-01 09:00:00"), 200.0),
+            ("B", _ts("2024-01-01 09:30:00"), 201.0),
+        ],
+        "sym string, ts timestamp, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_join_semantics(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on=["sym"], left_ts="ts", right_ts="ts")
+    got = {r["trade_id"]: r["px"] for r in out.collect()}
+    assert got == {
+        1: 100.0,  # latest quote before 10:00
+        2: 101.0,  # tie at 10:05 is visible
+        3: None,   # no quote before 09:00
+        4: 201.0,  # latest of two earlier quotes
+        5: None,   # key never quoted
+    }
+    assert out.count() == trades.count()  # left join: no row loss
+
+
+def test_asof_join_suffix_and_cols(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+        right_cols=["px"], suffix="_q",
+    )
+    assert set(out.columns) == {"sym", "ts", "trade_id", "px_q"}
+
+
+def test_interval_join_bucket_boundaries(spark):
+    points = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01 00:30:00"), 1),
+            ("u", _ts("2024-01-01 02:00:00"), 2),   # exactly at end
+            ("u", _ts("2024-01-01 02:00:01"), 3),   # just past end
+            ("u", _ts("2024-01-02 00:00:00"), 4),   # other interval
+            ("v", _ts("2024-01-01 00:30:00"), 5),   # wrong key
+        ],
+        "user string, ts timestamp, point_id int",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 02:00:00"), 10),
+            ("u", _ts("2024-01-01 23:00:00"), _ts("2024-01-02 01:00:00"), 11),
+        ],
+        "user string, ts_start timestamp, ts_end timestamp, iv_id int",
+    )
+    # bucket width much smaller than the interval: spans many buckets
+    out = interval_join(
+        points, intervals, on=["user"], point_ts="ts",
+        start_col="ts_start", end_col="ts_end", bucket_width_s=600,
+    )
+    pairs = {(r["point_id"], r["iv_id"]) for r in out.collect()}
+    assert pairs == {(1, 10), (2, 10), (4, 11)}
+
+
+def _clustered_embeddings(spark, n_clusters=4, per_cluster=30, dim=16, seed=3):
+    rs = np.random.RandomState(seed)
+    centers = rs.standard_normal((n_clusters, dim)) * 3
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + rs.standard_normal(dim) * 0.3
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    e = _clustered_embeddings(spark)
+    q = e.where(F.col("vec_id") % 40 == 0)
+    exact = cosine_topk(e, q, k=5).collect()
+    ivf = ivf_topk(e, q, k=5, n_centroids=4, n_probe=4).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)
+    assert key(ivf) == key(exact)
+
+
+def test_ivf_partial_probe_recall(spark):
+    e = _clustered_embeddings(spark)
+    q = e.where(F.col("vec_id") % 40 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(e, q, k=5, n_centroids=4, n_probe=1).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # clustered data: the single nearest cell holds the true neighbors
+    assert recall >= 0.8, recall
+
+
+def test_quality_score_ground_truth(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "ALLCAPS SHOUTING!!!"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    from turtle_spark.operators.textstats import quality_score
+
+    rows = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    # doc 1: lowercase english text -> high score
+    assert rows[1]["upper_ratio"] == 0.0
+    assert rows[1]["score"] > 0.7
+    # doc 2: all caps -> upper_ratio 1, shouting penalty applies
+    assert rows[2]["upper_ratio"] == 1.0
+    assert rows[2]["score"] < rows[1]["score"]
+    # doc 3: empty text -> defined (no division blowups)
+    assert rows[3]["score"] is not None

@@ -93,13 +93,14 @@ def band_hashes(signature: np.ndarray, bands: int) -> list[int]:
     """
     rows = signature.size // bands
     out = []
-    for b in range(bands):
-        h = np.uint64(1469598103934665603)
-        for v in signature[b * rows : (b + 1) * rows]:
-            h = (h ^ np.uint64(v)) * np.uint64(1099511628211)
-        # mix band index in, keep positive int64 range
-        mixed = int((h ^ (np.uint64(b) * np.uint64(_MIX))) & np.uint64(0x7FFFFFFFFFFFFFFF))
-        out.append(mixed)
+    with np.errstate(over="ignore"):  # FNV-1a relies on uint64 wraparound
+        for b in range(bands):
+            h = np.uint64(1469598103934665603)
+            for v in signature[b * rows : (b + 1) * rows]:
+                h = (h ^ np.uint64(v)) * np.uint64(1099511628211)
+            # mix band index in, keep positive int64 range
+            mixed = int((h ^ (np.uint64(b) * np.uint64(_MIX))) & np.uint64(0x7FFFFFFFFFFFFFFF))
+            out.append(mixed)
     return out
 
 

@@ -97,6 +97,49 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite document-quality score in [0, 1] — the Gopher/C4-style
+    heuristic filter family, as pure column expressions.
+
+    Components (each SQL-expressible with identical DuckDB semantics):
+    ``stop_ratio``   English-stopword hits per whitespace token;
+    ``alpha_ratio``  alphabetic chars / all chars;
+    ``upper_ratio``  uppercase / alphabetic chars (shouting penalty);
+    ``score``        0.4·min(5·stop_ratio, 1) + 0.4·alpha_ratio
+                     + 0.2·(1 − upper_ratio).
+    """
+    c = F.col(text_col)
+    lower = F.lower(c)
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    n_alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    n_upper = F.length(F.regexp_replace(c, "[^A-Z]", ""))
+    n_ws = F.greatest(
+        F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+            F.size(F.split(F.trim(c), r"\s+"))
+        ),
+        F.lit(1),
+    )
+    stop_hits = sum(
+        (_marker_count(lower, m) for m in LANG_MARKERS["en"]),
+        F.lit(0).cast("long"),
+    )
+    stop_ratio = stop_hits / n_ws.cast("double")
+    alpha_ratio = n_alpha / n_chars.cast("double")
+    upper_ratio = n_upper / F.greatest(n_alpha, F.lit(1)).cast("double")
+    score = (
+        F.lit(0.4) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.4) * alpha_ratio
+        + F.lit(0.2) * (F.lit(1.0) - upper_ratio)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        F.round(score, 6).alias("score"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Rolling-hash document fingerprint + 64-bit SimHash (Arrow-batched)."""
 
