@@ -285,7 +285,9 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"),
         n=3,
         threshold=0.5,
-        posting_cap=1_000_000,  # exact at oracle scale
+        posting_cap=1_000_000,  # never binds at oracle scale (exact); the
+        # window is kept anyway — it is the exchange both join branches
+        # reuse (2x faster than the windowless plan)
     )
 
 

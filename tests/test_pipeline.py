@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import pathlib
 
 from pyspark.sql import functions as F
 
@@ -132,3 +133,49 @@ def test_pipeline_canonicalizes_near_duplicate_iris(spark, tmp_path):
     )
     subs = {row.subject for row in r.triples.select("subject").collect()}
     assert subs == {"http://e/person/Jonathan_Smithsen"}  # lexicographic min wins
+
+
+def test_chunked_extract_partition_resume(spark, tmp_path):
+    """Partition-granular resume: committed extraction chunks are not
+    recomputed; results equal the unchunked stage; manifests carry
+    per-partition lineage."""
+    from turtle_spark.plans.manifest import StageManifest
+    from turtle_spark.plans.pipeline import chunked_extract
+
+    docs = generate_docs(spark, 60, seed=5)
+    wd = str(tmp_path / "wd")
+    manifest = StageManifest(wd)
+
+    # first run: nothing resumed
+    df1, resumed1 = chunked_extract(spark, docs, manifest, "fp-1", n_chunks=4)
+    assert resumed1 == []
+    n1 = df1.count()
+
+    # simulate a crash after commit: second run resumes EVERY chunk
+    df2, resumed2 = chunked_extract(spark, docs, manifest, "fp-1", n_chunks=4)
+    assert len(resumed2) == 4
+    assert df2.count() == n1
+
+    # wipe one chunk's manifest -> exactly that chunk recomputes
+    (pathlib.Path(wd) / "extract_chunk_0002.manifest.json").unlink()
+    df3, resumed3 = chunked_extract(spark, docs, manifest, "fp-1", n_chunks=4)
+    assert sorted(resumed3) == [
+        "extract_chunk_0000", "extract_chunk_0001", "extract_chunk_0003",
+    ]
+    assert df3.count() == n1
+
+    # chunked union == unchunked extraction (same triples)
+    from turtle_spark.operators.canonicalize import globalize_blank_nodes
+    from turtle_spark.operators.extract import extract_triples, media_triples
+
+    plain = globalize_blank_nodes(
+        extract_triples(docs).unionByName(media_triples(docs))
+    )
+    assert df3.exceptAll(plain).count() == 0
+    assert plain.exceptAll(df3).count() == 0
+
+    # manifest records per-partition lineage
+    rec = manifest.read("extract_chunk_0000")
+    assert rec["status"] == "committed"
+    assert rec["partitions"] == len(rec["partition_lineage"])
+    assert sum(e["rows"] for e in rec["partition_lineage"]) == rec["rows"]

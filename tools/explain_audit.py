@@ -1,0 +1,103 @@
+"""Physical-plan audit: dump ``explain(formatted)`` for the headline
+queries and grep the markers that matter at 100 TB scale.
+
+Checks per query:
+* ``PushedFilters`` / pruned ``ReadSchema`` on parquet scans (predicate
+  pushdown + column pruning actually reached the data source);
+* ``BroadcastHashJoin`` where a dimension table is joined;
+* ``WholeStageCodegen`` spans (expressions stayed JVM-side);
+* shuffle (``Exchange``) count — the operator docstrings promise a
+  specific number; regressions show up here.
+
+Writes ``EXPLAIN.md``.  Run: ``python tools/explain_audit.py [sf_dir]``.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+AUDITED = [
+    "q_lineitem_agg",
+    "q_revenue_by_nation",
+    "q_local_supplier_revenue",
+    "q_promo_revenue",
+    "q_top_orders_per_customer",
+    "q_exact_dedup_docs",
+    "q_ngram_jaccard",
+    "q_asof_purchase_view",
+    "q_interval_signup_clicks",
+    "q_cosine_topk",
+]
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def audit(name: str, plan: str) -> list[str]:
+    notes = []
+    # count operators by their numbered detail headers "(N) OpName" so
+    # the tree rendering doesn't double-count
+    ops = re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, re.M)
+    n_exchanges = sum(1 for o in ops if o == "Exchange")
+    n_broadcast = sum(1 for o in ops if o.startswith("BroadcastHashJoin"))
+    n_python = sum(1 for o in ops if "Python" in o or "Arrow" in o)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    pushed_nonempty = [p for p in pushed if p.strip()]
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # NOTE: whole-stage-codegen ids are assigned after AQE finalizes at
+    # runtime, so they don't appear in the pre-execution formatted plan;
+    # Python/Arrow operator count is the static stand-in ("0" = the
+    # whole query stays JVM-side).
+    notes.append(
+        f"shuffles={n_exchanges}, broadcast_joins={n_broadcast}, "
+        f"python_ops={n_python}, scans={len(schemas)}, "
+        f"scans_with_pushed_filters={len(pushed_nonempty)}"
+    )
+    for s in schemas:
+        n_cols = len([c for c in s.split(",") if ":" in c])
+        notes.append(f"  scan reads {n_cols} cols: {s[:100]}{'...' if len(s) > 100 else ''}")
+    return notes
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entrymod
+    from turtle_spark.session import get_spark
+
+    spark = get_spark(app_name="explain-audit", cores=4, shuffle_partitions=8)
+    qs = entrymod.queries()
+    lines = [
+        "# EXPLAIN — physical-plan audit of headline queries",
+        "",
+        f"Input: `{sf_dir}`.  Regenerate: `python tools/explain_audit.py`.",
+        "",
+        "Summary line per query = shuffle count / broadcast joins /",
+        "whole-stage-codegen stages / parquet scans (+how many scans get",
+        "pushed filters), then the pruned read schema of every scan —",
+        "the things that decide whether the plan survives a 100x",
+        "scale-up.",
+        "",
+    ]
+    for name in AUDITED:
+        df = qs[name](spark, sf_dir)
+        plan = plan_of(df)
+        lines.append(f"## {name}")
+        lines.append("")
+        lines.extend(audit(name, plan))
+        lines.append("")
+        print(f"{name}: {audit(name, plan)[0]}")
+    (REPO / "EXPLAIN.md").write_text("\n".join(lines) + "\n")
+    spark.stop()
+    print("wrote EXPLAIN.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -47,7 +47,7 @@ from turtle_spark.core.sanitize import (
     TYPE_IRI,
     sanitize_token,
 )
-from turtle_spark.core.tokenizer import next_token
+from turtle_spark.core.tokenizer import tokenize_all
 
 _BLANK_RE = re.compile(r"_:.+")
 
@@ -77,7 +77,9 @@ def parse_document(
     """
     result = ParseResult(base=base, prefixes=dict(prefixes) if prefixes else {})
     pending: deque[str] = deque()  # injected tokens (popped blank-node labels)
-    pos = 0
+    toks = tokenize_all(text)  # batch-tokenized up front (regex fast path)
+    ti = 0
+    n_toks = len(toks)
     serial = 0  # frame push-order stamp (replaces the reference's byte offsets)
 
     cur_subject = ""
@@ -92,14 +94,19 @@ def parse_document(
 
     blank_nodes: set[str] = set()
     bn_counter = 0
+    # per-document memo: sanitize_token is pure in (token, base,
+    # prefixes); directives invalidate it (they mutate that context)
+    san_cache: dict[str, tuple[str, str, str, str]] = {}
 
     def next_tok() -> str | None:
-        nonlocal pos
+        nonlocal ti
         if pending:
             return pending.popleft()
-        new_pos, tok = next_token(text, pos)
-        pos = new_pos
-        return tok
+        if ti < n_toks:
+            tok = toks[ti]
+            ti += 1
+            return tok
+        return None
 
     def new_blank_node() -> str:
         nonlocal bn_counter
@@ -113,13 +120,20 @@ def parse_document(
 
     out = result.triples
     while True:
-        token = next_tok()
-        if token is None:
+        # inlined next_tok() — this is the hottest line of the parser
+        if pending:
+            token = pending.popleft()
+        elif ti < n_toks:
+            token = toks[ti]
+            ti += 1
+        else:
             break
         serial += 1
 
-        # prefix directive: consumes the next two raw tokens
-        if token == "@prefix" or token.lower() == "prefix":
+        # prefix directive: consumes the next two raw tokens (length
+        # guard avoids a per-token lower() allocation)
+        tl = len(token)
+        if (tl == 7 and token == "@prefix") or (tl == 6 and token.lower() == "prefix"):
             name = next_tok()
             if name is None:
                 break
@@ -130,14 +144,16 @@ def parse_document(
             if value is None:
                 break
             result.prefixes[name] = value.strip("<>")
+            san_cache.clear()
             continue
 
         # base directive: consumes the next raw token, last-write-wins
-        if token == "@base" or token.lower() == "base":
+        if (tl == 5 and token == "@base") or (tl == 4 and token.lower() == "base"):
             value = next_tok()
             if value is None:
                 break
             result.base = value.strip("<>")
+            san_cache.clear()
             continue
 
         if token == ";":
@@ -176,9 +192,11 @@ def parse_document(
         )
 
         if token != ")" and in_collection:
-            tok, label, datatype, typ = sanitize_token(
-                token, result.base, result.prefixes
-            )
+            cached = san_cache.get(token)
+            if cached is None:
+                cached = sanitize_token(token, result.base, result.prefixes)
+                san_cache[token] = cached
+            tok, label, datatype, typ = cached
             colls[-1][4].append((tok, label, datatype, new_blank_node(), typ))
             continue
 
@@ -195,7 +213,11 @@ def parse_document(
             cur_index, cur_subject, cur_predicate = saved_i, saved_s, saved_p
             continue
 
-        tok, label, datatype, typ = sanitize_token(token, result.base, result.prefixes)
+        cached = san_cache.get(token)
+        if cached is None:
+            cached = sanitize_token(token, result.base, result.prefixes)
+            san_cache[token] = cached
+        tok, label, datatype, typ = cached
 
         # record blank-node labels for collision-avoiding allocation
         if _BLANK_RE.search(tok):

@@ -258,27 +258,31 @@ def sanitize_token(
     """
     label = ""
     datatype = ""
-    typ = TYPE_LITERAL
 
     ci = token.find(":")
     if ci != -1 and token[:ci] in prefixes:
         token = expand_prefix(token, prefixes[token[:ci]])
-        typ = TYPE_IRI
 
-    if token.startswith("<"):
+    c0 = token[0] if token else ""
+    if c0 == "<":
         typ = TYPE_IRI
         token = trim(token)
         token = resolve_iri(token, base)
-    elif token.startswith('"') or token.startswith("-") or _NUMBER_RE.match(token):
+    # `^[-0-9]+` of the reference's number regex is exactly a
+    # first-char test — no regex needed on the hot path
+    elif c0 == '"' or c0 == "-" or ("0" <= c0 <= "9"):
         typ = TYPE_LITERAL
-        di = last_annotation_index(token, "^^")
-        if di != -1:
-            datatype = token[di + 2:]
-            token = token[:di]
-        li = last_annotation_index(token, "@")
-        if li != -1:
-            label = token[li + 1:]
-            token = token[:li]
+        # only quote-delimited tokens can carry annotations; bare
+        # numerics keep ^^/@ embedded (quirk list #1)
+        if c0 == '"':
+            di = last_annotation_index(token, "^^")
+            if di != -1:
+                datatype = token[di + 2:]
+                token = token[:di]
+            li = last_annotation_index(token, "@")
+            if li != -1:
+                label = token[li + 1:]
+                token = token[:li]
     else:
         typ = TYPE_IRI
         if token == "a":

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import re
 from collections.abc import Iterator
+from itertools import chain
 
 KEY_CHARS = frozenset(";,.[]()")
 NUMBER_CHARS = frozenset("Ee-+")
@@ -167,3 +168,87 @@ def tokenize(data: str) -> Iterator[str]:
         if tok is None:
             return
         yield tok
+
+
+# ---------------------------------------------------------------------------
+# Document-level fast path
+# ---------------------------------------------------------------------------
+# One compiled regex consumes the document token-by-token in a single
+# C-level ``findall`` sweep; a total-coverage check detects any
+# character the master pattern cannot explain, and the whole document
+# then falls back to the exact per-char machine above — so the fast
+# path can only ever be faster, never different.  Atomic groups
+# (Python 3.11+) keep the unit loop backtrack-free.
+#
+# Token shapes mirror next_token's observable behavior:
+# * digit-led tokens end hard after a decimal tail ``.1e2^^dt`` (the
+#   reference's number branch, scanner/scan-turtle.go numeric rules) or
+#   require a clean delimiter;
+# * non-digit tokens are unit sequences — safe runs, <iri>s, quoted
+#   literals, and dots followed by a digit (``brick:PM2.5_Sensor``);
+# * ``.`` not followed by a digit is the statement terminator.
+
+_SAFE_CLS = r"""[^\s"'<>;,.\[\]()\\]"""
+_NUM_TAIL = r"""\.[0-9][0-9Ee+\-]*(?:\^[^\s;,.\[\]()]*)?"""
+_DELIM = r"""(?=[\s;,.\[\]()]|$)"""
+_IRI_UNIT = r"""<[^<>\s"'\\]*>|<[^<>\s"'\\]*(?=\s|$)"""
+# Quoted-literal units.  Faithful to the machine's stateful rules:
+# * a quote closes iff NOT immediately preceded by a backslash (single
+#   char lookback — so \\" does NOT close, unlike standard escaping);
+# * newlines are legal inside literals;
+# * any THREE consecutive same-quote chars flip multiline state — even
+#   escaped ones, even counting a previous literal's closing quote —
+#   so each unit (a) refuses to start right after a same-quote char,
+#   (b) refuses triple-runs of the OTHER quote inside its body, and
+#   (c) multiline close refuses a 4th quote; every refused position
+#   makes the master match fail => exact-machine fallback, never a
+#   silent divergence.
+_QL = r"""(?<!")"(?>(?:[^"']+|(?<=\\)"|'(?!''))*)(?<!\\)\""""
+_SQ = r"""(?<!')'(?>(?:[^'"]+|(?<=\\)'|"(?!""))*)(?<!\\)'"""
+_MLQ = r'''(?<!")"""(?!")(?>(?:[^"']+|"(?!"")|'(?!''))*)"""(?!")'''
+_MLSQ = r"""(?<!')'''(?!')(?>(?:[^'"]+|'(?!'')|"(?!""))*)'''(?!')"""
+_QUOTE_UNIT = rf"""{_MLQ}|{_MLSQ}|{_QL}|{_SQ}"""
+# a backslash outside a literal is a plain char whose only effect is
+# making a following quote plain too — consume the pair
+_ESC_UNIT = r"""\\["']|\\"""
+
+# "prefixed" tokens (first char a safe char or '<') keep ANY
+# punctuation that is immediately followed by a digit (the reference's
+# prefixed-name rule, e.g. brick:PM2.5_Sensor); quote-led tokens do
+# not — for them only a decimal tail ".5[e..][^dt]" continues, and it
+# hard-ends the token (the reference's number branch).
+_MASTER = re.compile(
+    rf"""
+    (?P<skip>\s+|\#[^\n]*)
+  | (?P<tok>
+        [;,\[\]()]
+      | \.(?![0-9])
+      | [0-9]{_SAFE_CLS}*{_NUM_TAIL}
+      | [0-9]{_SAFE_CLS}*{_DELIM}
+      | {_NUM_TAIL}
+      | (?![0-9])
+        (?>(?:{_SAFE_CLS}+|{_IRI_UNIT}|{_ESC_UNIT})
+           (?:{_SAFE_CLS}+|{_IRI_UNIT}|{_QUOTE_UNIT}|{_ESC_UNIT}|[.;,\[\]()](?=[0-9]))*)
+        {_DELIM}
+      | (?>(?:{_QUOTE_UNIT})
+           (?:{_SAFE_CLS}+|{_IRI_UNIT}|{_QUOTE_UNIT}|{_ESC_UNIT})*)
+        (?:{_NUM_TAIL}|{_DELIM})
+    )
+    """,
+    re.X,
+)
+
+
+def tokenize_all(data: str) -> list[str]:
+    """All tokens of a document as a list (fast path when possible).
+
+    One C-level ``findall`` sweep; if the matches don't cover every
+    character (stray bracket, unterminated literal, quad-quote run,
+    ...), the whole document falls back to the exact per-char machine —
+    the fast path can only be faster, never different.
+    """
+    parts = _MASTER.findall(data)
+    covered = sum(map(len, chain.from_iterable(parts)))
+    if covered != len(data):
+        return list(tokenize(data))
+    return [b for _, b in parts if b]

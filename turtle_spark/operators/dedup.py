@@ -57,7 +57,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    posting_cap: int = 1000,
+    posting_cap: int | None = 1000,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similar pairs via inverted-index join.
 
@@ -65,6 +66,17 @@ def ngram_jaccard_pairs(
     lists capped at ``posting_cap`` (stop-gram protection) -> self-join
     on gram -> per-pair intersection counts -> Jaccard against per-doc
     gram counts.  One shuffle on gram, one on the pair key.
+
+    The capping window doubles as the plan's materialization point:
+    both self-join branches descend from the SAME windowed exchange, so
+    Spark reuses one shuffle and the (expensive) n-gram explode runs
+    once.  ``posting_cap=None`` skips it — measured 2x SLOWER despite
+    one less shuffle, because each join branch then re-explodes the
+    corpus; keep a cap (it is also the stop-gram skew bound at 100 TB).
+
+    ``hash_grams`` shuffles 8-byte xxhash64 gram keys instead of gram
+    strings (the join/window key shrinks ~3x; a 64-bit collision would
+    need ~2^32 distinct grams to become likely).
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = F.array_distinct(
@@ -73,18 +85,23 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         )
     )
+    gram_key = F.xxhash64("gram_str") if hash_grams else F.col("gram_str")
     doc_grams = (
         docs.where(F.size(words) >= n)
-        .select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("gram_str"))
+        .select("id", gram_key.alias("gram"))
     )
     counts = doc_grams.groupBy("id").agg(F.count("*").alias("n_grams"))
 
-    w = Window.partitionBy("gram").orderBy("id")
-    capped = (
-        doc_grams.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= posting_cap)
-        .drop("_rn")
-    )
+    if posting_cap is None:
+        capped = doc_grams
+    else:
+        w = Window.partitionBy("gram").orderBy("id")
+        capped = (
+            doc_grams.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= posting_cap)
+            .drop("_rn")
+        )
     a = capped.select(F.col("gram"), F.col("id").alias("id1"))
     b = capped.select(F.col("gram"), F.col("id").alias("id2"))
     inter = (

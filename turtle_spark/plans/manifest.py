@@ -94,14 +94,33 @@ class StageManifest:
         writer.parquet(path)
 
         out = spark.read.parquet(path)
-        rows = out.count()
+        from pyspark.sql import functions as F
+
+        # per-partition lineage: one row count per on-disk file — this
+        # is what lets an operator (or a human) audit exactly which
+        # partition of which stage produced what.  Capped so manifests
+        # for million-file stages stay readable; the cap drops detail,
+        # never the stage-level totals.
+        per_file = (
+            out.groupBy(F.input_file_name().alias("file"))
+            .count()
+            .orderBy("file")
+            .collect()
+        )
+        lineage = [
+            {"file": r["file"].rsplit("/", 1)[-1], "rows": r["count"]}
+            for r in per_file[:512]
+        ]
+        rows = sum(r["count"] for r in per_file)
         self._write(
             stage,
             {
                 "stage": stage,
                 "fingerprint": fingerprint,
                 "rows": rows,
-                "partitions": out.rdd.getNumPartitions(),
+                "partitions": len(per_file),
+                "partition_lineage": lineage,
+                "partition_lineage_truncated": len(per_file) > 512,
                 "status": "committed",
                 "metrics": metrics or {},
             },

@@ -42,6 +42,48 @@ class PipelineResult:
     metrics: dict[str, Any] = field(default_factory=dict)
 
 
+def chunked_extract(
+    spark: SparkSession,
+    docs: DataFrame,
+    manifest: StageManifest,
+    input_fingerprint: str,
+    n_chunks: int = 8,
+) -> tuple[DataFrame, list[str]]:
+    """Stage B with PARTITION-level commit granularity.
+
+    The corpus is split into ``n_chunks`` deterministic doc_id-hash
+    chunks; each chunk extracts and commits independently, so a crash
+    after chunk k resumes at chunk k+1 — committed chunks are never
+    re-parsed (the north-rule resume contract at partition rather than
+    stage granularity).  On a cluster the chunk jobs would be submitted
+    concurrently; the loop here is the sandbox rendering of the same
+    commit protocol.
+    """
+    from pyspark.sql import functions as F
+
+    from turtle_spark.operators.extract import TRIPLES_SCHEMA  # noqa: F401
+
+    resumed: list[str] = []
+    parts: list[DataFrame] = []
+    for k in range(n_chunks):
+        chunk = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(n_chunks)) == k)
+        df, was_resumed = manifest.load_or_compute(
+            spark,
+            f"extract_chunk_{k:04d}",
+            f"{input_fingerprint}#chunk={k}/{n_chunks}",
+            lambda c=chunk: globalize_blank_nodes(
+                extract_triples(c).unionByName(media_triples(c))
+            ),
+        )
+        if was_resumed:
+            resumed.append(f"extract_chunk_{k:04d}")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, resumed
+
+
 def run_pipeline(
     spark: SparkSession,
     docs: DataFrame,
@@ -50,6 +92,7 @@ def run_pipeline(
     n_buckets: int = DEFAULT_BUCKETS,
     link_threshold: float = linking.DEFAULT_JACCARD,
     bucket_cap: int = linking.DEFAULT_BUCKET_CAP,
+    extract_chunks: int | None = None,
 ) -> PipelineResult:
     """Run (or resume) the full pipeline over a docs table.
 
@@ -71,13 +114,22 @@ def run_pipeline(
         metrics[name] = {"rows": rec["rows"]} if rec else {}
         return df
 
-    # B: extraction — text spans through the parser, media spans JVM-side
-    triples = stage(
-        "extract",
-        lambda: globalize_blank_nodes(
-            extract_triples(docs).unionByName(media_triples(docs))
-        ),
-    )
+    # B: extraction — text spans through the parser, media spans JVM-side.
+    # With extract_chunks set, commit granularity drops from stage to
+    # doc_id-hash partition (resume skips committed chunks).
+    if extract_chunks:
+        triples, chunk_resumed = chunked_extract(
+            spark, docs, manifest, input_fingerprint, n_chunks=extract_chunks
+        )
+        resumed.extend(chunk_resumed)
+        metrics["extract"] = {"chunks": extract_chunks, "resumed_chunks": len(chunk_resumed)}
+    else:
+        triples = stage(
+            "extract",
+            lambda: globalize_blank_nodes(
+                extract_triples(docs).unionByName(media_triples(docs))
+            ),
+        )
 
     # C: linking over distinct mention terms
     terms = stage(
