@@ -820,6 +820,50 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serializer through the driver contract: extract fixture docs and
+    render sorted compact-Turtle subject blocks (applyInPandas); returns
+    deterministic block statistics (roundtrip parity itself is pinned by
+    tests/test_serializer.py + test_pipeline.py)."""
+    from turtle_spark.operators.extract import extract_triples
+    from turtle_spark.operators.serialize import subject_blocks
+    from turtle_spark.sources.corpus import fixture_docs
+
+    triples = extract_triples(fixture_docs(spark))
+    blocks = subject_blocks(triples.drop("doc_id", "seq"))
+    return (
+        blocks.select(
+            F.substring("subject", 1, 1).alias("subject_initial"),
+            F.length("block").alias("block_len"),
+        )
+        .groupBy("subject_initial")
+        .agg(
+            F.count("*").alias("n_subjects"),
+            F.sum("block_len").alias("total_bytes"),
+        )
+        .orderBy("subject_initial")
+    )
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages C+D over document near-duplicates: MinHash-LSH edges ->
+    connected components -> cluster size histogram."""
+    from turtle_spark.operators.cc import connected_components
+    from turtle_spark.operators.dedup import minhash_near_duplicates
+
+    edges = minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.5, shingle_k=5
+    )
+    comps = connected_components(edges.select("src", "dst"))
+    return (
+        comps.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core
@@ -857,6 +901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk": _q_ivf_topk,
         "q_media_features": _q_media_features,
         "q_frame_sample": _q_frame_sample,
+        "q_serialize_roundtrip": _q_serialize_roundtrip,
+        "q_dedup_clusters": _q_dedup_clusters,
     }
 
 
