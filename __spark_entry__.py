@@ -149,18 +149,20 @@ LIMIT 100
 """
 
 
-def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_customers_without_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no event activity (non-empty at every
+    SF — the events table has ~10x fewer users than customers)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
     return (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        c.join(ev, c["c_custkey"] == ev["user_id"], "left_anti")
         .select("c_custkey", "c_name")
     )
 
 
-_SQL_CUSTOMERS_WITHOUT_ORDERS = """
+_SQL_CUSTOMERS_WITHOUT_EVENTS = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
 """
 
 
@@ -346,17 +348,20 @@ def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return cosine_pairs(e, threshold=0.8)
+    return cosine_pairs(e, threshold=0.35)
 
 
+# filter on the ROUNDED cosine (as the Spark side does) so a value that
+# rounds up across the threshold can't split the two engines
 _SQL_COSINE_PAIRS = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT a.vec_id AS id1, b.vec_id AS id2,
-       ROUND(list_inner_product(a.v, b.v)
-             / (SQRT(list_inner_product(a.v, a.v)) * SQRT(list_inner_product(b.v, b.v))), 6) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_inner_product(a.v, b.v)
-      / (SQRT(list_inner_product(a.v, a.v)) * SQRT(list_inner_product(b.v, b.v))) >= 0.8
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         ROUND(list_inner_product(a.v, b.v)
+               / (SQRT(list_inner_product(a.v, a.v)) * SQRT(list_inner_product(b.v, b.v))), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id1, id2, cosine FROM s WHERE cosine >= 0.35
 """
 
 
@@ -871,7 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_revenue_by_nation": _q_revenue_by_nation,
         "q_top_orders_per_customer": _q_top_orders_per_customer,
         "q_top_lineitems": _q_top_lineitems,
-        "q_customers_without_orders": _q_customers_without_orders,
+        "q_customers_without_events": _q_customers_without_events,
         "q_events_daily": _q_events_daily,
         "q_sessionize": _q_sessionize,
         "q_set_ops": _q_set_ops,
@@ -912,7 +917,7 @@ def oracle_sql() -> dict[str, str]:
         "q_revenue_by_nation": _SQL_REVENUE_BY_NATION,
         "q_top_orders_per_customer": _SQL_TOP_ORDERS_PER_CUSTOMER,
         "q_top_lineitems": _SQL_TOP_LINEITEMS,
-        "q_customers_without_orders": _SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "q_customers_without_events": _SQL_CUSTOMERS_WITHOUT_EVENTS,
         "q_events_daily": _SQL_EVENTS_DAILY,
         "q_sessionize": _SQL_SESSIONIZE,
         "q_set_ops": _SQL_SET_OPS,
