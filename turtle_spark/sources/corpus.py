@@ -73,9 +73,28 @@ _WORDS = (
 ).split()
 
 
+def _load_fixture_cases() -> dict:
+    """Load the golden fixture corpus; works from a source checkout and
+    from inside a ``--py-files`` zip (driver side of spark-submit)."""
+    try:
+        with open(_FIXTURES_PATH) as f:
+            return json.load(f)
+    except OSError:
+        # running from turtle_spark.zip: split the path at the archive
+        parts = pathlib.Path(__file__).parts
+        for i, part in enumerate(parts):
+            if part.endswith(".zip"):
+                import zipfile
+
+                archive = pathlib.Path(*parts[: i + 1])
+                with zipfile.ZipFile(archive) as z:
+                    with z.open("tests/fixtures/scan_fixtures.json") as f:
+                        return json.load(f)
+        raise
+
+
 def fixture_texts() -> list[str]:
-    with open(_FIXTURES_PATH) as f:
-        cases = json.load(f)
+    cases = _load_fixture_cases()
     return [cases[name]["turtle"] for name in sorted(cases)]
 
 
@@ -193,8 +212,7 @@ def fixture_docs(spark: SparkSession) -> DataFrame:
     ``doc_id`` is the fixture name, so Spark-side extraction output can
     be compared per document against the golden triple arrays.
     """
-    with open(_FIXTURES_PATH) as f:
-        cases = json.load(f)
+    cases = _load_fixture_cases()
     rows = [
         (
             name,
