@@ -1,0 +1,55 @@
+"""Salted / two-path skew joins must equal the plain join on skewed data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from turtle_spark.operators.skew import salted_join, skew_hint_join, top_keys
+
+
+def _skewed(spark):
+    # key 0 is hot (500 rows), keys 1..20 are cold
+    left = spark.range(0, 520).select(
+        F.when(F.col("id") < 500, F.lit(0)).otherwise(F.col("id") - 499).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(0, 21)] + [(0, "r0b")], "k long, rv string"
+    )
+    return left, right
+
+
+def _key(rows):
+    return sorted((r["k"], r["lv"], r["rv"]) for r in rows)
+
+
+def test_salted_join_equals_plain_inner(spark):
+    left, right = _skewed(spark)
+    plain = left.join(right, ["k"]).collect()
+    salted = salted_join(left, right, ["k"], n_salts=4).collect()
+    assert _key(salted) == _key(plain)
+    assert len(plain) == 500 * 2 + 20  # hot key matches both right rows
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    left, right = _skewed(spark)
+    left_plus = left.unionByName(
+        spark.createDataFrame([(99, 9999)], "k long, lv long")
+    )
+    plain = left_plus.join(right, ["k"], "left").collect()
+    salted = salted_join(left_plus, right, ["k"], n_salts=4, how="left").collect()
+    norm = lambda rows: sorted((r["k"], r["lv"], r["rv"]) for r in rows)
+    assert norm(salted) == norm(plain)
+
+
+def test_top_keys_detects_hot(spark):
+    left, _ = _skewed(spark)
+    hot = {r["k"] for r in top_keys(left, ["k"], min_count=100).collect()}
+    assert hot == {0}
+
+
+def test_skew_hint_join_equals_plain(spark):
+    left, right = _skewed(spark)
+    plain = left.join(right, ["k"]).collect()
+    hinted = skew_hint_join(left, right, ["k"], hot_threshold=100, n_salts=4).collect()
+    assert _key(hinted) == _key(plain)

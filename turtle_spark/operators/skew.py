@@ -1,0 +1,93 @@
+"""Explicit skew controls for hot-key shuffles.
+
+AQE's skew-join splitting only rescues sort-merge joins after the fact;
+when a key's row count is pathological by construction (stop-words,
+null-ish defaults, celebrity entities), the plan should bound it up
+front.  Two tools:
+
+* ``salted_join`` — equi-join where the LEFT side's hot keys are
+  sharded across ``n_salts`` sub-keys and the RIGHT side is replicated
+  ``n_salts``x.  The shuffle key becomes (key, salt), so one hot key
+  spreads over ``n_salts`` reducers.  Right-side replication costs
+  |right| x n_salts rows — use when right is the smaller (but not
+  broadcastable) side.
+* ``top_keys`` — heavy-hitter detection by approximate count, for
+  salting ONLY the hot keys (two-path join: salted hot + plain cold).
+
+Result equality with a plain join is pinned by tests on skewed data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with left-side salting and right-side replication.
+
+    Supports ``inner`` and ``left`` joins (semantics where replicating
+    the right side is sound).  Columns out = left's then right's
+    non-key columns, like ``left.join(right, on)``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*on, F.monotonically_increasing_id()), F.lit(n_salts))
+    lhs = left.withColumn("_salt", salt.cast("int"))
+    rhs = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    )
+    return lhs.join(rhs, [*on, "_salt"], how).drop("_salt")
+
+
+def top_keys(
+    df: DataFrame, on: list[str], min_count: int, rsd: float = 0.05
+) -> DataFrame:
+    """Keys whose row count exceeds ``min_count`` (exact count over a
+    single partial-aggregated shuffle — cheap because the map-side
+    combine collapses each partition to one row per key)."""
+    return (
+        df.groupBy(*on)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select(*on)
+    )
+
+
+def skew_hint_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    hot_threshold: int = 100_000,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-path inner join: salt only the detected hot keys.
+
+    Cold keys take the ordinary shuffle join; hot keys are salted.
+    The union preserves plain-join semantics while bounding every
+    reducer at ~|hot key| / n_salts.
+    """
+    hot = F.broadcast(top_keys(left, on, hot_threshold).withColumn("_hot", F.lit(True)))
+    l_tagged = left.join(hot, on, "left").withColumn(
+        "_is_hot", F.coalesce(F.col("_hot"), F.lit(False))
+    ).drop("_hot")
+    r_tagged = right.join(hot, on, "left").withColumn(
+        "_is_hot", F.coalesce(F.col("_hot"), F.lit(False))
+    ).drop("_hot")
+
+    cold = l_tagged.where(~F.col("_is_hot")).drop("_is_hot").join(
+        r_tagged.where(~F.col("_is_hot")).drop("_is_hot"), on
+    )
+    hot_join = salted_join(
+        l_tagged.where(F.col("_is_hot")).drop("_is_hot"),
+        r_tagged.where(F.col("_is_hot")).drop("_is_hot"),
+        on,
+        n_salts=n_salts,
+    )
+    return cold.unionByName(hot_join)
