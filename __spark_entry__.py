@@ -724,6 +724,36 @@ FROM s
 """
 
 
+def _q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join whose result must EQUAL the plain join —
+    the oracle runs the unsalted SQL, so the salting is proven
+    semantics-preserving at oracle scale."""
+    from turtle_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")).alias("disc"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, on=["orderkey"], n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("price") * F.col("disc")), 2).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_SQL_SALTED_JOIN_REVENUE = """
+SELECT o_orderpriority,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # -- non-SQL-expressible operators (rows-only driver check) ------------------
 
 def _q_kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -888,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal joins
         "q_asof_purchase_view": _q_asof_purchase_view,
         "q_interval_signup_clicks": _q_interval_signup_clicks,
+        "q_salted_join_revenue": _q_salted_join_revenue,
         # training-data ops
         "q_exact_dedup_docs": _q_exact_dedup_docs,
         "q_doc_stats": _q_doc_stats,
@@ -935,5 +966,6 @@ def oracle_sql() -> dict[str, str]:
         "q_event_percentiles": _SQL_EVENT_PERCENTILES,
         "q_asof_purchase_view": _SQL_ASOF_PURCHASE_VIEW,
         "q_interval_signup_clicks": _SQL_INTERVAL_SIGNUP_CLICKS,
+        "q_salted_join_revenue": _SQL_SALTED_JOIN_REVENUE,
         "q_quality_score": _SQL_QUALITY_SCORE,
     }

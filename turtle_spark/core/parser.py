@@ -49,7 +49,8 @@ from turtle_spark.core.sanitize import (
 )
 from turtle_spark.core.tokenizer import tokenize_all
 
-_BLANK_RE = re.compile(r"_:.+")
+_BLANK_RE = re.compile(r"_:.+")  # the reference's unanchored blank-label test
+_PUNCT1 = frozenset(";,.[](")  # ')' is handled after the collection check
 
 #: slot order of an annotated triple
 Triple = tuple[str, str, str, str, str, str]
@@ -156,35 +157,29 @@ def parse_document(
             san_cache.clear()
             continue
 
-        if token == ";":
-            cur_index = 1
-            continue
-        if token == ",":
-            cur_index = 2
-            continue
-        if token == ".":
-            cur_index = 0
-            continue
-
-        if token == "[":
-            bn = new_blank_node()
-            bn_lists.append((serial, cur_subject, cur_predicate, cur_index, bn))
-            cur_subject = bn
-            cur_index = 1
-            continue
-
-        if token == "]":
-            if not bn_lists:
-                continue
-            _, saved_s, saved_p, saved_i, bn = bn_lists.pop()
-            # the popped label is re-consumed as an ordinary token in the
-            # restored outer context (subject or object position)
-            pending.appendleft(bn)
-            cur_subject, cur_predicate, cur_index = saved_s, saved_p, saved_i
-            continue
-
-        if token == "(":
-            colls.append((serial, cur_index, cur_subject, cur_predicate, []))
+        # single length check gates all six punctuation handlers — the
+        # typical token is multi-char and skips this entire block
+        if tl == 1 and token in _PUNCT1:
+            if token == ";":
+                cur_index = 1
+            elif token == ",":
+                cur_index = 2
+            elif token == ".":
+                cur_index = 0
+            elif token == "[":
+                bn = new_blank_node()
+                bn_lists.append((serial, cur_subject, cur_predicate, cur_index, bn))
+                cur_subject = bn
+                cur_index = 1
+            elif token == "]":
+                if bn_lists:
+                    _, saved_s, saved_p, saved_i, bn = bn_lists.pop()
+                    # the popped label is re-consumed as an ordinary token
+                    # in the restored outer context (subject or object)
+                    pending.appendleft(bn)
+                    cur_subject, cur_predicate, cur_index = saved_s, saved_p, saved_i
+            else:  # "("
+                colls.append((serial, cur_index, cur_subject, cur_predicate, []))
             continue
 
         in_collection = bool(colls) and (
@@ -220,7 +215,9 @@ def parse_document(
         tok, label, datatype, typ = cached
 
         # record blank-node labels for collision-avoiding allocation
-        if _BLANK_RE.search(tok):
+        # (find+length == the reference's unanchored `_:.+` regex)
+        bi = tok.find("_:")
+        if bi != -1 and bi + 2 < len(tok):
             blank_nodes.add(tok)
 
         if cur_index == 0:
