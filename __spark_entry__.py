@@ -754,6 +754,87 @@ GROUP BY o_orderpriority
 """
 
 
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: JSON props field extracted and
+    aggregated (get_json_object stays JVM-side)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("k_sum"),
+            F.min(k).alias("k_min"),
+            F.max(k).alias("k_max"),
+            F.count_distinct(k).alias("k_distinct"),
+        )
+    )
+
+
+_SQL_JSON_PROPS = """
+SELECT event_type,
+       SUM(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+       MIN(CAST(props->>'$.k' AS BIGINT)) AS k_min,
+       MAX(CAST(props->>'$.k' AS BIGINT)) AS k_max,
+       COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS k_distinct
+FROM events
+GROUP BY event_type
+"""
+
+
+def _q_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (melt) of part measure columns."""
+    p = _t(spark, sf_dir, "part")
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn("value", F.round(F.col("value").cast("double"), 2))
+
+
+_SQL_UNPIVOT_PART = """
+SELECT p_partkey, measure, ROUND(CAST(value AS DOUBLE), 2) AS value
+FROM (
+  SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+)
+"""
+
+
+def _q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation: order counts and exact
+    decimal revenue per priority, one column per order status."""
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    out = o.groupBy("o_orderpriority")
+    aggs = []
+    for st, tag in (("O", "open"), ("F", "finished"), ("P", "partial")):
+        aggs.append(
+            F.count(F.when(F.col("o_orderstatus") == st, 1)).alias(f"n_{tag}")
+        )
+        aggs.append(
+            F.round(F.sum(F.when(F.col("o_orderstatus") == st, dec).otherwise(zero)), 2)
+            .cast("double")
+            .alias(f"rev_{tag}")
+        )
+    return out.agg(*aggs)
+
+
+_SQL_STATUS_PIVOT = """
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+       CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS rev_open,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+       CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS rev_finished,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_partial,
+       CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS rev_partial
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 # -- non-SQL-expressible operators (rows-only driver check) ------------------
 
 def _q_kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -919,6 +1000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_purchase_view": _q_asof_purchase_view,
         "q_interval_signup_clicks": _q_interval_signup_clicks,
         "q_salted_join_revenue": _q_salted_join_revenue,
+        "q_json_props": _q_json_props,
+        "q_unpivot_part": _q_unpivot_part,
+        "q_status_pivot": _q_status_pivot,
         # training-data ops
         "q_exact_dedup_docs": _q_exact_dedup_docs,
         "q_doc_stats": _q_doc_stats,
@@ -967,5 +1051,8 @@ def oracle_sql() -> dict[str, str]:
         "q_asof_purchase_view": _SQL_ASOF_PURCHASE_VIEW,
         "q_interval_signup_clicks": _SQL_INTERVAL_SIGNUP_CLICKS,
         "q_salted_join_revenue": _SQL_SALTED_JOIN_REVENUE,
+        "q_json_props": _SQL_JSON_PROPS,
+        "q_unpivot_part": _SQL_UNPIVOT_PART,
+        "q_status_pivot": _SQL_STATUS_PIVOT,
         "q_quality_score": _SQL_QUALITY_SCORE,
     }
