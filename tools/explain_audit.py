@@ -32,6 +32,9 @@ AUDITED = [
     "q_asof_purchase_view",
     "q_interval_signup_clicks",
     "q_cosine_topk",
+    "q_salted_join_revenue",
+    "q_json_props",
+    "q_revenue_rollup",
 ]
 
 
