@@ -273,16 +273,26 @@ def sanitize_token(
     elif c0 == '"' or c0 == "-" or ("0" <= c0 <= "9"):
         typ = TYPE_LITERAL
         # only quote-delimited tokens can carry annotations; bare
-        # numerics keep ^^/@ embedded (quirk list #1)
+        # numerics keep ^^/@ embedded (quirk list #1).  The delimiter
+        # is resolved once (the reference re-scans per annotation kind,
+        # scanner/sanitize.go:166-186 — same observable result).
         if c0 == '"':
-            di = last_annotation_index(token, "^^")
-            if di != -1:
-                datatype = token[di + 2:]
-                token = token[:di]
-            li = last_annotation_index(token, "@")
-            if li != -1:
-                label = token[li + 1:]
-                token = token[:li]
+            last_delim = 0
+            if token.startswith('"""'):
+                last_delim = token.rfind('"""')
+            if last_delim == 0:
+                # reference fallthrough: an unclosed ''\"\"\"'' retries
+                # with the single-quote delimiter pair
+                last_delim = token.rfind('"')
+            if last_delim != 0:
+                di = token.rfind("^^")
+                if di >= last_delim:
+                    datatype = token[di + 2:]
+                    token = token[:di]
+                li = token.rfind("@")
+                if li >= last_delim and li != -1:
+                    label = token[li + 1:]
+                    token = token[:li]
     else:
         typ = TYPE_IRI
         if token == "a":
