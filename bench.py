@@ -87,12 +87,13 @@ def _one_extraction_run(cores: int, n_docs: int) -> dict:
 
     spark = _fresh_spark(cores)
     try:
-        # fine-grained partitions (12 per slot): document parse cost is
-        # skewed, and the measured straggler tax at 3/slot was ~30% —
-        # same reasoning as maxPartitionBytes tuning at cluster scale
+        # 4 partitions per slot: measured sweet spot between straggler
+        # smoothing (too few) and per-task Python-worker handshake
+        # overhead (too many) — same reasoning as maxPartitionBytes
+        # tuning at cluster scale
         docs = (
             spark.read.parquet(_corpus_path(n_docs))
-            .repartition(cores * 12)
+            .repartition(cores * 4)
             .persist()
         )
         docs.count()

@@ -44,6 +44,11 @@ def get_spark(
         # Python call, so bigger batches amortize the JVM<->Python hop
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # single-node/local: data is always "local", so any locality
+        # wait is pure scheduling latency (measured ~15% on the
+        # extraction stage).  On a cluster with HDFS-style locality,
+        # raise this back via extra_conf.
+        .config("spark.locality.wait", "0s")
         # sized for local[32]: 32 concurrent tasks allocate fast; an
         # undersized heap turns the extraction stage into a GC storm
         # (measured 5x slowdown at 8g)
