@@ -772,7 +772,7 @@ def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_JSON_PROPS = """
 SELECT event_type,
-       SUM(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
        MIN(CAST(props->>'$.k' AS BIGINT)) AS k_min,
        MAX(CAST(props->>'$.k' AS BIGINT)) AS k_max,
        COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS k_distinct

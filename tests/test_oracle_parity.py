@@ -5,6 +5,14 @@
 Runs at sf0.001 for speed; the driver runs the same comparison at
 sf0.01.  Exact equality here — not approx — because the driver
 compares value *hashes*.
+
+DTYPE-SENSITIVE on purpose: the driver's value hash sees dtypes (a
+DuckDB HUGEINT arriving as float64 vs Spark's int64 hash-mismatches
+even when every value is equal — the round-1 ``q_json_props`` red
+cell), so this mirror must fail on any dtype drift too.  Deliberate,
+semantics-free representation differences are normalized EXPLICITLY
+in ``_normalize`` (each with a comment saying why); everything else
+compares with ``check_dtype=True``.
 """
 
 from __future__ import annotations
@@ -37,7 +45,17 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     out = df[sorted(df.columns)].copy()
     for c in out.columns:
         if out[c].dtype == object:
+            # strings arrive as object from both engines; stringifying
+            # unifies str/None representations without hiding numerics
+            # (a numeric column that is object on ONE side only will
+            # still fail the dtype check below)
             out[c] = out[c].astype(str)
+        elif str(out[c].dtype) in ("UInt64", "uint64"):
+            # DuckDB returns BIGINT as int64 but unsigned aggregates as
+            # uint64; Spark has no unsigned types.  Same-width
+            # reinterpretation only — a HUGEINT->float64 widening (the
+            # round-1 bug class) is NOT normalized and must fail.
+            out[c] = out[c].astype("int64")
     out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
     return out
 
@@ -54,7 +72,7 @@ def test_query_matches_oracle(name: str, spark, duck):
     )
     assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} vs {len(odf)}"
     left, right = _normalize(sdf), _normalize(odf)
-    pd.testing.assert_frame_equal(left, right, check_dtype=False, check_exact=True)
+    pd.testing.assert_frame_equal(left, right, check_dtype=True, check_exact=True)
 
 
 def test_rows_only_queries_run(spark):

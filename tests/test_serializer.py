@@ -217,3 +217,33 @@ def test_roundtrip_untyped_content(name: str) -> None:
     text = serialize_triples([t[:3] for t in first], annotated=False)
     second = parse_triples(text)
     assert _canon(second) == _canon(first)
+
+
+# --- marshal.go:105-116 required-field errors -------------------------------
+
+def test_required_field_errors() -> None:
+    """Empty subject/predicate/object raise, checked in that order
+    (marshal_test.go:233-256 no_subject/-predicate/-object fixtures)."""
+    import pytest as _pytest
+
+    from turtle_spark.core.serializer import (
+        NoObjectError,
+        NoPredicateError,
+        NoSubjectError,
+    )
+
+    with _pytest.raises(NoSubjectError):
+        GraphBuffer().accept("", "http://e/p", "o")
+    with _pytest.raises(NoPredicateError):
+        GraphBuffer().accept("http://e/s", "", "o")
+    with _pytest.raises(NoObjectError):
+        GraphBuffer().accept_annotated("http://e/s", "http://e/p", "")
+    # subject outranks predicate outranks object when several are empty
+    with _pytest.raises(NoSubjectError):
+        GraphBuffer().accept("", "", "")
+    with _pytest.raises(NoPredicateError):
+        GraphBuffer().accept("s", "", "")
+    # a valid triple still renders
+    g = GraphBuffer()
+    g.accept("a", "b", "c")
+    assert g.render() == '<a> <b> "c" .\n'

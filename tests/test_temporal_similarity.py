@@ -158,3 +158,25 @@ def test_quality_score_ground_truth(spark):
     assert rows[2]["score"] < rows[1]["score"]
     # doc 3: empty text -> defined (no division blowups)
     assert rows[3]["score"] is not None
+
+
+def test_asof_join_null_fields_not_mixed(spark):
+    """The matched right row travels whole: a NULL column in the most
+    recent right row must stay NULL in the output, never backfilled
+    from an older right row (which would fabricate a row that never
+    existed)."""
+    left = spark.createDataFrame(
+        [("k", _ts("2024-01-01 10:10:00"), 1)],
+        "sym string, ts timestamp, trade_id int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", _ts("2024-01-01 10:00:00"), 1, 2),
+            ("k", _ts("2024-01-01 10:05:00"), None, 3),
+        ],
+        "sym string, ts timestamp, a int, b int",
+    )
+    out = asof_join(left, right, on=["sym"], left_ts="ts", right_ts="ts",
+                    right_cols=["a", "b"]).collect()
+    assert len(out) == 1
+    assert out[0]["a"] is None and out[0]["b"] == 3

@@ -30,8 +30,25 @@ from turtle_spark.core.sanitize import (
 )
 
 
+class NoSubjectError(ValueError):
+    """Triple accepted with an empty subject (marshal.go:14-15)."""
+
+
+class NoPredicateError(ValueError):
+    """Triple accepted with an empty predicate (marshal.go:16-17)."""
+
+
+class NoObjectError(ValueError):
+    """Triple accepted with an empty object (marshal.go:18-19)."""
+
+
 class GraphBuffer:
-    """Triple consumer with dedup + sorted compact Turtle output."""
+    """Triple consumer with dedup + sorted compact Turtle output.
+
+    Required-field validation matches the reference's Marshal errors
+    (marshal.go:105-116, fixtures marshal_test.go:233-256): an empty
+    subject, predicate, or object raises — checked in that order.
+    """
 
     def __init__(self, base: str = "", prefixes: dict[str, str] | None = None):
         self.base = base
@@ -55,6 +72,12 @@ class GraphBuffer:
         self._accept(subject, predicate, (obj, objecttype, datatype, label))
 
     def _accept(self, sub: str, pred: str, obj: tuple[str, str, str, str]) -> None:
+        if not sub:
+            raise NoSubjectError("no subject specified in triple")
+        if not pred:
+            raise NoPredicateError("no predicate specified in triple")
+        if not obj[0]:
+            raise NoObjectError("no object specified in triple")
         objects = self._m.setdefault(sub, {}).setdefault(pred, [])
         if obj not in objects:
             objects.append(obj)

@@ -163,6 +163,7 @@ def train_ivf_centroids(
     iters: int = 8,
     seed: int = 13,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """K-means centroids from a bounded seeded sample (driver-side numpy).
 
@@ -170,11 +171,20 @@ def train_ivf_centroids(
     at 100 TB this is still one small collect; Lloyd iterations run on
     a few-MB matrix.  Vectors are L2-normalized so Euclidean k-means
     clusters by cosine direction.
+
+    The sample is DETERMINISTIC: rows are taken in xxhash64(id) order
+    (a seeded pseudo-random but repartition-stable order), so the
+    centroids — and hence ivf_topk results at partial probe — are
+    stable across runs and partitionings.  A bare ``limit`` would
+    sample whichever partitions respond first.
     """
     sample = np.stack(
         [
             np.asarray(r[0], dtype=np.float32)
-            for r in embeddings.select(vec_col).limit(sample_rows).collect()
+            for r in embeddings.select(vec_col, F.col(id_col).alias("_id"))
+            .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
+            .limit(sample_rows)
+            .collect()
         ]
     )
     sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
@@ -234,7 +244,7 @@ def ivf_topk(
     The scale path when both sides are large: the join is equi on
     ``cluster``, so each query touches n_probe/n_centroids of the
     corpus; recall tested against ``cosine_topk`` at small scale."""
-    cents = train_ivf_centroids(embeddings, n_centroids, vec_col=vec_col)
+    cents = train_ivf_centroids(embeddings, n_centroids, vec_col=vec_col, id_col=id_col)
     corpus = ivf_assign(embeddings, cents, n_probe=1, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), "cluster"
     )

@@ -38,7 +38,15 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt = F.pmod(F.xxhash64(*on, F.monotonically_increasing_id()), F.lit(n_salts))
+    # the salt hashes ALL left columns, never a nondeterministic id:
+    # monotonically_increasing_id changes across task retries when the
+    # upstream partition order isn't stable, and a fetch-failure retry
+    # would then re-salt rows into different partitions (the SPARK-23207
+    # class of silent row loss/duplication).  Hashing the full row is
+    # deterministic under retries; a hot key still fans out across
+    # salts as long as any non-key column varies (identical full rows
+    # collapse to one salt, which only costs balance, never rows).
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     lhs = left.withColumn("_salt", salt.cast("int"))
     rhs = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))

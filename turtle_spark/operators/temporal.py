@@ -51,19 +51,28 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in on and c != right_ts]
     out_names = {c: c + suffix for c in right_cols}
 
+    # the matched right row travels as ONE struct, filled by ONE
+    # last(ignorenulls) window call — filling each column independently
+    # would mix values from different right rows whenever the most
+    # recent right row has NULL in some column (a row that never
+    # existed); a NULL field inside the matched struct stays NULL
+    from pyspark.sql import types as T
+
+    l_struct = T.StructType([T.StructField(c, left.schema[c].dataType) for c in left.columns])
+    r_struct = T.StructType([T.StructField(c, right.schema[c].dataType) for c in right_cols])
     lhs = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.struct(*[c for c in left.columns]).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(r_struct).alias("_r"),
     )
     rhs = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(lhs.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(l_struct).alias("_l"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
     )
     # one shuffle on the key; right rows sort before left rows at equal
     # timestamps so a right row AT the left timestamp is visible
@@ -74,17 +83,13 @@ def asof_join(
     )
     unioned = lhs.unionByName(rhs)
     filled = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in right_cols
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_f")
     )
     return (
         filled.where(F.col("_side") == 1)
         .select(
             F.col("_l.*"),
-            *[F.col(f"_f_{c}").alias(out_names[c]) for c in right_cols],
+            *[F.col(f"_f.{c}").alias(out_names[c]) for c in right_cols],
         )
     )
 

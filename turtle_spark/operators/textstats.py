@@ -48,9 +48,9 @@ def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     n_punct = F.length(c) - F.length(F.regexp_replace(c, _PUNCT_CLASS, ""))
     return docs.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
+        n_chars.cast("long").alias("n_chars"),
         n_words.cast("long").alias("n_words"),
-        n_punct.alias("n_punct"),
+        n_punct.cast("long").alias("n_punct"),
         F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
         F.round(
             n_chars / F.greatest(n_words.cast("double"), F.lit(1.0)), 6

@@ -98,29 +98,32 @@ class StageManifest:
 
         # per-partition lineage: one row count per on-disk file — this
         # is what lets an operator (or a human) audit exactly which
-        # partition of which stage produced what.  Capped so manifests
-        # for million-file stages stay readable; the cap drops detail,
+        # partition of which stage produced what.  The COLLECT itself is
+        # capped (limit 513, not a post-collect slice): a million-file
+        # stage must not pull a million rows through the driver at every
+        # commit.  Totals come from a separate one-row aggregate over
+        # the same grouped exchange, so the cap drops lineage detail,
         # never the stage-level totals.
-        per_file = (
-            out.groupBy(F.input_file_name().alias("file"))
-            .count()
-            .orderBy("file")
-            .collect()
-        )
+        per_file = out.groupBy(F.input_file_name().alias("file")).count()
+        totals = per_file.agg(
+            F.sum("count").alias("rows"), F.count("*").alias("files")
+        ).collect()[0]
+        head = per_file.orderBy("file").limit(513).collect()
         lineage = [
             {"file": r["file"].rsplit("/", 1)[-1], "rows": r["count"]}
-            for r in per_file[:512]
+            for r in head[:512]
         ]
-        rows = sum(r["count"] for r in per_file)
+        rows = int(totals["rows"] or 0)
+        n_files = int(totals["files"])
         self._write(
             stage,
             {
                 "stage": stage,
                 "fingerprint": fingerprint,
                 "rows": rows,
-                "partitions": len(per_file),
+                "partitions": n_files,
                 "partition_lineage": lineage,
-                "partition_lineage_truncated": len(per_file) > 512,
+                "partition_lineage_truncated": len(head) > 512,
                 "status": "committed",
                 "metrics": metrics or {},
             },
