@@ -13,6 +13,8 @@ so Spark and DuckDB produce hash-identical results.
 
 from __future__ import annotations
 
+import json
+import pathlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -980,6 +982,62 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# golden oracles for the non-SQL-expressible queries
+#
+# The sketch/ANN/corpus queries cannot be phrased as portable DuckDB
+# SQL, but every one is DETERMINISTIC (seeded corpus, seeded
+# hyperplanes/permutations/centroids, fixed input tables).  Their
+# oracles are golden result sets computed by an independent Spark-free
+# reference implementation (tools/golden_ref.py: pure-Python loops +
+# classic union-find vs the engine's Arrow UDFs, capped window
+# self-joins, and distributed large-star/small-star CC), materialized
+# by tools/make_goldens.py and rendered here as VALUES literals with
+# explicit casts so DuckDB reproduces Spark's dtypes bit-for-bit.
+# --------------------------------------------------------------------------
+
+_GOLDEN_ROOT = pathlib.Path(__file__).resolve().parent / "tests" / "goldens"
+# scale-independent: computed from the seeded generator corpus
+_CORPUS_GOLDENS = frozenset(
+    {"q_kg_extract", "q_serialize_roundtrip", "q_media_features", "q_frame_sample"}
+)
+# per-SF: computed from the documents/embeddings parquet of that SF
+_SF_GOLDENS = frozenset(
+    {
+        "q_minhash_dedup_docs", "q_simhash_dedup_docs", "q_doc_fingerprints",
+        "q_lsh_topk", "q_ivf_topk", "q_dedup_clusters",
+    }
+)
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        # QUOTED: a bare decimal literal lands in DuckDB as DECIMAL and
+        # the DECIMAL->DOUBLE cast is not correctly rounded (observed
+        # 1-ulp drift); VARCHAR->DOUBLE parses the shortest-repr string
+        # with correct rounding, reproducing the float64 bit-for-bit
+        return "'" + repr(v) + "'"
+    return str(v)
+
+
+def _golden_sql(name: str, sf_tag: str) -> str:
+    sub = "corpus" if name in _CORPUS_GOLDENS else sf_tag
+    spec = json.loads((_GOLDEN_ROOT / sub / f"{name}.json").read_text())
+    cols, types, rows = spec["columns"], spec["duck_types"], spec["rows"]
+    values = ",\n".join(
+        "(" + ", ".join(_sql_literal(v) for v in row) + ")" for row in rows
+    )
+    select = ", ".join(
+        f'CAST(c{i} AS {types[c]}) AS "{c}"' for i, c in enumerate(cols)
+    )
+    slots = ", ".join(f"c{i}" for i in range(len(cols)))
+    return f"SELECT {select} FROM (VALUES\n{values}\n) AS t({slots})"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core
@@ -1026,8 +1084,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
-    return {
+def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
+    """DuckDB oracle SQL per query.
+
+    ``golden_sf`` selects which SF's golden result sets back the
+    non-SQL-expressible queries; the driver's cross-check runs at
+    sf=0.01 (the default), the local pytest mirror passes "sf0.001".
+    """
+    goldens = {
+        name: _golden_sql(name, golden_sf)
+        for name in (*_CORPUS_GOLDENS, *_SF_GOLDENS)
+    }
+    return goldens | {
         "q_lineitem_agg": _SQL_LINEITEM_AGG,
         "q_revenue_by_nation": _SQL_REVENUE_BY_NATION,
         "q_top_orders_per_customer": _SQL_TOP_ORDERS_PER_CUSTOMER,

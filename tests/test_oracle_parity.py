@@ -60,13 +60,15 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-ORACLE_KEYS = sorted(entrymod.oracle_sql())
+# the mirror runs at sf0.001, so golden-backed oracles load that SF's
+# golden result sets (the driver uses the sf0.01 default)
+ORACLE_KEYS = sorted(entrymod.oracle_sql(golden_sf="sf0.001"))
 
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_query_matches_oracle(name: str, spark, duck):
     sdf = entrymod.queries()[name](spark, SF_DIR).toPandas()
-    odf = duck.execute(entrymod.oracle_sql()[name]).df()
+    odf = duck.execute(entrymod.oracle_sql(golden_sf="sf0.001")[name]).df()
     assert sorted(sdf.columns) == sorted(odf.columns), (
         f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(odf.columns)}"
     )
@@ -89,3 +91,25 @@ def test_entry_smoke(spark):
     n = df.count()
     assert n > 0
     assert {"doc_id", "seq", "subject", "predicate", "object", "subject_hash"} <= set(df.columns)
+
+
+def test_golden_xxh64_matches_spark(spark):
+    """tools.golden_ref.xxh64_str must be byte-compatible with Spark's
+    xxhash64 on strings — every golden oracle that replicates an
+    engine-side xxhash64 key depends on it."""
+    from pyspark.sql import functions as F
+
+    from tools.golden_ref import xxh64_str
+
+    samples = [
+        "", "a", "doc-000000000", "media://doc-000000017/1", "17",
+        "x" * 7, "y" * 8, "z" * 31, "w" * 32, "q" * 100, "Человек-паук",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    for row in df.select("s", F.xxhash64("s").alias("h")).collect():
+        assert row["h"] == xxh64_str(row["s"]), repr(row["s"])
+
+
+def test_all_queries_have_oracles():
+    """Round-2 bar: every queries() entry carries an oracle row."""
+    assert set(entrymod.queries()) == set(entrymod.oracle_sql())

@@ -1,0 +1,584 @@
+"""Spark-free reference implementations for the golden oracles.
+
+Each ``ref_q_*`` function recomputes one of the driver queries that no
+plain-SQL DuckDB oracle can express (sketches, LSH/IVF, the KG-extract
+corpus path) using ONLY numpy / pandas / the pure-Python parse core —
+no SparkSession anywhere.  ``tools/make_goldens.py`` materializes the
+results as JSON goldens that ``__spark_entry__.oracle_sql()`` renders
+into ``VALUES`` literals for the driver's DuckDB cross-check.
+
+Why this is a meaningful oracle: the Spark queries run the same
+*algorithms* (they must, to be comparable bit-for-bit) but through a
+completely different execution path — Arrow batches, shuffles,
+window-capped self-joins, distributed large-star/small-star connected
+components vs. this module's single-threaded loops and a classic
+union-find.  What the comparison pins down is everything Spark-side:
+span assembly, UDF batching, join/dedup/window semantics, aggregation,
+and ordering.  The parse core itself is pinned independently by the 42
+reference goldens (scanner/scanner_test.go:11-1417).
+
+Determinism notes mirrored from the operators:
+* ``xxh64_str`` is the public XXH64 spec at seed 42 — byte-compatible
+  with Spark's ``xxhash64`` on strings (cross-checked by pytest);
+* float reductions replicate Spark's fold order: ``F.aggregate`` is a
+  strict left fold, so dot products/norms here are sequential Python
+  loops over float64, never ``np.sum`` (pairwise summation rounds
+  differently);
+* ``spark_round`` is HALF_UP on the shortest-repr decimal — the
+  semantics of both Spark's ``F.round`` and DuckDB's ``ROUND``.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import struct
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# XXH64 (public spec, seed 42 = Spark's xxhash64)
+# --------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round64(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _M64
+    return (_rotl(acc, 31) * _P1) & _M64
+
+
+def _merge_round(acc: int, val: int) -> int:
+    acc ^= _round64(0, val)
+    return (acc * _P1 + _P4) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 over ``data``; returns Spark's signed-int64 value."""
+    n = len(data)
+    pos = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while pos + 32 <= n:
+            a, b, c, d = struct.unpack_from("<QQQQ", data, pos)
+            v1, v2, v3, v4 = (
+                _round64(v1, a), _round64(v2, b), _round64(v3, c), _round64(v4, d)
+            )
+            pos += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = _merge_round(h, v)
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while pos + 8 <= n:
+        (k1,) = struct.unpack_from("<Q", data, pos)
+        h ^= _round64(0, k1)
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        pos += 8
+    if pos + 4 <= n:
+        (k1,) = struct.unpack_from("<I", data, pos)
+        h ^= (k1 * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        pos += 4
+    while pos < n:
+        h ^= (data[pos] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        pos += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxh64_str(s: str, seed: int = 42) -> int:
+    return xxh64(s.encode("utf-8"), seed)
+
+
+def pmod(x: int, m: int) -> int:
+    return x % m if x % m >= 0 else x % m + m  # Python % already floors; kept explicit
+
+
+# --------------------------------------------------------------------------
+# numeric semantics shared with the Spark operators
+# --------------------------------------------------------------------------
+
+def spark_round(x: float, digits: int) -> float:
+    """HALF_UP round on shortest-repr decimal (Spark F.round / DuckDB ROUND)."""
+    if x is None or math.isnan(x) or math.isinf(x):
+        return x
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def seq_dot(a, b) -> float:
+    """Left-fold dot product — F.aggregate(zip_with(...)) order."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def seq_norm(a) -> float:
+    acc = 0.0
+    for x in a:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+# --------------------------------------------------------------------------
+# sketch primitives (sequential re-statements of functions/hashing.py spec)
+# --------------------------------------------------------------------------
+
+_M61 = (1 << 61) - 1
+_SHINGLE_BASE = 1_000_003
+_GOLDEN = 0x9E3779B97F4A7C15
+
+
+def char_shingles(text: str, k: int) -> np.ndarray:
+    """Distinct k-byte polynomial shingle hashes (uint64 wraparound)."""
+    data = text.encode("utf-8", "ignore")
+    n = len(data) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    out = set()
+    powers = [pow(_SHINGLE_BASE, j, 1 << 64) for j in range(k)]
+    for i in range(n):
+        h = 0
+        for j in range(k):
+            h = (h + data[i + j] * powers[j]) & _M64
+        out.add(h)
+    return np.array(sorted(out), dtype=np.uint64)
+
+
+def fnv1a64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for byte in s.encode("utf-8", "ignore"):
+        h = ((h ^ byte) * 0x100000001B3) & _M64
+    return h
+
+
+def minhash_perm_coeffs(num_perm: int, seed: int = 7):
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, _M61, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rs.randint(0, _M61, size=num_perm, dtype=np.uint64)
+    return [int(x) for x in a], [int(x) for x in b]
+
+
+def minhash_sig(shingles: np.ndarray, a: list[int], b: list[int]) -> list[int]:
+    if shingles.size == 0:
+        return [_M61] * len(a)
+    xs = [int(s) % _M61 for s in shingles]
+    return [min((ai * x + bi) % _M61 for x in xs) for ai, bi in zip(a, b)]
+
+
+def band_fold(signature: list[int], bands: int) -> list[int]:
+    rows = len(signature) // bands
+    out = []
+    for b in range(bands):
+        h = 1469598103934665603
+        for v in signature[b * rows : (b + 1) * rows]:
+            h = ((h ^ (v & _M64)) * 1099511628211) & _M64
+        out.append(int((h ^ ((b * _GOLDEN) & _M64)) & 0x7FFFFFFFFFFFFFFF))
+    return out
+
+
+def simhash64(text: str) -> int:
+    words = text.split()
+    if not words:
+        return 0
+    sums = [0] * 64
+    for w in words:
+        h = fnv1a64(w)
+        for i in range(64):
+            sums[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(64):
+        if sums[i] > 0:
+            out |= 1 << i
+    return out & 0x7FFFFFFFFFFFFFFF
+
+
+def rolling_fingerprint(text: str, window: int = 64) -> int:
+    k = min(window, max(len(text), 1))
+    h = char_shingles(text, k)
+    if h.size == 0:
+        return fnv1a64(text)
+    return int(int(h.min()) & 0x7FFFFFFFFFFFFFFF)
+
+
+def jaccard_shingles(x: str, y: str, k: int) -> float:
+    hx = set(int(v) for v in char_shingles(x, k))
+    hy = set(int(v) for v in char_shingles(y, k))
+    union = len(hx | hy)
+    return (len(hx & hy) / union) if union else 1.0
+
+
+# --------------------------------------------------------------------------
+# corpus + parse helpers (pure Python)
+# --------------------------------------------------------------------------
+
+def _corpus_docs(n_docs: int, seed: int = 42):
+    """(doc_id, spans) rows exactly as generate_docs emits them."""
+    from turtle_spark.sources.corpus import build_doc, fixture_texts
+
+    fixtures = fixture_texts()
+    return [build_doc(i, seed, fixtures) for i in range(n_docs)]
+
+
+def _fixture_docs():
+    from turtle_spark.sources.corpus import _load_fixture_cases
+
+    cases = _load_fixture_cases()
+    return [
+        (name, [("text", cases[name]["turtle"], "", 0)]) for name in sorted(cases)
+    ]
+
+
+def _assemble(spans) -> str:
+    ordered = sorted(spans, key=lambda s: s[3])
+    return "\n".join(s[1] for s in ordered if s[0] == "text")
+
+
+DOC_IRI_PREFIX = "http://turtle-spark.dev/doc/"
+HAS_MEDIA = "http://turtle-spark.dev/ns#hasMedia"
+
+
+def _extract_all(docs) -> list[tuple]:
+    """(doc_id, seq, s, p, o, label, datatype, objecttype) rows incl.
+    media triples, blank nodes globalized."""
+    from turtle_spark.core.parser import parse_document
+
+    rows = []
+    for doc_id, spans in docs:
+        triples = parse_document(_assemble(spans)).triples
+        for seq, t in enumerate(triples):
+            s, p, o, label, datatype, otype = t
+            if s.startswith("_:"):
+                s = f"_:{doc_id}#{s[2:]}"
+            if otype == "iri" and o.startswith("_:"):
+                o = f"_:{doc_id}#{o[2:]}"
+            rows.append((doc_id, seq, s, p, o, label, datatype, otype))
+        for kind, _text, ref, _off in spans:
+            if kind == "media":
+                rows.append(
+                    (doc_id, -1, DOC_IRI_PREFIX + doc_id, HAS_MEDIA, ref, "", "", "iri")
+                )
+    return rows
+
+
+# --------------------------------------------------------------------------
+# the ten reference queries
+# --------------------------------------------------------------------------
+
+def ref_q_kg_extract() -> tuple[list[str], list[tuple]]:
+    docs = _corpus_docs(200) + _fixture_docs()
+    rows = _extract_all(docs)
+    by_type: dict[str, tuple[int, set]] = {}
+    for r in rows:
+        n, subs = by_type.setdefault(r[7], (0, set()))
+        by_type[r[7]] = (n + 1, subs)
+        subs.add(r[2])
+    out = [(t, n, len(subs)) for t, (n, subs) in sorted(by_type.items())]
+    return ["objecttype", "n_triples", "n_subjects"], out
+
+
+def ref_q_serialize_roundtrip() -> tuple[list[str], list[tuple]]:
+    from turtle_spark.core.parser import parse_document
+    from turtle_spark.core.serializer import GraphBuffer
+
+    seen = set()
+    by_subject: dict[str, list] = {}
+    for name, spans in _fixture_docs():
+        for t in parse_document(_assemble(spans)).triples:
+            key = tuple(t)
+            if key in seen:
+                continue
+            seen.add(key)
+            by_subject.setdefault(t[0], []).append(t)
+    agg: dict[str, tuple[int, int]] = {}
+    for subject, triples in by_subject.items():
+        g = GraphBuffer()
+        for s, p, o, label, datatype, otype in triples:
+            g.accept_annotated(s, p, o, label, datatype, otype)
+        block = g.render(include_pragmas=False)
+        initial = subject[0]
+        n, total = agg.get(initial, (0, 0))
+        agg[initial] = (n + 1, total + len(block))
+    out = [(i, n, total) for i, (n, total) in sorted(agg.items())]
+    return ["subject_initial", "n_subjects", "total_bytes"], out
+
+
+def _minhash_edges(documents) -> list[tuple[int, int, float]]:
+    """(src, dst, jaccard) — dedup.minhash_near_duplicates semantics:
+    threshold 0.5, shingle_k 5, 128 perms, 32 bands, bucket cap 200."""
+    a, b = minhash_perm_coeffs(128, seed=7)
+    terms = [(xxh64_str(str(doc_id)), text) for doc_id, text in documents]
+    terms = {tid: text for tid, text in terms}  # dropDuplicates(term_id)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for tid, text in terms.items():
+        sig = minhash_sig(char_shingles(text or "", 5), a, b)
+        for band_index, band_hash in enumerate(band_fold(sig, 32)):
+            buckets.setdefault((band_index, band_hash), []).append(tid)
+    pairs = set()
+    for members in buckets.values():
+        members = sorted(members)[:200]  # deterministic bucket cap
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    out = []
+    for src, dst in sorted(pairs):
+        jac = jaccard_shingles(terms[src] or "", terms[dst] or "", 5)
+        if jac >= 0.5:
+            out.append((src, dst, jac))
+    return out
+
+
+def _read_documents(sf_dir: str):
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    return list(zip(d["doc_id"].tolist(), d["text"].tolist()))
+
+
+def ref_q_minhash_dedup_docs(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    return ["src", "dst", "jaccard"], _minhash_edges(_read_documents(sf_dir))
+
+
+def ref_q_simhash_dedup_docs(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    docs = _read_documents(sf_dir)
+    hashes = {doc_id: simhash64(text or "") for doc_id, text in docs}
+    buckets: dict[tuple[int, int], list] = {}
+    for doc_id, h in hashes.items():
+        for band in range(4):
+            chunk = (h >> (band * 16)) & 0xFFFF
+            buckets.setdefault((band, chunk), []).append(doc_id)
+    pairs = set()
+    for members in buckets.values():
+        for i in range(len(members)):
+            for j in range(len(members)):
+                if members[i] < members[j]:
+                    pairs.add((members[i], members[j]))
+    out = []
+    for id1, id2 in sorted(pairs):
+        ham = bin(hashes[id1] ^ hashes[id2]).count("1")
+        if ham <= 6:
+            out.append((id1, id2, ham))
+    return ["id1", "id2", "hamming"], out
+
+
+def ref_q_doc_fingerprints(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    docs = _read_documents(sf_dir)
+    out = [
+        (doc_id, rolling_fingerprint(text or ""), simhash64(text or ""))
+        for doc_id, text in docs
+    ]
+    return ["doc_id", "fingerprint", "simhash"], out
+
+
+def _read_embeddings(sf_dir: str):
+    import pandas as pd
+
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # the Spark queries cast array<float> -> array<double> up front
+    return [
+        (int(vid), np.asarray(vec, dtype=np.float32).astype(np.float64))
+        for vid, vec in zip(e["vec_id"].tolist(), e["embedding"].tolist())
+    ]
+
+
+def _topk_rerank(cands: dict[int, set[int]], vecs: dict[int, np.ndarray], k: int):
+    """Exact cosine re-rank + per-query top-k (cosine desc, id asc)."""
+    out = []
+    for qid in sorted(cands):
+        scored = []
+        for nid in cands[qid]:
+            cos = spark_round(
+                seq_dot(vecs[nid], vecs[qid]) / (seq_norm(vecs[nid]) * seq_norm(vecs[qid])),
+                6,
+            )
+            scored.append((-cos, nid))
+        scored.sort()
+        for rank, (negcos, nid) in enumerate(scored[:k], start=1):
+            out.append((qid, nid, -negcos, rank))
+    return out
+
+
+def ref_q_lsh_topk(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    emb = _read_embeddings(sf_dir)
+    vecs = dict(emb)
+    dim = len(emb[0][1])
+    queries = [vid for vid, _ in emb if vid < 3]
+    cands: dict[int, set[int]] = {q: set() for q in queries}
+    for t in range(8):  # n_tables=8, n_bits=4, seeds 13..20
+        planes = np.random.RandomState(13 + t).standard_normal((4, dim)).astype(np.float32)
+        p64 = planes.astype(np.float64)
+        weights = [1 << i for i in range(4)]
+
+        def bucket(v) -> int:
+            proj = p64 @ v
+            return sum(w for w, p in zip(weights, proj) if p > 0)
+
+        table: dict[int, list[int]] = {}
+        for vid, v in emb:
+            table.setdefault(bucket(v), []).append(vid)
+        for q in queries:
+            for vid in table.get(bucket(vecs[q]), []):
+                if vid != q:
+                    cands[q].add(vid)
+    return ["query_id", "neighbor_id", "cosine", "rank"], _topk_rerank(cands, vecs, 5)
+
+
+def ref_q_ivf_topk(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    emb = _read_embeddings(sf_dir)
+    vecs = dict(emb)
+    queries = [vid for vid, _ in emb if vid < 3]
+    # deterministic sample: (xxhash64(str(id)), id) order, cap 4096
+    ordered = sorted(emb, key=lambda t: (xxh64_str(str(t[0])), t[0]))[:4096]
+    sample = np.stack([v for _, v in ordered]).astype(np.float32)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rs = np.random.RandomState(13)
+    n_centroids = 8
+    centroids = sample[rs.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(8):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+    cents64 = centroids.astype(np.float64)
+
+    def probe(v, n_probe: int) -> list[int]:
+        x = v / max(float(np.linalg.norm(v)), 1e-12)
+        sims = cents64 @ x
+        return list(np.argsort(-sims)[:n_probe])
+
+    cells: dict[int, list[int]] = {}
+    for vid, v in emb:
+        cells.setdefault(probe(v, 1)[0], []).append(vid)
+    cands: dict[int, set[int]] = {}
+    for q in queries:
+        s = set()
+        for c in probe(vecs[q], 4):
+            s.update(cells.get(c, []))
+        s.discard(q)
+        cands[q] = s
+    return ["query_id", "neighbor_id", "cosine", "rank"], _topk_rerank(cands, vecs, 5)
+
+
+def _corpus_media(n_docs: int = 200, seed: int = 42):
+    """(media_ref, doc_id, media_type, payload, duration_ms) rows."""
+    out = []
+    for doc_id, spans in _corpus_docs(n_docs, seed):
+        for kind, _text, ref, _off in spans:
+            if kind != "media":
+                continue
+            h = xxh64_str(ref)
+            mtype = ("image", "audio", "video")[h % 3]
+            out.append(
+                (ref, doc_id, mtype, ("payload:" + ref).encode(), h % 600000 + 1)
+            )
+    return out
+
+
+def ref_q_media_features() -> tuple[list[str], list[tuple]]:
+    agg: dict[str, tuple[int, int, list[float]]] = {}
+    for ref, _doc, mtype, payload, _dur in _corpus_media():
+        data = np.frombuffer(payload or b"\0", dtype=np.uint8).astype(np.float32)
+        idx = np.arange(data.size) % 16
+        vec = np.zeros(16, dtype=np.float32)
+        np.add.at(vec, idx, data)
+        norm = float(np.linalg.norm(vec)) or 1.0
+        f0 = float(np.float32(vec[0] / norm))
+        n, total, f0s = agg.setdefault(mtype, (0, 0, []))
+        agg[mtype] = (n + 1, total + len(payload), f0s)
+        f0s.append(spark_round(f0, 4))
+    out = [
+        (t, n, total, spark_round(math.fsum(f0s), 4))
+        for t, (n, total, f0s) in sorted(agg.items())
+    ]
+    return ["media_type", "n_media", "total_bytes", "f0_sum"], out
+
+
+def ref_q_frame_sample() -> tuple[list[str], list[tuple]]:
+    out = []
+    for ref, _doc, mtype, _payload, dur in sorted(_corpus_media()):
+        if mtype != "video":
+            continue
+        n_frames = dur // 1000 + 1  # sequence(0, dur, 1000) inclusive
+        out.append((ref, n_frames, (dur // 1000) * 1000))
+    return ["media_ref", "n_frames", "last_ts_ms"], out
+
+
+def ref_q_dedup_clusters(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    edges = _minhash_edges(_read_documents(sf_dir))
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for src, dst, _ in edges:
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            parent[ra] = rb
+    sizes: dict[int, int] = {}
+    for node in list(parent):
+        root = find(node)
+        sizes[root] = sizes.get(root, 0) + 1
+    hist: dict[int, int] = {}
+    for s in sizes.values():
+        hist[s] = hist.get(s, 0) + 1
+    return ["cluster_size", "n_clusters"], sorted(hist.items())
+
+
+SF_QUERIES = {
+    "q_minhash_dedup_docs": ref_q_minhash_dedup_docs,
+    "q_simhash_dedup_docs": ref_q_simhash_dedup_docs,
+    "q_doc_fingerprints": ref_q_doc_fingerprints,
+    "q_lsh_topk": ref_q_lsh_topk,
+    "q_ivf_topk": ref_q_ivf_topk,
+    "q_dedup_clusters": ref_q_dedup_clusters,
+}
+
+CORPUS_QUERIES = {
+    "q_kg_extract": ref_q_kg_extract,
+    "q_serialize_roundtrip": ref_q_serialize_roundtrip,
+    "q_media_features": ref_q_media_features,
+    "q_frame_sample": ref_q_frame_sample,
+}
+
+# DuckDB column types per query — chosen to land in pandas with the
+# exact dtype the Spark query produces (the driver's hash sees dtypes)
+DUCK_TYPES = {
+    "q_kg_extract": {"objecttype": "VARCHAR", "n_triples": "BIGINT", "n_subjects": "BIGINT"},
+    "q_serialize_roundtrip": {"subject_initial": "VARCHAR", "n_subjects": "BIGINT", "total_bytes": "BIGINT"},
+    "q_minhash_dedup_docs": {"src": "BIGINT", "dst": "BIGINT", "jaccard": "DOUBLE"},
+    "q_simhash_dedup_docs": {"id1": "BIGINT", "id2": "BIGINT", "hamming": "INTEGER"},
+    "q_doc_fingerprints": {"doc_id": "BIGINT", "fingerprint": "BIGINT", "simhash": "BIGINT"},
+    "q_lsh_topk": {"query_id": "BIGINT", "neighbor_id": "BIGINT", "cosine": "DOUBLE", "rank": "INTEGER"},
+    "q_ivf_topk": {"query_id": "BIGINT", "neighbor_id": "BIGINT", "cosine": "DOUBLE", "rank": "INTEGER"},
+    "q_media_features": {"media_type": "VARCHAR", "n_media": "BIGINT", "total_bytes": "BIGINT", "f0_sum": "DOUBLE"},
+    "q_frame_sample": {"media_ref": "VARCHAR", "n_frames": "BIGINT", "last_ts_ms": "INTEGER"},
+    "q_dedup_clusters": {"cluster_size": "BIGINT", "n_clusters": "BIGINT"},
+}

@@ -100,11 +100,14 @@ def lsh_signatures(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane sign signature as a single long bucket key."""
-    planes = _hyperplanes(dim, n_bits, seed)
+    # float64 projections: the sign decision must not depend on Arrow
+    # batch shape (float32 GEMM blocking can flip near-zero signs), so
+    # buckets are reproducible across partitionings and parallelism
+    planes = _hyperplanes(dim, n_bits, seed).astype(np.float64)
 
     @pandas_udf(T.LongType())
     def sig_udf(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float32)))
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         bits = (mat @ planes.T) > 0  # (n, n_bits)
         weights = (1 << np.arange(n_bits, dtype=np.int64))
         return pd.Series(bits @ weights)
@@ -213,11 +216,14 @@ def ivf_assign(
 
     One vectorized matmul per Arrow batch; centroids ride along in the
     UDF closure (broadcast once per executor)."""
-    cents = centroids.astype(np.float32)
+    # float64 assignment for batch-shape independence (same reasoning
+    # as lsh_signatures); centroid TRAINING stays float32 — it runs
+    # once, driver-side, on a fixed-order sample
+    cents = centroids.astype(np.float64)
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def assign_udf(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float32)))
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = mat @ cents.T  # (n, n_centroids)
         top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
