@@ -367,6 +367,25 @@ SELECT id1, id2, cosine FROM s WHERE cosine >= 0.35
 """
 
 
+def _q_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for exact-pair mining: LSH bucket equi-join gate,
+    exact cosine re-rank — must produce the SAME rows as the brute
+    force all-pairs join (the oracle runs the brute-force SQL).  At
+    threshold 0.35 the gate needs coarse buckets: (2 bits, 32 tables)
+    puts the worst-pair miss probability at ~3e-7."""
+    from turtle_spark.operators.similarity import cosine_pairs_lsh
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dim = len(e.select("embedding").first()[0])
+    return cosine_pairs_lsh(e, dim=dim, threshold=0.35, n_bits=2, n_tables=32)
+
+
+# the LSH gate must reproduce brute force exactly -> same oracle SQL
+_SQL_COSINE_PAIRS_LSH = _SQL_COSINE_PAIRS
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from turtle_spark.operators.sessions import sessionize
 
@@ -1069,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_cosine_topk": _q_cosine_topk,
         "q_cosine_pairs": _q_cosine_pairs,
+        "q_cosine_pairs_lsh": _q_cosine_pairs_lsh,
         "q_quality_score": _q_quality_score,
         # non-SQL-expressible (rows-only checks)
         "q_kg_extract": _q_kg_extract,
@@ -1111,6 +1131,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "q_cosine_topk": _SQL_COSINE_TOPK,
         "q_cosine_pairs": _SQL_COSINE_PAIRS,
+        "q_cosine_pairs_lsh": _SQL_COSINE_PAIRS_LSH,
         "q_revenue_rollup": _SQL_REVENUE_ROLLUP,
         "q_promo_revenue": _SQL_PROMO_REVENUE,
         "q_shipping_priority": _SQL_SHIPPING_PRIORITY,

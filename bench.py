@@ -41,7 +41,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_SMALL = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "2"))
 SCALE_BIG = SCALE_SMALL * 4
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
-BENCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+# 5 interleaved trials per level: this host throttles in multi-minute
+# bursts that per-trial steal% does NOT always reveal (observed a
+# 0.1%-steal trial 2x slower than a 3.7%-steal one), so the only
+# robust defense is sampling enough windows that each level catches a
+# clean one; best-of-trials per level is the measurement
+BENCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
 CORPUS_ROOT = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/turtle_spark_bench")
 
 HEADLINE = [

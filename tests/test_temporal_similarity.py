@@ -180,3 +180,24 @@ def test_asof_join_null_fields_not_mixed(spark):
                     right_cols=["a", "b"]).collect()
     assert len(out) == 1
     assert out[0]["a"] is None and out[0]["b"] == 3
+
+
+def test_cosine_pairs_lsh_equals_brute_force(spark):
+    """The LSH-gated exact-pair path must reproduce the brute-force
+    all-pairs join row-for-row at the query's (2 bits, 32 tables)
+    settings, and its plan must be an equi-join (no
+    BroadcastNestedLoopJoin)."""
+    from turtle_spark.operators.similarity import cosine_pairs, cosine_pairs_lsh
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    dim = len(e.select("embedding").first()[0])
+    gated = cosine_pairs_lsh(e, dim=dim, threshold=0.35, n_bits=2, n_tables=32)
+    brute = cosine_pairs(e, threshold=0.35)
+    got = {(r.id1, r.id2): r.cosine for r in gated.collect()}
+    want = {(r.id1, r.id2): r.cosine for r in brute.collect()}
+    assert got == want
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -193,3 +193,25 @@ def test_frame_sampling(spark):
     durations = {r.media_ref: r.meta.duration_ms for r in vids.collect()}
     for r in per_ref:
         assert r["count"] == durations[r.media_ref] // 60000 + 1
+
+
+def test_multimodal_decoder_injection(spark):
+    """The decode seam is a real injection point: a custom decoder
+    flows through the identical Spark plumbing (schema, Arrow batches,
+    partitioning) as the stub."""
+    import numpy as np
+
+    docs = generate_docs(spark, 40, seed=21)
+    media = synthesize_media_table(docs)
+
+    def fake_real_decoder(payload, media_type, dim):
+        # stands in for PIL/torchaudio/pyav: type-dependent, content-derived
+        base = float(len(payload or b"")) + (10.0 if media_type == "video" else 0.0)
+        return np.full(dim, base, dtype=np.float32)
+
+    feats = decode_features(media, dim=8, decoder=fake_real_decoder).collect()
+    assert len(feats) == media.count()
+    for r in feats:
+        expect = len(r.media_ref) + len("payload:") + (10.0 if r.media_type == "video" else 0.0)
+        assert r.features == [expect] * 8
+        assert r.n_bytes == len("payload:") + len(r.media_ref)

@@ -35,6 +35,7 @@ AUDITED = [
     "q_salted_join_revenue",
     "q_json_props",
     "q_revenue_rollup",
+    "q_cosine_pairs_lsh",
 ]
 
 

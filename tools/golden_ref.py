@@ -218,7 +218,7 @@ def rolling_fingerprint(text: str, window: int = 64) -> int:
     k = min(window, max(len(text), 1))
     h = char_shingles(text, k)
     if h.size == 0:
-        return fnv1a64(text)
+        return fnv1a64(text) & 0x7FFFFFFFFFFFFFFF  # int64-masked, as the engine
     return int(int(h.min()) & 0x7FFFFFFFFFFFFFFF)
 
 

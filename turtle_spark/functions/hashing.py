@@ -104,6 +104,170 @@ def band_hashes(signature: np.ndarray, bands: int) -> list[int]:
     return out
 
 
+# --------------------------------------------------------------------------
+# Across-row batch variants — bitwise-identical to the per-row
+# functions above (same uint64-wrapping arithmetic, same fold orders),
+# but one numpy pass per Arrow BATCH instead of per document.  These
+# are what the pandas UDFs call; the per-row forms remain the readable
+# reference implementations and the differential-test anchors.
+# --------------------------------------------------------------------------
+
+
+def fnv1a64_batch(words: list[bytes]) -> np.ndarray:
+    """FNV-1a of every byte string, vectorized column-wise.
+
+    One masked numpy pass per byte POSITION (≈ max word length
+    iterations) instead of one Python loop iteration per byte."""
+    n = len(words)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, w in enumerate(words):
+        if w:
+            buf[i, : len(w)] = np.frombuffer(w, dtype=np.uint8)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            h[active] = (h[active] ^ buf[active, j].astype(np.uint64)) * prime
+    return h
+
+
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """``simhash64`` for a whole batch; int64 output, empty text -> 0."""
+    word_lists = [t.split() for t in texts]
+    counts = np.fromiter((len(ws) for ws in word_lists), dtype=np.int64, count=len(texts))
+    out = np.zeros(len(texts), dtype=np.int64)
+    nz = np.flatnonzero(counts > 0)
+    if nz.size == 0:
+        return out
+    all_words = [w.encode("utf-8", "ignore") for i in nz for w in word_lists[i]]
+    hashes = fnv1a64_batch(all_words)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    contrib = 2 * bits - 1
+    nz_counts = counts[nz]
+    offsets = np.concatenate(([0], np.cumsum(nz_counts)[:-1]))
+    sums = np.add.reduceat(contrib, offsets, axis=0)  # (len(nz), 64)
+    pos = (sums > 0).astype(np.uint64)
+    weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+    vals = (pos * weights).sum(axis=1) & np.uint64(0x7FFFFFFFFFFFFFFF)
+    out[nz] = vals.astype(np.int64)
+    return out
+
+
+def char_shingle_hashes_batch(texts: list[str], k: int) -> list[np.ndarray]:
+    """``char_shingle_hashes`` for a whole batch.
+
+    All documents' bytes are concatenated, the polynomial window hash
+    runs ONCE over the concatenation (chunked to bound memory), and
+    windows crossing document boundaries are discarded by offset."""
+    datas = [t.encode("utf-8", "ignore") for t in texts]
+    lens = [len(d) for d in datas]
+    total = sum(lens)
+    if total == 0:
+        return [np.empty(0, dtype=np.uint64) for _ in texts]
+    buf = np.frombuffer(b"".join(datas), dtype=np.uint8)
+    powers = np.power(
+        np.uint64(_SHINGLE_BASE), np.arange(k, dtype=np.uint64), dtype=np.uint64
+    )
+    n_windows = max(buf.size - k + 1, 0)
+    hashes = np.empty(n_windows, dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(buf, k) if n_windows else None
+    CHUNK = 1 << 20  # 8 MB of uint64 per chunk keeps transients bounded
+    with np.errstate(over="ignore"):
+        for s in range(0, n_windows, CHUNK):
+            e = min(s + CHUNK, n_windows)
+            hashes[s:e] = (windows[s:e].astype(np.uint64) * powers).sum(axis=1)
+    out = []
+    pos = 0
+    for length in lens:
+        n = length - k + 1
+        if n <= 0:
+            out.append(np.empty(0, dtype=np.uint64))
+        else:
+            out.append(np.unique(hashes[pos : pos + n]))
+        pos += length
+    return out
+
+
+def minhash_signatures_batch(
+    shingle_sets: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """``minhash_signature`` for a whole batch: (n_docs, num_perm) int64.
+
+    Documents' shingles are concatenated and the permutation matrix is
+    evaluated in doc-aligned chunks; per-doc minima come from
+    ``np.minimum.reduceat`` — the same wrapped-uint64 arithmetic as the
+    per-row form, so outputs are bitwise identical."""
+    num_perm = a.size
+    n = len(shingle_sets)
+    out = np.full((n, num_perm), MERSENNE61, dtype=np.int64)
+    sizes = np.fromiter((s.size for s in shingle_sets), dtype=np.int64, count=n)
+    nz = np.flatnonzero(sizes > 0)
+    if nz.size == 0:
+        return out
+    CHUNK = 1 << 18  # ≤ num_perm x 256k uint64 transient per chunk
+    i = 0
+    while i < nz.size:
+        j, tot = i, 0
+        while j < nz.size and (j == i or tot + sizes[nz[j]] <= CHUNK):
+            tot += sizes[nz[j]]
+            j += 1
+        docs = nz[i:j]
+        xs = np.concatenate([shingle_sets[d] for d in docs]).astype(np.uint64)
+        xs = xs % np.uint64(MERSENNE61)
+        with np.errstate(over="ignore"):
+            vals = (a[:, None] * xs[None, :] + b[:, None]) % np.uint64(MERSENNE61)
+        offsets = np.concatenate(([0], np.cumsum(sizes[docs])[:-1]))
+        mins = np.minimum.reduceat(vals, offsets, axis=1)  # (num_perm, len(docs))
+        out[docs] = mins.T.astype(np.int64)
+        i = j
+    return out
+
+
+def band_hashes_batch(signatures: np.ndarray, bands: int) -> np.ndarray:
+    """``band_hashes`` for an (n_docs, num_perm) matrix -> (n_docs, bands)."""
+    n, num_perm = signatures.shape
+    rows = num_perm // bands
+    sigs = signatures.astype(np.uint64)
+    out = np.empty((n, bands), dtype=np.int64)
+    prime = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for b_idx in range(bands):
+            h = np.full(n, 1469598103934665603, dtype=np.uint64)
+            for r in range(rows):
+                h = (h ^ sigs[:, b_idx * rows + r]) * prime
+            mixed = (h ^ np.uint64((b_idx * _MIX) & 0xFFFFFFFFFFFFFFFF)) & np.uint64(
+                0x7FFFFFFFFFFFFFFF
+            )
+            out[:, b_idx] = mixed.astype(np.int64)
+    return out
+
+
+def rolling_fingerprint_batch(texts: list[str], window: int = 64) -> np.ndarray:
+    """``rolling_fingerprint`` for a whole batch (int64 output).
+
+    Shingle width is per-document (min(window, char length)), so docs
+    are grouped by width and each group runs one batched shingle pass;
+    in real corpora almost everything lands in the k=window group."""
+    n = len(texts)
+    out = np.empty(n, dtype=np.int64)
+    by_k: dict[int, list[int]] = {}
+    for i, t in enumerate(texts):
+        by_k.setdefault(min(window, max(len(t), 1)), []).append(i)
+    for k, idxs in by_k.items():
+        hashes = char_shingle_hashes_batch([texts[i] for i in idxs], k)
+        for i, h in zip(idxs, hashes):
+            if h.size == 0:
+                out[i] = np.int64(stable_str_hash(texts[i]) & 0x7FFFFFFFFFFFFFFF)
+            else:
+                out[i] = np.int64(int(h.min()) & 0x7FFFFFFFFFFFFFFF)
+    return out
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (sign-sum of token bits)."""
     words = text.split()
@@ -125,5 +289,8 @@ def rolling_fingerprint(text: str, window: int = 64) -> int:
     """
     h = char_shingle_hashes(text, k=min(window, max(len(text), 1)))
     if h.size == 0:
-        return stable_str_hash(text)
+        # masked into int64 range like every other fingerprint — the
+        # raw FNV of "" exceeds 2^63 and would overflow the LongType
+        # column on the (empty-document) edge
+        return stable_str_hash(text) & 0x7FFFFFFFFFFFFFFF
     return int(h.min() & np.uint64(0x7FFFFFFFFFFFFFFF))

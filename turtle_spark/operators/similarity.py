@@ -279,6 +279,94 @@ def ivf_topk(
     )
 
 
+def lsh_multi_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_bits: int,
+    n_tables: int,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket) rows: ``n_tables`` hyperplane bucketings in
+    ONE pass over the corpus (one stacked float64 matmul per Arrow
+    batch), instead of ``n_tables`` separate scans."""
+    planes = np.stack(
+        [_hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)]
+    ).reshape(-1, dim).astype(np.float64)  # (T*b, dim)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def multi_sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes.T) > 0  # (n, T*b)
+        bk = (bits.reshape(len(mat), n_tables, n_bits) * weights).sum(axis=2)
+        return pd.Series(list(bk))
+
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(multi_sig(F.col(vec_col))).alias("table", "bucket"),
+    )
+
+
+def cosine_pairs_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    n_tables: int = 16,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-gated exact cosine pairs — the SCALE path for pair mining.
+
+    Plan shape: one narrow pass emits (id, table, bucket); candidates
+    come from an EQUI self-join on (table, bucket) (never a
+    BroadcastNestedLoopJoin); survivors are deduped to skinny (id1,
+    id2) rows and only then joined back to their vectors for the exact
+    cosine + threshold — vectors are never replicated through the
+    bucket shuffle.
+
+    Recall: a pair at cosine c collides per table with probability
+    p(c)^n_bits where p(c) = 1 - arccos(c)/pi, so the miss probability
+    is (1 - p^b)^T.  Size (n_bits, n_tables) for the THRESHOLD pair:
+    near-dup mining at c>=0.9 works at the (8, 16) defaults (miss
+    ~0.4%); a low threshold like 0.35 needs coarse buckets, e.g.
+    (2, 32) for miss ~3e-7.  Exactness vs the brute-force join at
+    those settings is pinned by pytest and the driver oracle.
+    """
+    buckets = lsh_multi_buckets(
+        embeddings, dim, n_bits, n_tables, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    left = buckets.select("table", "bucket", F.col("id").alias("id1"))
+    right = buckets.select("table", "bucket", F.col("id").alias("id2"))
+    cands = (
+        left.join(right, ["table", "bucket"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    e1 = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"), F.col("_norm").alias("_n1")
+    )
+    e2 = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"), F.col("_norm").alias("_n2")
+    )
+    return (
+        cands.join(e1, "id1")
+        .join(e2, "id2")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2")), 6),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -287,8 +375,10 @@ def cosine_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, broadcast self-join).
 
-    For corpora too large to self-join, gate through ``lsh_signatures``
-    buckets first; at oracle scale the exact join is the ground truth.
+    SMALL-SCALE ground truth only — this is an all-pairs non-equi join
+    (BroadcastNestedLoopJoin).  The scale path is ``cosine_pairs_lsh``,
+    which produces the same rows through an equi-join plan; this form
+    stays as the oracle baseline it is validated against.
     """
     a = with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"), F.col("_norm").alias("_n1")

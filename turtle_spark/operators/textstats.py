@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from turtle_spark.functions.hashing import rolling_fingerprint, simhash64
+from turtle_spark.functions.hashing import rolling_fingerprint_batch, simhash64_batch
 
 # Stopword markers per language — surrounded by spaces so plain
 # substring counting (length-difference trick) works identically in
@@ -141,15 +141,19 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Rolling-hash document fingerprint + 64-bit SimHash (Arrow-batched)."""
+    """Rolling-hash document fingerprint + 64-bit SimHash.
+
+    Both sketches run their numpy passes across the whole Arrow batch
+    (``*_batch`` in functions.hashing) — per-batch Python, zero
+    per-row work, outputs bitwise-identical to the per-row forms."""
 
     @pandas_udf(T.LongType())
     def fp_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: rolling_fingerprint(t or ""))
+        return pd.Series(rolling_fingerprint_batch([(t or "") for t in texts]))
 
     @pandas_udf(T.LongType())
     def sh_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: simhash64(t or ""))
+        return pd.Series(simhash64_batch([(t or "") for t in texts]))
 
     return docs.select(
         F.col(id_col),

@@ -182,7 +182,13 @@ def generate_docs(spark: SparkSession, n_docs: int, seed: int = 42, partitions: 
 
     fixtures = fixture_texts()
     if partitions is None:
-        partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
+        # scale partition count with the corpus: ~64 docs per partition
+        # floor so tiny corpora don't pay one Python-worker round trip
+        # per 3 documents, capped at 2x parallelism for big ones (the
+        # same docs-per-task reasoning as maxPartitionBytes at scale)
+        partitions = max(
+            1, min(spark.sparkContext.defaultParallelism * 2, n_docs // 64 + 1)
+        )
 
     def gen(batches):
         for pdf in batches:
@@ -220,4 +226,8 @@ def fixture_docs(spark: SparkSession) -> DataFrame:
         )
         for name in sorted(cases)
     ]
-    return spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    # 2 slices, not defaultParallelism: 42 one-row tasks cost more in
+    # scheduling + Python round trips than the parse itself
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema=DOCS_SCHEMA
+    )
