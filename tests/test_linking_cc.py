@@ -176,3 +176,34 @@ def test_dedup_triples(spark):
         "doc_id string, seq long, subject string, predicate string, object string, label string, datatype string, objecttype string",
     )
     assert dedup_triples(triples).count() == 2
+
+
+def test_apply_canonical_map_hash_collision_guard(spark):
+    """A canonical-map row whose 64-bit term_id collides with an
+    UNRELATED subject's hash must not rewrite that subject — the join
+    is guarded by exact string equality on the carried term.  (At
+    10^12 terms 64-bit collisions are a certainty; simulated here by
+    forging a map row with victim_hash but a different term string.)"""
+    from pyspark.sql import functions as F
+
+    from tools.golden_ref import xxh64_str
+
+    victim = "http://e/victim"
+    triples = spark.createDataFrame(
+        [("d", 0, victim, "http://e/p", "o", "", "", "literal")],
+        "doc_id string, seq long, subject string, predicate string, "
+        "object string, label string, datatype string, objecttype string",
+    )
+    forged = spark.createDataFrame(
+        [(xxh64_str(victim), "http://e/other-term", "http://e/canonical")],
+        "term_id long, term string, canonical_term string",
+    )
+    out = apply_canonical_map(triples, forged).collect()
+    assert out[0]["subject"] == victim  # untouched despite the hash match
+    # and a REAL match still rewrites
+    genuine = spark.createDataFrame(
+        [(xxh64_str(victim), victim, "http://e/canonical")],
+        "term_id long, term string, canonical_term string",
+    )
+    out2 = apply_canonical_map(triples, genuine).collect()
+    assert out2[0]["subject"] == "http://e/canonical"

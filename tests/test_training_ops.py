@@ -64,10 +64,10 @@ def test_ngram_jaccard_pairs(spark):
 
 def test_minhash_near_duplicates(spark):
     d = _dup_docs(spark)
-    ids = {r.doc_id: r.tid for r in d.select("doc_id", F.xxhash64(F.col("doc_id").cast("string")).alias("tid")).collect()}
+    # output carries ORIGINAL doc ids (src < dst), not internal hashes
     pairs = {(r.src, r.dst) for r in minhash_near_duplicates(d, threshold=0.5).collect()}
-    assert tuple(sorted((ids[1], ids[2]))) in pairs
-    assert not any(ids[4] in p for p in pairs)
+    assert (1, 2) in pairs
+    assert not any(4 in p for p in pairs)
 
 
 def test_simhash_near_duplicates(spark):

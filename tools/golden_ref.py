@@ -325,13 +325,14 @@ def ref_q_serialize_roundtrip() -> tuple[list[str], list[tuple]]:
 
 
 def _minhash_edges(documents) -> list[tuple[int, int, float]]:
-    """(src, dst, jaccard) — dedup.minhash_near_duplicates semantics:
-    threshold 0.5, shingle_k 5, 128 perms, 32 bands, bucket cap 200."""
+    """(src, dst, jaccard) with ORIGINAL doc ids, src < dst —
+    dedup.minhash_near_duplicates semantics: threshold 0.5, shingle_k
+    5, 128 perms, 32 bands, bucket cap 200 (capping ranks by the
+    internal xxhash64 term id, as the engine does)."""
     a, b = minhash_perm_coeffs(128, seed=7)
-    terms = [(xxh64_str(str(doc_id)), text) for doc_id, text in documents]
-    terms = {tid: text for tid, text in terms}  # dropDuplicates(term_id)
+    terms = {xxh64_str(str(doc_id)): (doc_id, text) for doc_id, text in documents}
     buckets: dict[tuple[int, int], list[int]] = {}
-    for tid, text in terms.items():
+    for tid, (_doc, text) in terms.items():
         sig = minhash_sig(char_shingles(text or "", 5), a, b)
         for band_index, band_hash in enumerate(band_fold(sig, 32)):
             buckets.setdefault((band_index, band_hash), []).append(tid)
@@ -342,10 +343,12 @@ def _minhash_edges(documents) -> list[tuple[int, int, float]]:
             for j in range(i + 1, len(members)):
                 pairs.add((members[i], members[j]))
     out = []
-    for src, dst in sorted(pairs):
-        jac = jaccard_shingles(terms[src] or "", terms[dst] or "", 5)
+    for t1, t2 in sorted(pairs):
+        (d1, x), (d2, y) = terms[t1], terms[t2]
+        jac = jaccard_shingles(x or "", y or "", 5)
         if jac >= 0.5:
-            out.append((src, dst, jac))
+            out.append((min(d1, d2), max(d1, d2), jac))
+    out.sort()
     return out
 
 

@@ -22,10 +22,13 @@ BROADCAST_MAP_MAX_ROWS = 5_000_000  # ~8B key + term bytes; well under 8GB limit
 
 
 def canonical_map(terms: DataFrame, assignments: DataFrame) -> DataFrame:
-    """(term_id, term) x (node, component) -> (term_id, canonical_term).
+    """(term_id, term) x (node, component) -> (term_id, term,
+    canonical_term).
 
     Canonical representative = min term string within the component.
     Terms not in any component are identity-mapped out (absent rows).
+    The source ``term`` string rides along so the apply step can guard
+    the hash join with exact string equality (see apply_canonical_map).
     """
     labeled = terms.join(
         assignments, terms["term_id"] == assignments["node"], "inner"
@@ -34,7 +37,7 @@ def canonical_map(terms: DataFrame, assignments: DataFrame) -> DataFrame:
     return (
         labeled.join(reps, "component")
         .where(F.col("term") != F.col("canonical_term"))
-        .select("term_id", "canonical_term")
+        .select("term_id", "term", "canonical_term")
     )
 
 
@@ -45,17 +48,26 @@ def apply_canonical_map(
 ) -> DataFrame:
     """Rewrite subject/object through the canonical map.
 
-    Two left joins keyed on xxhash64 of the string; the map side is
-    broadcast when small.  Literal objects are never rewritten.
+    Two left joins keyed on xxhash64 of the string, each GUARDED by
+    exact string equality on the carried ``term``: the 8-byte hash
+    stays the shuffle/broadcast key (cheap at 10^12 terms), but a
+    64-bit collision — a certainty at that scale, ~n^2/2^65 expected —
+    can then never rewrite an unrelated subject; the collided row
+    simply doesn't match and passes through unchanged.  The map side
+    is broadcast when small.  Literal objects are never rewritten.
     """
     use_broadcast = cmap.count() <= broadcast_threshold
     m = F.broadcast(cmap) if use_broadcast else cmap
 
     sub_map = m.select(
-        F.col("term_id").alias("_sid"), F.col("canonical_term").alias("_scanon")
+        F.col("term_id").alias("_sid"),
+        F.col("term").alias("_sterm"),
+        F.col("canonical_term").alias("_scanon"),
     )
     obj_map = m.select(
-        F.col("term_id").alias("_oid"), F.col("canonical_term").alias("_ocanon")
+        F.col("term_id").alias("_oid"),
+        F.col("term").alias("_oterm"),
+        F.col("canonical_term").alias("_ocanon"),
     )
 
     out = (
@@ -64,11 +76,19 @@ def apply_canonical_map(
             "_ok",
             F.when(F.col("objecttype") == "iri", F.xxhash64("object")),
         )
-        .join(sub_map, F.col("_sk") == F.col("_sid"), "left")
-        .join(obj_map, F.col("_ok") == F.col("_oid"), "left")
+        .join(
+            sub_map,
+            (F.col("_sk") == F.col("_sid")) & (F.col("subject") == F.col("_sterm")),
+            "left",
+        )
+        .join(
+            obj_map,
+            (F.col("_ok") == F.col("_oid")) & (F.col("object") == F.col("_oterm")),
+            "left",
+        )
         .withColumn("subject", F.coalesce("_scanon", "subject"))
         .withColumn("object", F.coalesce("_ocanon", "object"))
-        .drop("_sk", "_ok", "_sid", "_oid", "_scanon", "_ocanon")
+        .drop("_sk", "_ok", "_sid", "_oid", "_sterm", "_oterm", "_scanon", "_ocanon")
     )
     return out
 

@@ -148,19 +148,37 @@ def minhash_near_duplicates(
     """MinHash-LSH near-dup pairs over document text.
 
     Reuses the linking stage verbatim — documents are just long
-    "terms".  Returns (src, dst, jaccard) keyed by xxhash64 of id.
+    "terms".  Internally keyed by xxhash64 of the doc id (8-byte
+    shuffle keys); the ORIGINAL doc ids are joined back for the output
+    so callers get actionable (src, dst, jaccard) pairs with
+    ``src < dst`` in doc-id order, not opaque hashes.
     """
-    terms = docs.select(
+    base = docs.select(
+        F.col(id_col).alias("_doc"),
         F.xxhash64(F.col(id_col).cast("string")).alias("term_id"),
         F.col(text_col).alias("term"),
     ).dropDuplicates(["term_id"])
-    return linking.link_terms(
-        terms,
+    edges = linking.link_terms(
+        base.select("term_id", "term"),
         num_perm=num_perm,
         bands=bands,
         shingle_k=shingle_k,
         bucket_cap=bucket_cap,
         threshold=threshold,
+    )
+    ids = base.select("term_id", "_doc")
+    return (
+        edges.join(
+            ids.select(F.col("term_id").alias("src"), F.col("_doc").alias("_sdoc")), "src"
+        )
+        .join(
+            ids.select(F.col("term_id").alias("dst"), F.col("_doc").alias("_ddoc")), "dst"
+        )
+        .select(
+            F.least("_sdoc", "_ddoc").alias("src"),
+            F.greatest("_sdoc", "_ddoc").alias("dst"),
+            "jaccard",
+        )
     )
 
 
