@@ -775,6 +775,32 @@ GROUP BY o_orderpriority
 """
 
 
+def _q_skew_hint_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-path skew join (salt ONLY detected hot keys, plain join for
+    the cold rest) whose result must EQUAL the plain join — the oracle
+    runs the unsalted SQL.  hot_threshold is set low enough that the
+    hot path actually carries rows at oracle scale, so both paths are
+    proven semantics-preserving, not just the cold one."""
+    from turtle_spark.operators.skew import skew_hint_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")).alias("disc"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    joined = skew_hint_join(li, o, on=["orderkey"], hot_threshold=4, n_salts=4)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("price") * F.col("disc")), 2).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_SQL_SKEW_HINT_JOIN_REVENUE = _SQL_SALTED_JOIN_REVENUE
+
+
 def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: JSON props field extracted and
     aggregated (get_json_object stays JVM-side)."""
@@ -1077,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_purchase_view": _q_asof_purchase_view,
         "q_interval_signup_clicks": _q_interval_signup_clicks,
         "q_salted_join_revenue": _q_salted_join_revenue,
+        "q_skew_hint_join_revenue": _q_skew_hint_join_revenue,
         "q_json_props": _q_json_props,
         "q_unpivot_part": _q_unpivot_part,
         "q_status_pivot": _q_status_pivot,
@@ -1140,6 +1167,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_asof_purchase_view": _SQL_ASOF_PURCHASE_VIEW,
         "q_interval_signup_clicks": _SQL_INTERVAL_SIGNUP_CLICKS,
         "q_salted_join_revenue": _SQL_SALTED_JOIN_REVENUE,
+        "q_skew_hint_join_revenue": _SQL_SKEW_HINT_JOIN_REVENUE,
         "q_json_props": _SQL_JSON_PROPS,
         "q_unpivot_part": _SQL_UNPIVOT_PART,
         "q_status_pivot": _SQL_STATUS_PIVOT,

@@ -97,3 +97,36 @@ def test_stream_windowed_counts_matches_batch(spark, tmp_path, sf_dir):
         assert bkey[(r.window_start, r.event_type)] == (
             r.n_events, r.min_value, r.max_value,
         )
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup (watermark-bounded state) must keep the
+    same distinct keys as the batch dropDuplicates over the same data,
+    with duplicates arriving across micro-batch (file) boundaries."""
+    import datetime as dt
+
+    from turtle_spark.streaming.stream import stream_dedup_to_parquet
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows_a = [(f"doc-{i % 4}", f"text {i % 4}", t0 + dt.timedelta(minutes=i)) for i in range(6)]
+    rows_b = [(f"doc-{i % 5}", f"text {i % 5}", t0 + dt.timedelta(minutes=30 + i)) for i in range(6)]
+    schema = "doc_id string, text string, ts timestamp"
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_dedup_to_parquet(
+        stream, ["doc_id"], out, ckpt, ts_col="ts", watermark="2 hours",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    batch = spark.read.parquet(src).dropDuplicates(["doc_id"])
+    assert got.count() == batch.count() == 5
+    assert {r.doc_id for r in got.collect()} == {r.doc_id for r in batch.collect()}

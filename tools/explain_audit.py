@@ -33,6 +33,7 @@ AUDITED = [
     "q_interval_signup_clicks",
     "q_cosine_topk",
     "q_salted_join_revenue",
+    "q_skew_hint_join_revenue",
     "q_json_props",
     "q_revenue_rollup",
     "q_cosine_pairs_lsh",

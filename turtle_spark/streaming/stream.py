@@ -111,3 +111,48 @@ def stream_windowed_counts(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact dedup — tier 1 of the dedup family for a
+    continuously-arriving corpus.
+
+    With ``ts_col``: ``dropDuplicatesWithinWatermark`` keyed on
+    ``key_cols`` — state is BOUNDED by the watermark horizon, which is
+    the only shape that survives an unbounded 100 TB stream (a key's
+    fingerprint is held only until the watermark passes it).  Without
+    ``ts_col``: plain ``dropDuplicates`` — exact global dedup with
+    state that grows with distinct keys; acceptable for finite
+    backfills only, and documented as such.
+    """
+    if ts_col is None:
+        return stream.dropDuplicates(key_cols)
+    withts = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return withts.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_dedup_to_parquet(
+    stream: DataFrame,
+    key_cols: list[str],
+    output_path: str,
+    checkpoint_path: str,
+    ts_col: str | None = None,
+    watermark: str = "24 hours",
+    available_now: bool = False,
+):
+    """Run ``stream_dedup`` into an append-only parquet sink."""
+    deduped = stream_dedup(stream, key_cols, ts_col=ts_col, watermark=watermark)
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
