@@ -117,44 +117,76 @@ def fnv1a64_batch(words: list[bytes]) -> np.ndarray:
     """FNV-1a of every byte string, vectorized column-wise.
 
     One masked numpy pass per byte POSITION (≈ max word length
-    iterations) instead of one Python loop iteration per byte."""
+    iterations) instead of one Python loop iteration per byte.
+    Pathologically long "words" (> 4 KiB) are hashed individually —
+    identical FNV values, but they never blow the (n x maxlen) byte
+    matrix up (the column loop is O(n x maxlen))."""
     n = len(words)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
-    lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=n)
-    maxlen = int(lens.max()) if n else 0
-    buf = np.zeros((n, maxlen), dtype=np.uint8)
-    for i, w in enumerate(words):
-        if w:
-            buf[i, : len(w)] = np.frombuffer(w, dtype=np.uint8)
-    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
-    prime = np.uint64(0x100000001B3)
-    with np.errstate(over="ignore"):
-        for j in range(maxlen):
-            active = lens > j
-            h[active] = (h[active] ^ buf[active, j].astype(np.uint64)) * prime
-    return h
+    out = np.empty(n, dtype=np.uint64)
+    long_idx = [i for i, w in enumerate(words) if len(w) > 4096]
+    for i in long_idx:
+        h = 0xCBF29CE484222325
+        for byte in words[i]:
+            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        out[i] = h
+    short_idx = (
+        [i for i in range(n) if len(words[i]) <= 4096] if long_idx else range(n)
+    )
+    m = len(short_idx)
+    if m:
+        lens = np.fromiter((len(words[i]) for i in short_idx), dtype=np.int64, count=m)
+        maxlen = int(lens.max())
+        buf = np.zeros((m, maxlen), dtype=np.uint8)
+        for row, i in enumerate(short_idx):
+            w = words[i]
+            if w:
+                buf[row, : len(w)] = np.frombuffer(w, dtype=np.uint8)
+        h = np.full(m, 0xCBF29CE484222325, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        with np.errstate(over="ignore"):
+            for j in range(maxlen):
+                active = lens > j
+                h[active] = (h[active] ^ buf[active, j].astype(np.uint64)) * prime
+        out[list(short_idx)] = h
+    return out
 
 
 def simhash64_batch(texts: list[str]) -> np.ndarray:
-    """``simhash64`` for a whole batch; int64 output, empty text -> 0."""
+    """``simhash64`` for a whole batch; int64 output, empty text -> 0.
+
+    Processed in doc-aligned WORD chunks (~16k words) so the
+    (n_words x 64) bit/contribution temporaries stay ~8 MB — the same
+    large-transient memory pathology as minhash_signatures_batch."""
     word_lists = [t.split() for t in texts]
     counts = np.fromiter((len(ws) for ws in word_lists), dtype=np.int64, count=len(texts))
     out = np.zeros(len(texts), dtype=np.int64)
     nz = np.flatnonzero(counts > 0)
     if nz.size == 0:
         return out
-    all_words = [w.encode("utf-8", "ignore") for i in nz for w in word_lists[i]]
-    hashes = fnv1a64_batch(all_words)
-    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    contrib = 2 * bits - 1
-    nz_counts = counts[nz]
-    offsets = np.concatenate(([0], np.cumsum(nz_counts)[:-1]))
-    sums = np.add.reduceat(contrib, offsets, axis=0)  # (len(nz), 64)
-    pos = (sums > 0).astype(np.uint64)
-    weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
-    vals = (pos * weights).sum(axis=1) & np.uint64(0x7FFFFFFFFFFFFFFF)
-    out[nz] = vals.astype(np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = np.left_shift(np.uint64(1), shifts)
+    CHUNK_WORDS = 1 << 14
+    i = 0
+    while i < nz.size:
+        j, tot = i, 0
+        while j < nz.size and (j == i or tot + counts[nz[j]] <= CHUNK_WORDS):
+            tot += counts[nz[j]]
+            j += 1
+        docs = nz[i:j]
+        chunk_words = [
+            w.encode("utf-8", "ignore") for d in docs for w in word_lists[d]
+        ]
+        hashes = fnv1a64_batch(chunk_words)
+        bits = ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        contrib = 2 * bits - 1
+        offsets = np.concatenate(([0], np.cumsum(counts[docs])[:-1]))
+        sums = np.add.reduceat(contrib, offsets, axis=0)  # (len(docs), 64)
+        pos = (sums > 0).astype(np.uint64)
+        vals = (pos * weights).sum(axis=1) & np.uint64(0x7FFFFFFFFFFFFFFF)
+        out[docs] = vals.astype(np.int64)
+        i = j
     return out
 
 
@@ -176,7 +208,13 @@ def char_shingle_hashes_batch(texts: list[str], k: int) -> list[np.ndarray]:
     n_windows = max(buf.size - k + 1, 0)
     hashes = np.empty(n_windows, dtype=np.uint64)
     windows = np.lib.stride_tricks.sliding_window_view(buf, k) if n_windows else None
-    CHUNK = 1 << 20  # 8 MB of uint64 per chunk keeps transients bounded
+    # SMALL chunks on purpose: elementwise numpy over multi-hundred-MB
+    # temporaries runs 100x+ slower per element on this class of VM
+    # (memory-subsystem penalty on large transient working sets —
+    # measured 15 ns/elem at ~20 MB vs 1200+ ns/elem at ~268 MB).
+    # Scaled by k so the (chunk x k) uint64 temporaries stay ~4 MB for
+    # every shingle width (k=5 grams and k=64 fingerprints alike).
+    CHUNK = max(1 << 12, (1 << 19) // k)
     with np.errstate(over="ignore"):
         for s in range(0, n_windows, CHUNK):
             e = min(s + CHUNK, n_windows)
@@ -209,7 +247,13 @@ def minhash_signatures_batch(
     nz = np.flatnonzero(sizes > 0)
     if nz.size == 0:
         return out
-    CHUNK = 1 << 18  # ≤ num_perm x 256k uint64 transient per chunk
+    # SMALL chunks on purpose: the (num_perm x chunk) modmul allocates
+    # three uint64 temporaries, and elementwise numpy over
+    # multi-hundred-MB transients is 100x+ slower per element on this
+    # class of VM (large-working-set memory penalty; measured 0.37s vs
+    # 40-126s for the SAME data at 16 MB vs 268 MB temporaries).
+    # 128 perms x 16k shingles ≈ 17 MB per temporary.
+    CHUNK = 1 << 14
     i = 0
     while i < nz.size:
         j, tot = i, 0

