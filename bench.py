@@ -58,6 +58,8 @@ HEADLINE = [
     "q_doc_stats",
     "q_ngram_jaccard",
     "q_cosine_topk",
+    "q_minhash_dedup_docs",
+    "q_simhash_dedup_docs",
     "q_kg_extract",
 ]
 

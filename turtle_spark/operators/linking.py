@@ -153,35 +153,44 @@ def lsh_band_keys(
 def candidate_pairs(
     buckets: DataFrame, bucket_cap: int = DEFAULT_BUCKET_CAP
 ) -> DataFrame:
-    """Self-join LSH buckets into SKINNY candidate pairs (src, dst).
+    """Expand LSH buckets into SKINNY candidate pairs (src, dst).
 
-    Deterministic bucket capping (rank by term_id inside each bucket,
-    keep the first ``bucket_cap``) bounds the join fan-out at cap² per
-    key — the explicit skew control; hot stop-word-like buckets cannot
-    melt a reducer.
+    ONE aggregation, no self-join: each bucket's capped member list is
+    collected (``slice(sort_array(collect_list(id)), 1, cap)`` — the
+    deterministic keep-smallest-ids cap, bounding fan-out at cap² per
+    key) and pairs are expanded in-array by a JVM ``transform``
+    expression.  Reducer memory is bounded by the cap (≤ cap 8-byte
+    ids per key), so hot stop-word-like buckets cannot melt a reducer.
 
-    The join and the (src, dst) dedup move 16-byte id pairs ONLY — the
-    term strings are joined back after dedup (verify_pairs).  Carrying
-    both texts through the bucket join multiplies every candidate row
-    by two documents' bytes BEFORE dedup collapses band duplicates; at
-    5k docs that was already ~GBs of intermediate, at corpus scale it
-    is the difference between a viable plan and a dead one.
+    Why not a self-join: joining ``capped`` to itself duplicates the
+    whole upstream subtree — Spark's exchange reuse does not fire
+    across the differently-aliased branches, so the (expensive)
+    banding UDF and its shuffle would execute TWICE per query
+    (measured; 4 ArrowEvalPython ops in the old plan vs 2 here).  The
+    aggregate form evaluates upstream once, with one shuffle.
+
+    Everything downstream moves 16-byte id pairs only — the term
+    strings are joined back after dedup (verify_pairs).
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band_index", "band_hash").orderBy("term_id")
-    capped = (
-        buckets.select("band_index", "band_hash", "term_id")
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= bucket_cap)
-        .drop("rank")
+    members = (
+        buckets.groupBy("band_index", "band_hash")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("term_id")), 1, bucket_cap
+            ).alias("ms")
+        )
+        .where(F.size("ms") >= 2)
     )
-    left = capped.select("band_index", "band_hash", F.col("term_id").alias("src"))
-    right = capped.select("band_index", "band_hash", F.col("term_id").alias("dst"))
+    pair_expr = F.expr(
+        """
+        flatten(transform(ms, (x, i) ->
+          transform(slice(ms, i + 2, size(ms) - i - 1), y ->
+            struct(x AS src, y AS dst))))
+        """
+    )
     return (
-        left.join(right, ["band_index", "band_hash"])
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+        members.select(F.explode(pair_expr).alias("p"))
+        .select("p.src", "p.dst")
         .dropDuplicates(["src", "dst"])
     )
 
