@@ -99,28 +99,30 @@ def ngram_jaccard_pairs(
     )
     counts = doc_grams.groupBy("id").agg(F.count("*").alias("n_grams"))
 
-    if posting_cap is None:
-        capped = doc_grams
-    else:
-        # one exchange, two window functions: the posting-list rank
-        # (skew cap) and the posting-list size.  Frequency-1 grams can
-        # never witness a pair, so dropping them before the self-join
-        # is semantics-preserving and removes the long singleton tail
-        # (most grams are unique at any scale — Zipf).
-        w = Window.partitionBy("gram").orderBy("id")
-        w_all = Window.partitionBy("gram")
-        capped = (
-            doc_grams.withColumn("_rn", F.row_number().over(w))
-            .withColumn("_n", F.count("*").over(w_all))
-            .where((F.col("_rn") <= posting_cap) & (F.col("_n") >= 2))
-            .drop("_rn", "_n")
-        )
-    a = capped.select(F.col("gram"), F.col("id").alias("id1"))
-    b = capped.select(F.col("gram"), F.col("id").alias("id2"))
+    # posting lists are aggregated and pairs expanded IN-ARRAY — a
+    # gram-keyed self-join would duplicate the whole explode subtree
+    # (exchange reuse does not fire across differently-aliased join
+    # branches), and the old capping window cost a second pass.  The
+    # cap (keep the smallest ``posting_cap`` doc ids, the stop-gram
+    # skew bound) becomes a slice of the sorted posting list, bounding
+    # reducer memory at cap 8-byte ids per gram; singleton grams can
+    # never witness a pair and are dropped here (Zipf tail).
+    cap = posting_cap if posting_cap is not None else (1 << 31) - 1
+    postings = (
+        doc_grams.groupBy("gram")
+        .agg(F.slice(F.sort_array(F.collect_list("id")), 1, cap).alias("ms"))
+        .where(F.size("ms") >= 2)
+    )
+    pair_expr = F.expr(
+        """
+        flatten(transform(ms, (x, i) ->
+          transform(slice(ms, i + 2, size(ms) - i - 1), y ->
+            struct(x AS id1, y AS id2))))
+        """
+    )
     inter = (
-        a.join(b, "gram")
-        .where(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
+        postings.select(F.explode(pair_expr).alias("p"))
+        .groupBy("p.id1", "p.id2")
         .agg(F.count("*").alias("n_common"))
     )
     return (
@@ -216,11 +218,24 @@ def simhash_near_duplicates(
             ])
         ).alias("bk"),
     ).select("id", "simhash", "bk.band", "bk.chunk")
-    a = banded.select("band", "chunk", F.col("id").alias("id1"), F.col("simhash").alias("h1"))
-    b = banded.select("band", "chunk", F.col("id").alias("id2"), F.col("simhash").alias("h2"))
+    # pairs expand in-array per bucket (one aggregation) — a self-join
+    # would run the SimHash UDF twice, once per differently-aliased
+    # branch, since exchange reuse does not fire across them
+    members = (
+        banded.groupBy("band", "chunk")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
+        .where(F.size("ms") >= 2)
+    )
+    pair_expr = F.expr(
+        """
+        flatten(transform(ms, (x, i) ->
+          transform(slice(ms, i + 2, size(ms) - i - 1), y ->
+            struct(x.id AS id1, x.simhash AS h1, y.id AS id2, y.simhash AS h2))))
+        """
+    )
     pairs = (
-        a.join(b, ["band", "chunk"])
-        .where(F.col("id1") < F.col("id2"))
+        members.select(F.explode(pair_expr).alias("p"))
+        .select("p.id1", "p.h1", "p.id2", "p.h2")
         .dropDuplicates(["id1", "id2"])
     )
     hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
