@@ -51,3 +51,42 @@ def test_tokenize_all_differential_fuzz() -> None:
         "s p ( 1 ( 2 ) [ :a :b ] ) .", "s p 'it''s' .",
     ]:
         assert tokenize_all(text) == list(tokenize(text)), repr(text)
+
+
+def test_tokenize_all_hypothesis_differential() -> None:
+    """Property: on ARBITRARY text over a Turtle-hostile alphabet, the
+    regex fast path must either match the exact machine or fall back
+    to it (never silently diverge), and neither may crash."""
+    from hypothesis import given, settings, strategies as st
+
+    from turtle_spark.core.tokenizer import tokenize_all
+
+    alphabet = 'ab"\'<>.;,()[]\\ \n\t#123eE+-:_^@'
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=120))
+    def check(text: str) -> None:
+        assert tokenize_all(text) == list(tokenize(text))
+
+    check()
+
+
+def test_parse_document_never_crashes() -> None:
+    """Property: the parser is total — arbitrary garbage yields a
+    ParseResult, never an exception (a malformed document at position
+    10^11 of a corpus must not kill the executor)."""
+    from hypothesis import given, settings, strategies as st
+
+    from turtle_spark.core.parser import parse_document
+
+    alphabet = 'ab"\'<>.;,()[]\\ \n\t#123eE+-:_^@prefixbase'
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=120))
+    def check(text: str) -> None:
+        result = parse_document(text)
+        assert isinstance(result.triples, list)
+        for t in result.triples:
+            assert len(t) == 6
+
+    check()
