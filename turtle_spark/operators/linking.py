@@ -229,6 +229,13 @@ def verify_pairs(
             t.select(F.col("term_id").alias("dst"), F.col("term").alias("dst_term")), "dst"
         )
     )
+    # AQE coalesces the join output by BYTES, but the cost of this
+    # stage is per-ROW shingling — a few MB of candidates can collapse
+    # to 2-3 partitions and run the UDF near-serially (measured 9.6 s
+    # vs 1.5 s at sf0.1).  Re-spread on the deterministic pair key so
+    # every slot shares the verify work.
+    sc = pairs.sparkSession.sparkContext
+    enriched = enriched.repartition(sc.defaultParallelism, "src", "dst")
     return (
         enriched.withColumn("jaccard", jaccard_udf("src_term", "dst_term"))
         .where(F.col("jaccard") >= threshold)
