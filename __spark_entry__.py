@@ -386,6 +386,41 @@ def _q_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_COSINE_PAIRS_LSH = _SQL_COSINE_PAIRS
 
 
+def _q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tier 5 — embedding-cosine near-duplicates: LSH-gated
+    exact cosine edges -> connected components -> keep-smallest
+    canonical mapping.  The oracle recomputes the same components from
+    the brute-force pair join via a recursive CTE, so both the pair
+    mining AND the transitive closure are independently checked."""
+    from turtle_spark.operators.dedup import embedding_dedup
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dim = len(e.select("embedding").first()[0])
+    return embedding_dedup(e, dim=dim, threshold=0.35, n_bits=2, n_tables=32)
+
+
+# independent derivation: brute-force pairs + recursive-CTE transitive
+# closure (min reachable id == the keep-smallest canonical)
+_SQL_EMBED_DEDUP = """
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_inner_product(a.v, b.v)
+              / (SQRT(list_inner_product(a.v, a.v)) * SQRT(list_inner_product(b.v, b.v))), 6) >= 0.35
+),
+ed AS (SELECT id1 AS s, id2 AS d FROM p UNION ALL SELECT id2, id1 FROM p),
+reach(n, m) AS (
+  SELECT s, s FROM ed
+  UNION
+  SELECT ed.d, reach.m FROM reach JOIN ed ON ed.s = reach.n
+)
+SELECT n AS vec_id, MIN(m) AS canonical_id FROM reach GROUP BY n
+"""
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from turtle_spark.operators.sessions import sessionize
 
@@ -1116,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": _q_cosine_topk,
         "q_cosine_pairs": _q_cosine_pairs,
         "q_cosine_pairs_lsh": _q_cosine_pairs_lsh,
+        "q_embed_dedup": _q_embed_dedup,
         "q_quality_score": _q_quality_score,
         # non-SQL-expressible (rows-only checks)
         "q_kg_extract": _q_kg_extract,
@@ -1159,6 +1195,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_cosine_topk": _SQL_COSINE_TOPK,
         "q_cosine_pairs": _SQL_COSINE_PAIRS,
         "q_cosine_pairs_lsh": _SQL_COSINE_PAIRS_LSH,
+        "q_embed_dedup": _SQL_EMBED_DEDUP,
         "q_revenue_rollup": _SQL_REVENUE_ROLLUP,
         "q_promo_revenue": _SQL_PROMO_REVENUE,
         "q_shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -215,3 +215,43 @@ def test_multimodal_decoder_injection(spark):
         expect = len(r.media_ref) + len("payload:") + (10.0 if r.media_type == "video" else 0.0)
         assert r.features == [expect] * 8
         assert r.n_bytes == len("payload:") + len(r.media_ref)
+
+
+def test_embedding_dedup_matches_union_find(spark, embeddings):
+    """Tier-5 embedding dedup vs an independent numpy brute-force +
+    union-find derivation: same pairs, same components, same keep-
+    smallest canonical ids."""
+    from turtle_spark.operators.dedup import embedding_dedup
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = np.round(Vn @ Vn.T, 6)
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    linked = set()
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if S[a, b] >= 0.35:
+                ra, rb = find(ids[a]), find(ids[b])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+                linked.update((ids[a], ids[b]))
+    expected = {i: find(i) for i in linked}
+
+    e = embeddings.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    dim = len(rows[0].embedding)
+    got = {
+        r.vec_id: r.canonical_id
+        for r in embedding_dedup(e, dim=dim, threshold=0.35).collect()
+    }
+    assert got == expected
+    assert all(c <= i for i, c in got.items())

@@ -1,6 +1,6 @@
 """Deduplication family for training-data pipelines.
 
-Four tiers, cheapest first — at 100 TB you run them in this order and
+Five tiers, cheapest first — at 100 TB you run them in this order and
 each tier shrinks the next tier's input:
 
 1. **exact** — sha256 content hash, groupBy; map-side partial
@@ -10,10 +10,13 @@ each tier shrinks the next tier's input:
    (same skew reasoning as the LSH bucket cap);
 3. **MinHash-LSH** — probabilistic blocking, reuses the linking
    machinery (turtle_spark.operators.linking) over document text;
-4. **SimHash** — 64-bit sketch, Hamming-band self-join.
+4. **SimHash** — 64-bit sketch, Hamming-band self-join;
+5. **embedding-cosine** — LSH-gated exact cosine edges over an
+   embedding column, connected components, keep-smallest canonical.
 
-Exact and ngram tiers are SQL-expressible and carry DuckDB oracles in
-``__spark_entry__``; sketch tiers get rows-only checks plus pytest
+Exact, ngram, and embedding tiers are SQL-expressible and carry DuckDB
+oracles in ``__spark_entry__`` (the embedding tier's components via a
+recursive CTE); the text-sketch tiers get golden oracles plus pytest
 ground-truth comparisons at small scale.
 """
 
@@ -243,4 +246,75 @@ def simhash_near_duplicates(
         pairs.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.35,
+    n_bits: int = 2,
+    n_tables: int = 32,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tier 5: embedding-cosine near-dup pairs (src, dst, cosine).
+
+    The scale path is the LSH bucket equi-join gate + exact cosine
+    re-rank (``similarity.cosine_pairs_lsh``) — never an all-pairs
+    join.  The default (2-bit, 32-table) gate keeps the worst-pair
+    miss probability ~3e-7 at threshold 0.35, so the output equals the
+    brute-force join (pinned by the DuckDB oracle)."""
+    from turtle_spark.operators.similarity import cosine_pairs_lsh
+
+    pairs = cosine_pairs_lsh(
+        embeddings,
+        dim=dim,
+        threshold=threshold,
+        n_bits=n_bits,
+        n_tables=n_tables,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return pairs.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst"), "cosine"
+    )
+
+
+def embedding_dedup(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.35,
+    n_bits: int = 2,
+    n_tables: int = 32,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Canonical mapping for the embedding tier: every vector that has
+    at least one near-duplicate maps to the minimum id of its
+    connected near-dup component — (id_col, canonical_id) rows.
+
+    Transitive closure (components, not raw pairs) is deliberate: the
+    keep/drop decision must be consistent when a~b and b~c but a!~c,
+    and large-star/small-star converges in O(log n) shuffles at any
+    component diameter.  Isolated vectors don't appear (nothing to
+    dedup); callers left-join and coalesce to self."""
+    from turtle_spark.operators.cc import connected_components
+
+    edges = embedding_near_duplicates(
+        embeddings,
+        dim=dim,
+        threshold=threshold,
+        n_bits=n_bits,
+        n_tables=n_tables,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    comps = connected_components(edges.select("src", "dst"))
+    return comps.select(
+        F.col("node").alias(id_col), F.col("component").alias("canonical_id")
     )
