@@ -401,6 +401,53 @@ def _q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dedup(e, dim=dim, threshold=0.35, n_bits=2, n_tables=32)
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (the 100 TB-safe sampler: a pure
+    md5-cutoff filter, stable under task retries, nested across
+    fractions) — stratified per event type.  md5 is bit-identical in
+    Spark and DuckDB, so the oracle re-derives the exact sample."""
+    from turtle_spark.operators.sampling import stratified_sample
+
+    e = _t(spark, sf_dir, "events")
+    sampled = stratified_sample(
+        e,
+        strata_col="event_type",
+        key_cols=["event_id"],
+        fractions={"click": 0.5, "purchase": 0.25, "error": 0.0},
+        default_fraction=0.1,
+    )
+    return sampled.groupBy("event_type").agg(
+        F.count("*").alias("n_sampled"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.col("event_id")).alias("id_sum"),
+    )
+
+
+def _sql_stratified_sample() -> str:
+    from turtle_spark.operators.sampling import _HEX_DIGITS, _cutoff_hex
+
+    case = (
+        "CASE event_type "
+        f"WHEN 'click' THEN '{_cutoff_hex(0.5)}' "
+        f"WHEN 'purchase' THEN '{_cutoff_hex(0.25)}' "
+        f"WHEN 'error' THEN '{_cutoff_hex(0.0)}' "
+        f"ELSE '{_cutoff_hex(0.1)}' END"
+    )
+    return f"""
+SELECT event_type,
+       COUNT(*) AS n_sampled,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM events
+WHERE substr(md5(concat_ws('|', COALESCE(CAST(event_id AS VARCHAR), ''))), 1, {_HEX_DIGITS})
+      < {case}
+GROUP BY event_type
+"""
+
+
+_SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
 # independent derivation: brute-force pairs + recursive-CTE transitive
 # closure (min reachable id == the keep-smallest canonical)
 _SQL_EMBED_DEDUP = """
@@ -1152,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_pairs": _q_cosine_pairs,
         "q_cosine_pairs_lsh": _q_cosine_pairs_lsh,
         "q_embed_dedup": _q_embed_dedup,
+        "q_stratified_sample": _q_stratified_sample,
         "q_quality_score": _q_quality_score,
         # non-SQL-expressible (rows-only checks)
         "q_kg_extract": _q_kg_extract,
@@ -1196,6 +1244,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_cosine_pairs": _SQL_COSINE_PAIRS,
         "q_cosine_pairs_lsh": _SQL_COSINE_PAIRS_LSH,
         "q_embed_dedup": _SQL_EMBED_DEDUP,
+        "q_stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "q_revenue_rollup": _SQL_REVENUE_ROLLUP,
         "q_promo_revenue": _SQL_PROMO_REVENUE,
         "q_shipping_priority": _SQL_SHIPPING_PRIORITY,

@@ -37,6 +37,7 @@ AUDITED = [
     "q_json_props",
     "q_revenue_rollup",
     "q_cosine_pairs_lsh",
+    "q_embed_dedup",
 ]
 
 

@@ -1,0 +1,87 @@
+"""Deterministic sampling for training-data pipelines.
+
+At 100 TB you cannot sample with RNG state: a task retry would redraw
+and silently duplicate/lose rows (the SPARK-23207 class of bug), and a
+re-run of the pipeline would produce a different training set.  The
+scale-correct primitive is a *content-keyed hash cutoff*: a row is in
+the sample iff ``h(key) < fraction`` for a uniform hash ``h`` — stable
+across retries, executors, partitionings, and engine versions.
+
+The hash here is the first 8 hex chars of ``md5(key)`` compared
+lexicographically against a hex cutoff.  md5 is overkill
+cryptographically but is the one hash Spark and DuckDB compute
+BIT-IDENTICALLY (lowercase hex in both), which makes every sample
+oracle-checkable — xxhash64 exists only on the Spark side.
+
+All pure column expressions: whole-stage codegen, no shuffle — a
+sample is a FILTER, and it composes with pushdown (the md5 filter sits
+on top of the scan, everything below it prunes normally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 8  # 32 bits of the digest: granularity 1/2^32
+
+
+def _cutoff_hex(fraction: float) -> str:
+    """fraction in [0,1] -> 8-hex-digit lexicographic cutoff."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    n = int(round(fraction * (1 << 32)))
+    if n >= 1 << 32:
+        return "g"  # lexicographically above every 8-hex-digit digest
+    return format(n, "08x")
+
+
+def sample_hash(*key_cols: str | Column) -> Column:
+    """The sampling key: first 8 hex chars of md5 over the
+    ``||``-joined key columns (cast to string, null -> '')."""
+    parts = [
+        F.coalesce(F.col(c).cast("string") if isinstance(c, str) else c.cast("string"), F.lit(""))
+        for c in key_cols
+    ]
+    return F.substring(F.md5(F.concat_ws("|", *parts)), 1, _HEX_DIGITS)
+
+
+def deterministic_sample(
+    df: DataFrame, key_cols: list[str], fraction: float
+) -> DataFrame:
+    """Keep rows whose hash falls under the cutoff — a pure filter.
+
+    The same (key, fraction) always makes the same keep/drop decision,
+    and samples NEST: the 1% sample is a subset of the 10% sample, so
+    growing a training set keeps everything already curated."""
+    return df.where(sample_hash(*key_cols) < F.lit(_cutoff_hex(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_cols: list[str],
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling with per-value fractions.
+
+    One CASE expression over the strata column picks the cutoff; no
+    shuffle, no per-stratum pass — at any scale this is a single
+    filtered scan.  Strata absent from ``fractions`` use
+    ``default_fraction``."""
+    cutoff = F.lit(_cutoff_hex(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        cutoff = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(_cutoff_hex(frac))
+        ).otherwise(cutoff)
+    return df.where(sample_hash(*key_cols) < cutoff)
+
+
+def sample_sql_predicate(key_cols: list[str], fraction: float) -> str:
+    """The equivalent ANSI/DuckDB predicate, for oracle SQL."""
+    joined = ", ".join(f"COALESCE(CAST({c} AS VARCHAR), '')" for c in key_cols)
+    return (
+        f"substr(md5(concat_ws('|', {joined})), 1, {_HEX_DIGITS})"
+        f" < '{_cutoff_hex(fraction)}'"
+    )
