@@ -38,6 +38,8 @@ AUDITED = [
     "q_revenue_rollup",
     "q_cosine_pairs_lsh",
     "q_embed_dedup",
+    "q_stratified_sample",
+    "q_minhash_dedup_docs",
 ]
 
 

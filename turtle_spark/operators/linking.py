@@ -252,33 +252,29 @@ def verify_pairs(
     numpy ``intersect1d`` formulation, bit-for-bit (exact integer
     operands; IEEE division)."""
     profiles = shingle_profiles(terms, shingle_k)
-    enriched = (
-        pairs.join(
-            profiles.select(
-                F.col("term_id").alias("src"),
-                F.col("shs").alias("_s1"),
-                F.col("nw").alias("_n1"),
-            ),
-            "src",
-        )
-        .join(
-            profiles.select(
-                F.col("term_id").alias("dst"),
-                F.col("shs").alias("_s2"),
-                F.col("nw").alias("_n2"),
-            ),
-            "dst",
-        )
+    # melt each pair into two (pair, member) rows and join profiles
+    # ONCE — two aliased joins would duplicate the (expensive) profile
+    # UDF subtree, since exchange reuse does not fire across
+    # differently-aliased branches (same reasoning as candidate_pairs)
+    melted = pairs.select(
+        F.struct("src", "dst").alias("_pair"),
+        F.explode(F.array("src", "dst")).alias("term_id"),
     )
-    inter = F.size(F.array_intersect("_s1", "_s2"))
-    union = F.col("_n1") + F.col("_n2") - inter
+    both = (
+        melted.join(profiles, "term_id")
+        .groupBy("_pair")
+        .agg(F.collect_list(F.struct("shs", "nw")).alias("ms"))
+        .where(F.size("ms") == 2)  # drop pairs with a missing profile
+    )
+    inter = F.size(F.array_intersect(F.col("ms")[0]["shs"], F.col("ms")[1]["shs"]))
+    union = F.col("ms")[0]["nw"] + F.col("ms")[1]["nw"] - inter
     jaccard = F.when(union == 0, F.lit(1.0)).otherwise(
         inter.cast("double") / union.cast("double")
     )
     return (
-        enriched.withColumn("jaccard", jaccard)
+        both.withColumn("jaccard", jaccard)
         .where(F.col("jaccard") >= threshold)
-        .select("src", "dst", "jaccard")
+        .select(F.col("_pair.src").alias("src"), F.col("_pair.dst").alias("dst"), "jaccard")
     )
 
 
