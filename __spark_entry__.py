@@ -639,6 +639,72 @@ GROUP BY event_type
 """
 
 
+def _q_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping combinations in
+    one pass — Spark plans a single Expand + one shuffle, the same
+    shape at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            ).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+_SQL_STATUS_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def _q_trailing_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame moving aggregate: per user, the 1-hour trailing sum
+    of event value at each event.  Summed in DECIMAL so the result is
+    addition-order independent — the property that makes a windowed
+    float aggregate reproducible across engines AND across cluster
+    re-partitionings."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w), 6
+        ).cast("double").alias("trailing_1h"),
+    )
+
+
+_SQL_TRAILING_USER_SPEND = """
+SELECT user_id, event_id,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+       ), 6) AS DOUBLE) AS trailing_1h
+FROM events
+WHERE event_type = 'purchase'
+"""
+
+
 def _q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP region -> nation revenue (multi-level aggregation)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1177,6 +1243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": _q_sessionize,
         "q_set_ops": _q_set_ops,
         "q_revenue_rollup": _q_revenue_rollup,
+        "q_status_cube": _q_status_cube,
+        "q_trailing_user_spend": _q_trailing_user_spend,
         "q_promo_revenue": _q_promo_revenue,
         "q_shipping_priority": _q_shipping_priority,
         "q_local_supplier_revenue": _q_local_supplier_revenue,
@@ -1246,6 +1314,8 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_embed_dedup": _SQL_EMBED_DEDUP,
         "q_stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "q_revenue_rollup": _SQL_REVENUE_ROLLUP,
+        "q_status_cube": _SQL_STATUS_CUBE,
+        "q_trailing_user_spend": _SQL_TRAILING_USER_SPEND,
         "q_promo_revenue": _SQL_PROMO_REVENUE,
         "q_shipping_priority": _SQL_SHIPPING_PRIORITY,
         "q_local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
