@@ -255,3 +255,18 @@ def test_embedding_dedup_matches_union_find(spark, embeddings):
     }
     assert got == expected
     assert all(c <= i for i, c in got.items())
+
+
+def test_minhash_empty_text_pair(spark):
+    """Empty-text docs exercise the union=0 -> jaccard 1.0 branch of
+    the JVM-side verify (no shingles on either side)."""
+    from turtle_spark.operators.dedup import minhash_near_duplicates
+
+    rows = [(1, ""), (2, ""), (3, "some real content that shingles normally here")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.src, r.dst): r.jaccard
+        for r in minhash_near_duplicates(d, threshold=0.5, shingle_k=5).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    assert all({3} - set(k) == {3} for k in pairs)  # 3 pairs with nobody
