@@ -115,7 +115,14 @@ def test_cc_long_path_converges_logarithmically(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "src long, dst long"
     )
-    got = {r.node: r.component for r in connected_components(edges, max_iterations=12).collect()}
+    # local_cutoff=0: pin the DISTRIBUTED rounds' O(log n) convergence,
+    # not the driver-side tail (which would short-circuit this size)
+    got = {
+        r.node: r.component
+        for r in connected_components(
+            edges, max_iterations=12, local_cutoff=0
+        ).collect()
+    }
     assert set(got.values()) == {0}
     assert len(got) == n + 1
 
@@ -207,3 +214,24 @@ def test_apply_canonical_map_hash_collision_guard(spark):
     )
     out2 = apply_canonical_map(triples, genuine).collect()
     assert out2[0]["subject"] == "http://e/canonical"
+
+
+def test_cc_local_tail_equals_distributed(spark):
+    """The adaptive driver-side tail finish must produce EXACTLY the
+    distributed rounds' assignments — same nodes, same min labels."""
+    import random
+
+    from turtle_spark.operators.cc import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randint(0, 400), rng.randint(0, 400)) for _ in range(600)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {
+        (r.node, r.component)
+        for r in connected_components(df).collect()  # tail fires (600 < cutoff)
+    }
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(df, local_cutoff=0).collect()
+    }
+    assert local == dist and len(local) > 0
