@@ -60,6 +60,9 @@ HEADLINE = [
     "q_cosine_topk",
     "q_minhash_dedup_docs",
     "q_simhash_dedup_docs",
+    "q_status_cube",
+    "q_trailing_user_spend",
+    "q_stratified_sample",
     "q_kg_extract",
 ]
 
