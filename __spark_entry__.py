@@ -168,6 +168,25 @@ WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
 """
 
 
+def _q_customers_with_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one purchase event —
+    the probe side streams once, nothing from the build side is
+    projected (cheaper than join+distinct at any scale)."""
+    c = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return (
+        c.join(ev, c["c_custkey"] == ev["user_id"], "left_semi")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+_SQL_CUSTOMERS_WITH_PURCHASES = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE EXISTS (SELECT 1 FROM events
+              WHERE user_id = c_custkey AND event_type = 'purchase')
+"""
+
+
 def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
@@ -1239,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_orders_per_customer": _q_top_orders_per_customer,
         "q_top_lineitems": _q_top_lineitems,
         "q_customers_without_events": _q_customers_without_events,
+        "q_customers_with_purchases": _q_customers_with_purchases,
         "q_events_daily": _q_events_daily,
         "q_sessionize": _q_sessionize,
         "q_set_ops": _q_set_ops,
@@ -1300,6 +1320,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_top_orders_per_customer": _SQL_TOP_ORDERS_PER_CUSTOMER,
         "q_top_lineitems": _SQL_TOP_LINEITEMS,
         "q_customers_without_events": _SQL_CUSTOMERS_WITHOUT_EVENTS,
+        "q_customers_with_purchases": _SQL_CUSTOMERS_WITH_PURCHASES,
         "q_events_daily": _SQL_EVENTS_DAILY,
         "q_sessionize": _SQL_SESSIONIZE,
         "q_set_ops": _SQL_SET_OPS,
