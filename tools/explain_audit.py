@@ -40,6 +40,9 @@ AUDITED = [
     "q_embed_dedup",
     "q_stratified_sample",
     "q_minhash_dedup_docs",
+    "q_status_cube",
+    "q_trailing_user_spend",
+    "q_customers_with_purchases",
 ]
 
 

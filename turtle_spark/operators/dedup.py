@@ -105,15 +105,21 @@ def ngram_jaccard_pairs(
     # posting lists are aggregated and pairs expanded IN-ARRAY — a
     # gram-keyed self-join would duplicate the whole explode subtree
     # (exchange reuse does not fire across differently-aliased join
-    # branches), and the old capping window cost a second pass.  The
-    # cap (keep the smallest ``posting_cap`` doc ids, the stop-gram
-    # skew bound) becomes a slice of the sorted posting list, bounding
-    # reducer memory at cap 8-byte ids per gram; singleton grams can
-    # never witness a pair and are dropped here (Zipf tail).
+    # branches).  The cap (keep the smallest ``posting_cap`` doc ids,
+    # the stop-gram skew bound) is applied by a row_number window
+    # BEFORE the list materializes: slice(collect_list(...)) would
+    # gather the whole posting list on the final reducer first, so a
+    # stop-gram in 10^8 docs would OOM it at web scale; the window
+    # sorts (and spills) instead, and its exchange is reused by the
+    # groupBy on the same key.  Singleton grams can never witness a
+    # pair and are dropped (Zipf tail).
     cap = posting_cap if posting_cap is not None else (1 << 31) - 1
+    w_cap = Window.partitionBy("gram").orderBy("id")
     postings = (
-        doc_grams.groupBy("gram")
-        .agg(F.slice(F.sort_array(F.collect_list("id")), 1, cap).alias("ms"))
+        doc_grams.withColumn("_rn", F.row_number().over(w_cap))
+        .where(F.col("_rn") <= cap)
+        .groupBy("gram")
+        .agg(F.sort_array(F.collect_list("id")).alias("ms"))
         .where(F.size("ms") >= 2)
     )
     pair_expr = F.expr(
@@ -193,11 +199,20 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_bands: int = 4,
+    bucket_cap: int = 1024,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit sketch into ``n_bands``
     16-bit chunks; pairs within ``max_hamming`` must collide on at
     least one chunk (pigeonhole), so the self-join is band-blocked
-    rather than quadratic."""
+    rather than quadratic.
+
+    ``bucket_cap`` bounds each (band, chunk) bucket to its smallest
+    ids — the same stop-key skew bound as the MinHash/ngram tiers
+    (boilerplate-heavy corpora concentrate SimHash chunks).  The cap
+    is a row_number window, not slice(collect_list(...)), so reducer
+    memory stays bounded for a hot chunk at web scale; dropped
+    candidates only cost recall, never the correctness of retained
+    pairs."""
     from turtle_spark.functions.hashing import simhash64_batch
 
     @pandas_udf(T.LongType())
@@ -224,8 +239,11 @@ def simhash_near_duplicates(
     # pairs expand in-array per bucket (one aggregation) — a self-join
     # would run the SimHash UDF twice, once per differently-aliased
     # branch, since exchange reuse does not fire across them
+    w_cap = Window.partitionBy("band", "chunk").orderBy("id")
     members = (
-        banded.groupBy("band", "chunk")
+        banded.withColumn("_rn", F.row_number().over(w_cap))
+        .where(F.col("_rn") <= bucket_cap)
+        .groupBy("band", "chunk")
         .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
         .where(F.size("ms") >= 2)
     )

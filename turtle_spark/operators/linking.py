@@ -155,12 +155,16 @@ def candidate_pairs(
 ) -> DataFrame:
     """Expand LSH buckets into SKINNY candidate pairs (src, dst).
 
-    ONE aggregation, no self-join: each bucket's capped member list is
-    collected (``slice(sort_array(collect_list(id)), 1, cap)`` — the
-    deterministic keep-smallest-ids cap, bounding fan-out at cap² per
-    key) and pairs are expanded in-array by a JVM ``transform``
-    expression.  Reducer memory is bounded by the cap (≤ cap 8-byte
-    ids per key), so hot stop-word-like buckets cannot melt a reducer.
+    ONE aggregation, no self-join: each bucket is capped to its
+    ``bucket_cap`` smallest ids BEFORE the member list materializes —
+    a ``row_number`` window (sort-based, spills to disk) rather than
+    ``slice(collect_list(...))``, because collect_list gathers the
+    ENTIRE bucket on the final reducer before any slice runs, so a
+    stop-word-like bucket with 10^8 members would OOM a reducer at
+    web scale.  The window's exchange is reused by the groupBy (same
+    key), so this costs a sort, not a second shuffle.  Retained set is
+    identical: the cap smallest ids per key, fan-out bounded at cap².
+    Pairs then expand in-array by a JVM ``transform`` expression.
 
     Why not a self-join: joining ``capped`` to itself duplicates the
     whole upstream subtree — Spark's exchange reuse does not fire
@@ -172,13 +176,14 @@ def candidate_pairs(
     Everything downstream moves 16-byte id pairs only — the term
     strings are joined back after dedup (verify_pairs).
     """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_index", "band_hash").orderBy("term_id")
     members = (
-        buckets.groupBy("band_index", "band_hash")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list("term_id")), 1, bucket_cap
-            ).alias("ms")
-        )
+        buckets.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= bucket_cap)
+        .groupBy("band_index", "band_hash")
+        .agg(F.sort_array(F.collect_list("term_id")).alias("ms"))
         .where(F.size("ms") >= 2)
     )
     pair_expr = F.expr(
