@@ -879,6 +879,156 @@ GROUP BY n_name
 """
 
 
+def _q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation: per-day user cardinality (single and
+    composite keys).  Plans as the distinct-expand shape — partial
+    aggregation of (day, key) pairs map-side, then one shuffle on day —
+    which is the scalable exact form (approx_count_distinct trades it
+    for a sketch when exactness is negotiable; oracle parity requires
+    exact)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct("user_id", "event_type").alias("n_user_types"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_SQL_DISTINCT_USERS_DAILY = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT (user_id, event_type)) AS n_user_types,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY strftime(ts, '%Y-%m-%d')
+"""
+
+
+def _q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape, decorrelated by hand: revenue from line items
+    below one fifth of their part's average quantity, per brand.
+
+    The correlated scalar subquery (per-part average) is rewritten as
+    an aggregate + join — the only shape that scales, since the
+    subquery form re-scans lineitem per outer row; the per-part
+    aggregate (|part| rows, tiny vs the fact table) is broadcast.  The
+    threshold test is cross-multiplied into exact DECIMAL form
+    (5*qty*cnt < sum_qty) so no float division can flip a boundary row
+    in either engine.  The DuckDB oracle states the textbook correlated
+    form and decorrelates it independently."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    dq = F.col("l_quantity").cast("decimal(18,6)")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(dq).alias("sum_qty"), F.count("*").alias("cnt_qty")
+    )
+    return (
+        li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
+        .where(dq * F.lit(5).cast("decimal(18,0)") * F.col("cnt_qty") < F.col("sum_qty"))
+        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("small_qty_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_SQL_SMALL_QTY_REVENUE = """
+SELECT p_brand,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS small_qty_revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part ON l.l_partkey = p_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(18,6)) * 5
+        * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p_brand
+"""
+
+
+def _q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: daily counts of high-value events per
+    type, with missing days materialized as zeros over the global
+    [min_day, max_day] span.
+
+    The day grid comes from sequence()+explode over a one-row span
+    aggregate crossJoined in (broadcast) — no driver collect, no
+    Python.  At scale the grid side stays tiny (|types| x |days|) while
+    the fact side aggregates down BEFORE the left join, so the join
+    moves one row per filled cell, not one per event."""
+    e = _t(spark, sf_dir, "events").where(F.col("value") > 250.0)
+    e = e.withColumn("day", F.to_date("ts"))
+    daily = e.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    span = e.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select("event_type", F.explode(F.sequence("dmin", "dmax")).alias("day"))
+    )
+    # daily is already aggregated to <= |types| x |days| rows — tiny at
+    # any input scale, so the left join broadcasts instead of shuffling
+    return grid.join(F.broadcast(daily), ["event_type", "day"], "left").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )
+
+
+_SQL_EVENTS_GAPFILL = """
+WITH hv AS (
+  SELECT event_type, CAST(ts AS DATE) AS day FROM events WHERE value > 250.0
+),
+span AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM hv),
+days AS (
+  SELECT CAST(UNNEST(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+grid AS (
+  SELECT event_type, day FROM (SELECT DISTINCT event_type FROM hv), days
+),
+daily AS (SELECT event_type, day, COUNT(*) AS n FROM hv GROUP BY 1, 2)
+SELECT g.event_type, strftime(g.day, '%Y-%m-%d') AS day,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+FROM grid g
+LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day
+"""
+
+
+def _q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy linking: customer<->supplier names within edit
+    distance 7, blocked on the 4-char numeric suffix.  Mirrors the
+    entity-linking shape (cheap deterministic blocking key + expensive
+    verify inside blocks): the levenshtein DP only runs on pairs that
+    share a block, never all-pairs, and the block join is a plain
+    equi-join (broadcast here; shuffled-and-salted at scale via the
+    same skew operators the LSH path uses)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_name", F.substring("c_name", -4, 4).alias("blk")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_name", F.substring("s_name", -4, 4).alias("blk")
+    )
+    dist = F.levenshtein("c_name", "s_name").cast("int")
+    return (
+        c.join(F.broadcast(s), "blk")
+        .where(dist <= 7)
+        .select("c_name", "s_name", dist.alias("edit_dist"))
+    )
+
+
+_SQL_FUZZY_NAME_MATCH = """
+SELECT c_name, s_name, CAST(levenshtein(c_name, s_name) AS INTEGER) AS edit_dist
+FROM customer
+JOIN supplier ON right(c_name, 4) = right(s_name, 4)
+WHERE levenshtein(c_name, s_name) <= 7
+"""
+
+
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from turtle_spark.operators.textstats import quality_score
 
@@ -1269,6 +1419,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shipping_priority": _q_shipping_priority,
         "q_local_supplier_revenue": _q_local_supplier_revenue,
         "q_event_percentiles": _q_event_percentiles,
+        "q_distinct_users_daily": _q_distinct_users_daily,
+        "q_small_qty_revenue": _q_small_qty_revenue,
+        "q_events_gapfill": _q_events_gapfill,
+        "q_fuzzy_name_match": _q_fuzzy_name_match,
         # temporal joins
         "q_asof_purchase_view": _q_asof_purchase_view,
         "q_interval_signup_clicks": _q_interval_signup_clicks,
@@ -1341,6 +1495,10 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_shipping_priority": _SQL_SHIPPING_PRIORITY,
         "q_local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
         "q_event_percentiles": _SQL_EVENT_PERCENTILES,
+        "q_distinct_users_daily": _SQL_DISTINCT_USERS_DAILY,
+        "q_small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
+        "q_events_gapfill": _SQL_EVENTS_GAPFILL,
+        "q_fuzzy_name_match": _SQL_FUZZY_NAME_MATCH,
         "q_asof_purchase_view": _SQL_ASOF_PURCHASE_VIEW,
         "q_interval_signup_clicks": _SQL_INTERVAL_SIGNUP_CLICKS,
         "q_salted_join_revenue": _SQL_SALTED_JOIN_REVENUE,

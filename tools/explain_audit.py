@@ -43,6 +43,10 @@ AUDITED = [
     "q_status_cube",
     "q_trailing_user_spend",
     "q_customers_with_purchases",
+    "q_distinct_users_daily",
+    "q_small_qty_revenue",
+    "q_events_gapfill",
+    "q_fuzzy_name_match",
 ]
 
 
