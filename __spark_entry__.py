@@ -1226,6 +1226,41 @@ def _q_kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triples_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph traversal over the materialized KG: 2-hop path counts per
+    predicate pair — a self equi-join of the triple table on
+    object = subject, the fundamental traversal join.
+
+    At 100 TB both sides are the SAME subject-hash-bucketed triple
+    table (sources/storage.py), so the traversal join co-locates on
+    the bucket key rather than shuffling twice; here the corpus is
+    extracted inline at test scale.  Blank nodes are globalized first
+    so cross-document ``_:b0`` collisions cannot forge paths."""
+    from turtle_spark.operators.canonicalize import globalize_blank_nodes
+    from turtle_spark.operators.extract import extract_triples, media_triples
+    from turtle_spark.sources.corpus import fixture_docs, generate_docs
+
+    docs = (
+        generate_docs(spark, 200, seed=42)
+        .unionByName(fixture_docs(spark))
+        .coalesce(8)
+        .persist()
+    )
+    t = globalize_blank_nodes(
+        extract_triples(docs).unionByName(media_triples(docs))
+    ).persist()
+    hop1 = t.where(F.col("objecttype") == "iri").select(
+        F.col("predicate").alias("p1"), F.col("object").alias("mid")
+    )
+    hop2 = t.select(F.col("subject").alias("mid"), F.col("predicate").alias("p2"))
+    return (
+        hop1.join(hop2, "mid")
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy("p1", "p2")
+    )
+
+
 def _q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from turtle_spark.operators.dedup import minhash_near_duplicates
 
@@ -1361,7 +1396,10 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOLDEN_ROOT = pathlib.Path(__file__).resolve().parent / "tests" / "goldens"
 # scale-independent: computed from the seeded generator corpus
 _CORPUS_GOLDENS = frozenset(
-    {"q_kg_extract", "q_serialize_roundtrip", "q_media_features", "q_frame_sample"}
+    {
+        "q_kg_extract", "q_serialize_roundtrip", "q_media_features",
+        "q_frame_sample", "q_triples_two_hop",
+    }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
 _SF_GOLDENS = frozenset(
@@ -1445,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": _q_quality_score,
         # non-SQL-expressible (rows-only checks)
         "q_kg_extract": _q_kg_extract,
+        "q_triples_two_hop": _q_triples_two_hop,
         "q_minhash_dedup_docs": _q_minhash_dedup_docs,
         "q_simhash_dedup_docs": _q_simhash_dedup_docs,
         "q_doc_fingerprints": _q_doc_fingerprints,

@@ -195,6 +195,57 @@ def test_frame_sampling(spark):
         assert r["count"] == durations[r.media_ref] // 60000 + 1
 
 
+def test_resize_media(spark):
+    from turtle_spark.operators.multimodal import resize_media
+
+    docs = generate_docs(spark, 40, seed=21)
+    media = synthesize_media_table(docs)
+    resized = resize_media(media, max_width=256, max_height=256)
+    rows = {r.media_ref: r for r in resized.collect()}
+    orig = {r.media_ref: r for r in media.collect()}
+    assert set(rows) == set(orig)
+    for ref, r in rows.items():
+        o = orig[ref]
+        if r.media_type == "audio":
+            assert (r.meta.width, r.meta.height) == (o.meta.width, o.meta.height)
+            assert r.resize_scale == 1.0
+            continue
+        # fits the box, never upscaled
+        assert r.meta.width <= max(256, 1) and r.meta.height <= 256
+        assert r.meta.width <= o.meta.width and r.meta.height <= o.meta.height
+        # aspect ratio preserved within integer rounding: each side's
+        # realized scale deviates from the true scale by < 0.5/orig_dim
+        if r.resize_scale < 1.0:
+            tol = 0.5 / o.meta.width + 0.5 / o.meta.height + 1e-9
+            assert abs(r.meta.width / o.meta.width - r.meta.height / o.meta.height) <= tol
+        # stub leaves payload bytes untouched
+        assert bytes(r.payload) == bytes(o.payload)
+        assert r.meta.duration_ms == o.meta.duration_ms
+
+
+def test_resize_media_seam(spark):
+    from turtle_spark.operators.multimodal import resize_media
+
+    docs = generate_docs(spark, 40, seed=21)
+    media = synthesize_media_table(docs)
+    with pytest.raises(NotImplementedError):
+        resize_media(media, stub=False)
+
+    # injected resizer flows through the same Arrow plumbing and sees
+    # the TARGET dims computed JVM-side
+    def fake_resizer(payload: bytes, w: int, h: int) -> bytes:
+        return f"resized:{w}x{h}:".encode() + bytes(payload)
+
+    resized = resize_media(media, max_width=64, max_height=64, resizer=fake_resizer)
+    for r in resized.collect():
+        if r.media_type in ("image", "video"):
+            assert bytes(r.payload).startswith(
+                f"resized:{r.meta.width}x{r.meta.height}:".encode()
+            )
+        else:
+            assert not bytes(r.payload).startswith(b"resized:")
+
+
 def test_multimodal_decoder_injection(spark):
     """The decode seam is a real injection point: a custom decoder
     flows through the identical Spark plumbing (schema, Arrow batches,

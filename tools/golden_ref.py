@@ -298,6 +298,27 @@ def ref_q_kg_extract() -> tuple[list[str], list[tuple]]:
     return ["objecttype", "n_triples", "n_subjects"], out
 
 
+def ref_q_triples_two_hop() -> tuple[list[str], list[tuple]]:
+    """2-hop path counts per predicate pair — nested dict-lookup loop
+    (independent of Spark's join machinery): index triples by subject,
+    then for every iri-object triple walk its object's outgoing
+    predicates."""
+    docs = _corpus_docs(200) + _fixture_docs()
+    rows = _extract_all(docs)
+    by_subject: dict[str, list[str]] = {}
+    for r in rows:
+        by_subject.setdefault(r[2], []).append(r[3])
+    counts: dict[tuple[str, str], int] = {}
+    for r in rows:
+        if r[7] != "iri":
+            continue
+        for p2 in by_subject.get(r[4], ()):
+            key = (r[3], p2)
+            counts[key] = counts.get(key, 0) + 1
+    out = [(p1, p2, n) for (p1, p2), n in sorted(counts.items())]
+    return ["p1", "p2", "n_paths"], out
+
+
 def ref_q_serialize_roundtrip() -> tuple[list[str], list[tuple]]:
     from turtle_spark.core.parser import parse_document
     from turtle_spark.core.serializer import GraphBuffer
@@ -566,6 +587,7 @@ SF_QUERIES = {
 
 CORPUS_QUERIES = {
     "q_kg_extract": ref_q_kg_extract,
+    "q_triples_two_hop": ref_q_triples_two_hop,
     "q_serialize_roundtrip": ref_q_serialize_roundtrip,
     "q_media_features": ref_q_media_features,
     "q_frame_sample": ref_q_frame_sample,
@@ -575,6 +597,7 @@ CORPUS_QUERIES = {
 # exact dtype the Spark query produces (the driver's hash sees dtypes)
 DUCK_TYPES = {
     "q_kg_extract": {"objecttype": "VARCHAR", "n_triples": "BIGINT", "n_subjects": "BIGINT"},
+    "q_triples_two_hop": {"p1": "VARCHAR", "p2": "VARCHAR", "n_paths": "BIGINT"},
     "q_serialize_roundtrip": {"subject_initial": "VARCHAR", "n_subjects": "BIGINT", "total_bytes": "BIGINT"},
     "q_minhash_dedup_docs": {"src": "BIGINT", "dst": "BIGINT", "jaccard": "DOUBLE"},
     "q_simhash_dedup_docs": {"id1": "BIGINT", "id2": "BIGINT", "hamming": "INTEGER"},

@@ -132,6 +132,71 @@ def decode_features(
     ).mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame,
+    max_width: int = 256,
+    max_height: int = 256,
+    stub: bool = True,
+    resizer=None,
+) -> DataFrame:
+    """Resize image/video rows to fit ``max_width`` x ``max_height``,
+    preserving aspect ratio and never upscaling.
+
+    The dimension math (scale factor, target width/height) is pure
+    column arithmetic — JVM-side, whole-stage codegen, valid for real
+    and stub payloads alike.  Only the payload transform needs bytes:
+    ``resizer`` is the injection seam, a picklable
+    ``(payload: bytes, new_w: int, new_h: int) -> bytes`` applied in
+    Arrow-batched ``mapInPandas``; without one, ``stub=True`` passes
+    the payload through unchanged (dims metadata still updated) and
+    ``stub=False`` raises at the seam (no image codecs in this
+    environment).  Audio rows pass through untouched."""
+    if resizer is None and not stub:
+        raise NotImplementedError(
+            "real media resize requires image libraries not present in this "
+            "environment; pass resizer=... to plug one in at this seam"
+        )
+    w = F.col("meta.width").cast("double")
+    h = F.col("meta.height").cast("double")
+    visual = F.col("media_type").isin("image", "video")
+    scale = F.when(
+        visual,
+        F.least(F.lit(1.0), F.lit(float(max_width)) / w, F.lit(float(max_height)) / h),
+    ).otherwise(F.lit(1.0))
+    new_w = F.greatest(F.lit(1), F.round(w * scale).cast("int"))
+    new_h = F.greatest(F.lit(1), F.round(h * scale).cast("int"))
+    out = media.select(
+        "media_ref",
+        "doc_id",
+        "media_type",
+        "payload",
+        F.struct(
+            new_w.alias("width"),
+            new_h.alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+            F.col("meta.codec").alias("codec"),
+        ).alias("meta"),
+        F.round(scale, 6).alias("resize_scale"),
+    )
+    if resizer is None:
+        return out
+
+    schema = T.StructType(
+        [*MEDIA_SCHEMA.fields, T.StructField("resize_scale", T.DoubleType())]
+    )
+
+    def batches(it):
+        for pdf in it:
+            payloads = [
+                resizer(p, int(m["width"]), int(m["height"])) if t in ("image", "video") else p
+                for p, m, t in zip(pdf["payload"], pdf["meta"], pdf["media_type"])
+            ]
+            pdf = pdf.assign(payload=payloads)
+            yield pdf
+
+    return out.mapInPandas(batches, schema=schema)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000, stub: bool = True) -> DataFrame:
     """Frame-sampling plumbing for video rows: one output row per
     sampled timestamp (real frame decode stubbed)."""
