@@ -879,6 +879,30 @@ GROUP BY n_name
 """
 
 
+def _q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming watermark-window operator through the oracle gate.
+
+    ``windowed_event_counts`` is the SAME function the streaming path
+    runs (`streaming/stream.py`); the watermark is a no-op on a batch
+    frame and batch/stream parity is pinned by
+    tests/test_streaming_io.py — so this row gives the streaming
+    surface a hash-exact oracle check instead of tests-only status."""
+    from turtle_spark.streaming.stream import windowed_event_counts
+
+    return windowed_event_counts(_t(spark, sf_dir, "events"))
+
+
+_SQL_WINDOWED_EVENT_COUNTS = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def _q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation: per-day user cardinality (single and
     composite keys).  Plans as the distinct-expand shape — partial
@@ -1458,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_local_supplier_revenue": _q_local_supplier_revenue,
         "q_event_percentiles": _q_event_percentiles,
         "q_distinct_users_daily": _q_distinct_users_daily,
+        "q_windowed_event_counts": _q_windowed_event_counts,
         "q_small_qty_revenue": _q_small_qty_revenue,
         "q_events_gapfill": _q_events_gapfill,
         "q_fuzzy_name_match": _q_fuzzy_name_match,
@@ -1535,6 +1560,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
         "q_event_percentiles": _SQL_EVENT_PERCENTILES,
         "q_distinct_users_daily": _SQL_DISTINCT_USERS_DAILY,
+        "q_windowed_event_counts": _SQL_WINDOWED_EVENT_COUNTS,
         "q_small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
         "q_events_gapfill": _SQL_EVENTS_GAPFILL,
         "q_fuzzy_name_match": _SQL_FUZZY_NAME_MATCH,

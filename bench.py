@@ -63,6 +63,9 @@ HEADLINE = [
     "q_status_cube",
     "q_trailing_user_spend",
     "q_stratified_sample",
+    "q_small_qty_revenue",
+    "q_windowed_event_counts",
+    "q_triples_two_hop",
     "q_kg_extract",
 ]
 
