@@ -48,6 +48,11 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
 # clean one; best-of-trials per level is the measurement
 BENCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
 CORPUS_ROOT = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/turtle_spark_bench")
+# full-pipeline scaling evidence (extract -> link -> CC -> canonicalize
+# -> materialize): smaller corpus + fewer trials than the extraction
+# pair, because one local[2] pass runs minutes, not seconds
+PIPE_DOCS = int(os.environ.get("SPARK_GRAFT_PIPE_DOCS", "25000"))
+PIPE_TRIALS = int(os.environ.get("SPARK_GRAFT_PIPE_TRIALS", "2"))
 
 HEADLINE = [
     "q_lineitem_agg",
@@ -182,6 +187,82 @@ def scaling_pair(n_docs: int) -> dict:
     }
 
 
+def _one_pipeline_run(cores: int, n_docs: int) -> dict:
+    """One timed end-to-end pipeline pass (extract -> link -> CC ->
+    canonical rewrite -> bucketed materialize) at ``cores``, fresh
+    manifest workdir (no resume shortcuts)."""
+    import shutil
+    import uuid
+
+    from turtle_spark.plans.pipeline import run_pipeline
+
+    spark = _fresh_spark(cores)
+    try:
+        docs = (
+            spark.read.parquet(_corpus_path(n_docs))
+            .repartition(cores * 4)
+            .persist()
+        )
+        docs.count()
+        wd = f"{CORPUS_ROOT}/pipe_wd_{uuid.uuid4().hex}"
+        s0, t0j = _steal_sample()
+        t0 = time.time()
+        res = run_pipeline(spark, docs, wd, input_fingerprint=f"bench-{cores}")
+        n_triples = res.triples.count()
+        dt = time.time() - t0
+        s1, t1j = _steal_sample()
+        shutil.rmtree(wd, ignore_errors=True)
+        docs.unpersist()
+        return {
+            "cores": cores,
+            "seconds": round(dt, 3),
+            "triples": n_triples,
+            "triples_per_sec": round(n_triples / dt, 1),
+            "steal_pct": round(100.0 * (s1 - s0) / max(t1j - t0j, 1), 1),
+        }
+    finally:
+        spark.stop()
+
+
+def pipeline_scaling_pair(n_docs: int) -> dict:
+    """Interleaved N / 4N trials of the FULL pipeline — the north
+    rule's job is the whole KG-construction pipeline, so the scaling
+    evidence covers it end-to-end, not just the extraction stage."""
+    from turtle_spark.sources.corpus import generate_docs
+
+    path = _corpus_path(n_docs)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark = _fresh_spark(SCALE_BIG)
+        generate_docs(spark, n_docs, seed=42, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+        spark.stop()
+
+    trials: dict[int, list[dict]] = {SCALE_SMALL: [], SCALE_BIG: []}
+    for _ in range(PIPE_TRIALS):
+        for cores in (SCALE_SMALL, SCALE_BIG):
+            trials[cores].append(_one_pipeline_run(cores, n_docs))
+    best = {
+        cores: min(runs, key=lambda r: r["seconds"])
+        for cores, runs in trials.items()
+    }
+    small, big = best[SCALE_SMALL], best[SCALE_BIG]
+    efficiency = (big["triples_per_sec"] / small["triples_per_sec"]) / (
+        big["cores"] / small["cores"]
+    )
+    return {
+        "n_docs": n_docs,
+        "small": small,
+        "big": big,
+        "efficiency": round(efficiency, 3),
+        "all_trials": [
+            {k: r[k] for k in ("cores", "seconds", "steal_pct")}
+            for runs in trials.values()
+            for r in runs
+        ],
+    }
+
+
 def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -204,7 +285,9 @@ def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
     return timings
 
 
-def write_bench_md(scaling: dict, queries: dict[str, float], sf_dir: str) -> None:
+def write_bench_md(
+    scaling: dict, queries: dict[str, float], sf_dir: str, pipe: dict | None = None
+) -> None:
     small, big = scaling["small"], scaling["big"]
     lines = [
         "# BENCH — measured numbers (this engine)",
@@ -239,6 +322,25 @@ def write_bench_md(scaling: dict, queries: dict[str, float], sf_dir: str) -> Non
         f"Reference single-core baseline: ~219k triples/s (Go, README.md:221).",
         f"This engine at local[{big['cores']}]: {big['triples_per_sec']:.0f} triples/s.",
         "",
+    ]
+    if pipe:
+        ps, pb = pipe["small"], pipe["big"]
+        lines += [
+            "## Full-pipeline scaling (extract -> link -> CC -> canonicalize -> materialize)",
+            "",
+            f"Same job end-to-end ({pipe['n_docs']} documents, fresh manifest",
+            "workdir each run, canonical triples written bucketed):",
+            "",
+            "| parallelism | wall sec (best of trials) | canonical triples | triples/s | steal% |",
+            "| --- | --- | --- | --- | --- |",
+            f"| local[{ps['cores']}] | {ps['seconds']} | {ps['triples']} | {ps['triples_per_sec']} | {ps.get('steal_pct', 'n/a')} |",
+            f"| local[{pb['cores']}] | {pb['seconds']} | {pb['triples']} | {pb['triples_per_sec']} | {pb.get('steal_pct', 'n/a')} |",
+            "",
+            f"**Pipeline scaling efficiency ({ps['cores']} -> {pb['cores']}): "
+            f"{pipe['efficiency']:.3f}**",
+            "",
+        ]
+    lines += [
         f"## Headline queries ({sf_dir}, local[{CPUS}])",
         "",
         "| query | sec |",
@@ -252,24 +354,25 @@ def write_bench_md(scaling: dict, queries: dict[str, float], sf_dir: str) -> Non
 def main() -> None:
     scaling = scaling_pair(BENCH_DOCS)
     small, big = scaling["small"], scaling["big"]
+    pipe = pipeline_scaling_pair(PIPE_DOCS) if PIPE_TRIALS > 0 else None
     queries = run_headline(SF_DIR, CPUS)
     total = round(sum(queries.values()) + small["seconds"] + big["seconds"], 3)
-    write_bench_md(scaling, queries, SF_DIR)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": SF_DIR,
-                "scaling": scaling,
-                "triples_per_sec_small": small["triples_per_sec"],
-                "triples_per_sec_big": big["triples_per_sec"],
-                "scaling_efficiency": scaling["efficiency"],
-            }
-        )
-    )
+    write_bench_md(scaling, queries, SF_DIR, pipe=pipe)
+    out = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "scaling": scaling,
+        "triples_per_sec_small": small["triples_per_sec"],
+        "triples_per_sec_big": big["triples_per_sec"],
+        "scaling_efficiency": scaling["efficiency"],
+    }
+    if pipe:
+        out["pipeline_scaling"] = pipe
+        out["pipeline_scaling_efficiency"] = pipe["efficiency"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

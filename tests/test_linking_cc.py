@@ -96,6 +96,40 @@ def test_bucket_cap_bounds_pair_fanout(spark):
     assert pairs.count() <= 32 * 45
 
 
+def test_src_degree_cap_preserves_family_components(spark):
+    """The clique guard: a dense family of template-minted terms must
+    survive degree capping as ONE component (chain connectivity), with
+    the capped edge set a strict subset of the uncapped edges."""
+    family = [f"http://kg.example/entity/item-{i:05d}" for i in range(60)]
+    outsider = ["http://elsewhere.net/totally/different/path"]
+    terms = _terms_df(spark, family + outsider)
+
+    full = linking.link_terms(terms, threshold=0.6)
+    capped = linking.link_terms(terms, threshold=0.6, src_degree_cap=4)
+    full_pairs = {(e.src, e.dst) for e in full.collect()}
+    capped_pairs = {(e.src, e.dst) for e in capped.collect()}
+    assert capped_pairs <= full_pairs
+    assert len(capped_pairs) < len(full_pairs)  # the clique actually shrank
+    # per-src fan-out bound holds
+    from collections import Counter
+
+    fanout = Counter(s for s, _ in capped_pairs)
+    assert max(fanout.values()) <= 4
+
+    # connected components are UNCHANGED: the family stays one
+    # component via near-id chains, the outsider stays isolated
+    def comps(pairs):
+        a = connected_components(
+            spark.createDataFrame(list(pairs), "src long, dst long")
+        ).collect()
+        by_comp: dict[int, set] = {}
+        for r in a:
+            by_comp.setdefault(r.component, set()).add(r.node)
+        return {frozenset(v) for v in by_comp.values()}
+
+    assert comps(full_pairs) == comps(capped_pairs)
+
+
 # --- connected components -----------------------------------------------------
 
 def test_cc_chain_and_clique(spark):

@@ -151,7 +151,11 @@ def lsh_band_keys(
 
 
 def candidate_pairs(
-    buckets: DataFrame, bucket_cap: int = DEFAULT_BUCKET_CAP
+    buckets: DataFrame,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    src_degree_cap: int | None = None,
+    neighbor_window: int | None = None,
+    salt_cap_order: bool = False,
 ) -> DataFrame:
     """Expand LSH buckets into SKINNY candidate pairs (src, dst).
 
@@ -175,10 +179,40 @@ def candidate_pairs(
 
     Everything downstream moves 16-byte id pairs only — the term
     strings are joined back after dedup (verify_pairs).
+
+    Three knobs bound dense-family (clique) blow-up — all share the
+    ``bucket_cap`` contract (dropped candidates cost only recall, and
+    for downstream connected components only if a family's chain
+    happens to break; never the correctness of retained pairs):
+
+    * ``src_degree_cap`` — after cross-band dedup, keep each src's cap
+      smallest-id partners.  A family of n mutually-similar terms
+      (template-minted IRIs, boilerplate) otherwise yields O(n²) TRUE
+      pairs that all survive verification (measured 25M verified edges
+      from 434k terms); CC needs the family CONNECTED, not complete.
+    * ``neighbor_window`` — bound the IN-ARRAY expansion itself: each
+      bucket member pairs with only its ``neighbor_window`` nearest
+      followers in the sorted member list (64·K pairs per bucket
+      instead of C(64,2)=2016), so the raw pair stream entering the
+      dedup shuffle shrinks ~4x before anything moves.  Consecutive
+      members always pair, so each bucket's retained set stays
+      chain-connected by construction.
+    * ``salt_cap_order`` — order the bucket cap by
+      ``xxhash64(band_index, term_id)`` instead of ``term_id``.  With
+      id-ordered capping, a family larger than ``bucket_cap`` retains
+      the SAME smallest ids in every band and the rest of the family
+      never reaches a pair; salting keeps a different random subset
+      per band, so across b bands ~b·cap distinct members participate
+      and overlapping subsets chain the family together.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("band_index", "band_hash").orderBy("term_id")
+    order = (
+        F.xxhash64(F.col("band_index"), F.col("term_id"))
+        if salt_cap_order
+        else F.col("term_id")
+    )
+    w = Window.partitionBy("band_index", "band_hash").orderBy(order)
     members = (
         buckets.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= bucket_cap)
@@ -186,18 +220,31 @@ def candidate_pairs(
         .agg(F.sort_array(F.collect_list("term_id")).alias("ms"))
         .where(F.size("ms") >= 2)
     )
+    win = (
+        "size(ms) - i - 1"
+        if neighbor_window is None
+        else f"least({int(neighbor_window)}, size(ms) - i - 1)"
+    )
     pair_expr = F.expr(
-        """
+        f"""
         flatten(transform(ms, (x, i) ->
-          transform(slice(ms, i + 2, size(ms) - i - 1), y ->
+          transform(slice(ms, i + 2, {win}), y ->
             struct(x AS src, y AS dst))))
         """
     )
-    return (
+    pairs = (
         members.select(F.explode(pair_expr).alias("p"))
         .select("p.src", "p.dst")
         .dropDuplicates(["src", "dst"])
     )
+    if src_degree_cap is not None:
+        wd = Window.partitionBy("src").orderBy("dst")
+        pairs = (
+            pairs.withColumn("_dn", F.row_number().over(wd))
+            .where(F.col("_dn") <= src_degree_cap)
+            .drop("_dn")
+        )
+    return pairs
 
 
 def shingle_profiles(
@@ -290,11 +337,26 @@ def link_terms(
     shingle_k: int = DEFAULT_SHINGLE_K,
     bucket_cap: int = DEFAULT_BUCKET_CAP,
     threshold: float = DEFAULT_JACCARD,
+    src_degree_cap: int | None = None,
+    neighbor_window: int | None = None,
+    salt_cap_order: bool = False,
     seed: int = 7,
 ) -> DataFrame:
-    """terms(term_id, term) -> verified similarity edges (src, dst)."""
+    """terms(term_id, term) -> verified similarity edges (src, dst).
+
+    Set the clique-guard knobs (``src_degree_cap``,
+    ``neighbor_window``, ``salt_cap_order``) when the edges feed
+    connected components (the canonicalization pipeline does): dense
+    term families then contribute chains instead of cliques — see
+    ``candidate_pairs``."""
     buckets = lsh_band_keys(
         terms, num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed
     )
-    pairs = candidate_pairs(buckets, bucket_cap=bucket_cap)
+    pairs = candidate_pairs(
+        buckets,
+        bucket_cap=bucket_cap,
+        src_degree_cap=src_degree_cap,
+        neighbor_window=neighbor_window,
+        salt_cap_order=salt_cap_order,
+    )
     return verify_pairs(pairs, terms, shingle_k=shingle_k, threshold=threshold)

@@ -92,6 +92,7 @@ def run_pipeline(
     n_buckets: int = DEFAULT_BUCKETS,
     link_threshold: float = linking.DEFAULT_JACCARD,
     bucket_cap: int = linking.DEFAULT_BUCKET_CAP,
+    src_degree_cap: int | None = 8,
     extract_chunks: int | None = None,
 ) -> PipelineResult:
     """Run (or resume) the full pipeline over a docs table.
@@ -99,6 +100,13 @@ def run_pipeline(
     ``input_fingerprint`` identifies the input corpus (e.g. a content
     fingerprint or an immutable snapshot id); it keys every stage's
     resume check.
+
+    ``src_degree_cap`` defaults ON here (unlike ``link_terms``):
+    these edges exist solely to feed connected components, where a
+    dense term family needs to arrive as a connected chain, not a
+    clique — the cap turns O(family²) verify+CC work into
+    O(family·cap) while leaving the resulting components intact for
+    chain-connected families (see linking.candidate_pairs).
     """
     manifest = StageManifest(workdir)
     resumed: list[str] = []
@@ -139,7 +147,12 @@ def run_pipeline(
     edges = stage(
         "edges",
         lambda: linking.link_terms(
-            terms, threshold=link_threshold, bucket_cap=bucket_cap
+            terms,
+            threshold=link_threshold,
+            bucket_cap=bucket_cap,
+            src_degree_cap=src_degree_cap,
+            neighbor_window=src_degree_cap,
+            salt_cap_order=True,
         ),
     )
 
