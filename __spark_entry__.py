@@ -1223,6 +1223,154 @@ GROUP BY o_orderpriority
 """
 
 
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (64-token windows, stride 48) —
+    the corpus -> training-batch shaping step.  Narrow map over the
+    documents scan, zero shuffles; only chunk hashes travel."""
+    from turtle_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
+    )
+
+
+_SQL_DOC_CHUNKS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+  FROM documents
+  WHERE LENGTH(TRIM(text)) > 0
+), n AS (
+  SELECT doc_id, toks, LEN(toks) AS n_toks,
+         CASE WHEN LEN(toks) <= 64 THEN 1
+              ELSE 1 + (LEN(toks) - 64 + 47) // 48 END AS n_chunks
+  FROM t
+), e AS (
+  SELECT doc_id, toks, n_toks,
+         UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM n
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(LEAST(64, n_toks - chunk_idx * 48) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(toks, chunk_idx * 48 + 1,
+                                      LEAST(chunk_idx * 48 + 64, n_toks)), ' ')) AS chunk_hash
+FROM e
+"""
+
+
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (reciprocal-df weighting so
+    the score is an exact int/int IEEE division — hash-comparable)."""
+    from turtle_spark.operators.textstats import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), top_k=3)
+
+
+_SQL_TFIDF_KEYWORDS = r"""
+WITH w AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS term
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf / CAST(df.df AS DOUBLE) AS score
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, CAST(rn AS INTEGER) AS rank, term, tf, df,
+       ROUND(score, 6) AS score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM s)
+WHERE rn <= 3
+"""
+
+
+def _q_cdc_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: latest-wins current-state view of the
+    events change log per (user_id, event_type) — one window shuffle,
+    deterministic under retries via the event_id tiebreak."""
+    from turtle_spark.operators.cdc import latest_by_key
+
+    compacted = latest_by_key(
+        _t(spark, sf_dir, "events").select(
+            "user_id", "event_type", "event_id", "ts", "value"
+        ),
+        keys=["user_id", "event_type"],
+        version_cols=["ts", "event_id"],
+    )
+    # epoch micros, not raw timestamp: naive-vs-ns-resolution drift
+    # between engines would poison the hash (same convention as the
+    # temporal-join queries)
+    return compacted.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+
+
+_SQL_CDC_LATEST_EVENTS = """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+FROM (SELECT user_id, event_type, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-corpus funnel: exact-dedup canonical AND
+    language == en AND quality score >= 0.45 AND 20..2000 tokens —
+    one narrow pass over the scan plus the dedup window."""
+    from turtle_spark.operators.textstats import training_filter
+
+    return training_filter(
+        _t(spark, sf_dir, "documents"),
+        min_score=0.45,
+        min_tokens=20,
+        max_tokens=2000,
+        lang="en",
+    )
+
+
+_SQL_CORPUS_FILTER = rf"""
+WITH b AS (
+  SELECT doc_id, text,
+         doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text)) AS _canon,
+         {_marker_sql(' der ')} + {_marker_sql(' und ')} + {_marker_sql(' die ')} AS score_de,
+         {_marker_sql(' the ')} + {_marker_sql(' and ')} + {_marker_sql(' of ')} AS score_en,
+         {_marker_sql(' el ')} + {_marker_sql(' y ')} + {_marker_sql(' de la ')} AS score_es,
+         {_marker_sql(' le ')} + {_marker_sql(' et ')} + {_marker_sql(' les ')} AS score_fr,
+         GREATEST(LENGTH(text), 1) AS n_chars,
+         LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_ws_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, _canon, n_ws_tokens,
+         CASE WHEN GREATEST(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+              WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
+              WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
+              WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
+              ELSE 'fr' END AS pred_lang,
+         ROUND(0.4 * LEAST((score_en / CAST(GREATEST(n_ws_tokens, 1) AS DOUBLE)) * 5, 1.0)
+               + 0.4 * n_alpha / CAST(n_chars AS DOUBLE)
+               + 0.2 * (1.0 - n_upper / CAST(GREATEST(n_alpha, 1) AS DOUBLE)), 6) AS score
+  FROM b
+)
+SELECT doc_id, pred_lang, score, n_ws_tokens
+FROM s
+WHERE _canon AND pred_lang = 'en' AND score >= 0.45
+  AND n_ws_tokens BETWEEN 20 AND 2000
+"""
+
+
 # -- non-SQL-expressible operators (rows-only driver check) ------------------
 
 def _q_kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1506,6 +1654,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_dedup": _q_embed_dedup,
         "q_stratified_sample": _q_stratified_sample,
         "q_quality_score": _q_quality_score,
+        "q_doc_chunks": _q_doc_chunks,
+        "q_tfidf_keywords": _q_tfidf_keywords,
+        "q_cdc_latest_events": _q_cdc_latest_events,
+        "q_corpus_filter": _q_corpus_filter,
         # non-SQL-expressible (rows-only checks)
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -1572,4 +1724,8 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_unpivot_part": _SQL_UNPIVOT_PART,
         "q_status_pivot": _SQL_STATUS_PIVOT,
         "q_quality_score": _SQL_QUALITY_SCORE,
+        "q_doc_chunks": _SQL_DOC_CHUNKS,
+        "q_tfidf_keywords": _SQL_TFIDF_KEYWORDS,
+        "q_cdc_latest_events": _SQL_CDC_LATEST_EVENTS,
+        "q_corpus_filter": _SQL_CORPUS_FILTER,
     }

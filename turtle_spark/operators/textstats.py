@@ -58,8 +58,16 @@ def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """N-gram-marker language heuristic, argmax over marker hit counts."""
+def language_id(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append: bool = False,
+) -> DataFrame:
+    """N-gram-marker language heuristic, argmax over marker hit counts.
+
+    ``append=True`` keeps the input columns (for funnel composition in
+    one narrow pass) instead of projecting down to id + scores."""
     c = F.lower(F.col(text_col))
     scores = {
         lang: sum((_marker_count(c, m) for m in markers), F.lit(0).cast("long"))
@@ -72,15 +80,21 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     for lang in reversed(langs):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    head = [F.col("*")] if append else [F.col(id_col)]
     out = docs.select(
-        F.col(id_col),
+        *head,
         *[scores[l].alias(f"score_{l}") for l in langs],
         pred.alias("pred_lang"),
     )
     return out
 
 
-def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append: bool = False,
+) -> DataFrame:
     """Whitespace tokens + BPE-ish subword proxy count.
 
     The subword proxy counts alternating character-class runs
@@ -90,14 +104,20 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     c = F.col(text_col)
     ws_tokens = F.size(F.split(F.trim(c), r"\s+"))
     subword = F.regexp_count(c, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+    head = [F.col("*")] if append else [F.col(id_col)]
     return docs.select(
-        F.col(id_col),
+        *head,
         F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(ws_tokens).cast("long").alias("n_ws_tokens"),
         subword.cast("long").alias("n_subword_tokens"),
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append: bool = False,
+) -> DataFrame:
     """Composite document-quality score in [0, 1] — the Gopher/C4-style
     heuristic filter family, as pure column expressions.
 
@@ -131,8 +151,9 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         + F.lit(0.4) * alpha_ratio
         + F.lit(0.2) * (F.lit(1.0) - upper_ratio)
     )
+    head = [F.col("*")] if append else [F.col(id_col)]
     return docs.select(
-        F.col(id_col),
+        *head,
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(upper_ratio, 6).alias("upper_ratio"),
@@ -160,3 +181,99 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         fp_udf(F.col(text_col)).alias("fingerprint"),
         sh_udf(F.col(text_col)).alias("simhash"),
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``top_k`` characteristic terms per document by TF–IDF with
+    reciprocal-df weighting (``score = tf / df``).
+
+    Reciprocal df rather than ``ln(N/df)`` on purpose: ``tf`` and
+    ``df`` are integers, and one int/int IEEE division is bit-identical
+    in every engine, so the oracle can compare scores exactly — a
+    transcendental ``ln`` may differ in the last ulp between libm
+    implementations and poison a hash comparison.  Ranking is by the
+    raw score with a term tiebreak, so ordering is deterministic too.
+
+    Plan shape: one explode + two hash aggregations (doc-term tf, then
+    term df) + one shuffle join on term + one window.  The df side is
+    bounded by vocabulary size, not corpus size, so at 100 TB the join
+    shuffles a dictionary-sized table against the tf stream; nothing
+    is ever collected.
+    """
+    from pyspark.sql import Window
+
+    words = docs.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score", F.col("tf") / F.col("df")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= top_k)
+        .select(
+            F.col(id_col),
+            F.col("_rn").cast("int").alias("rank"),
+            "term",
+            F.col("tf").alias("tf"),
+            F.col("df").alias("df"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def training_filter(
+    docs: DataFrame,
+    min_score: float = 0.5,
+    min_tokens: int = 20,
+    max_tokens: int = 2000,
+    lang: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Composite training-corpus selection — the C4-style funnel that
+    every pre-training pipeline runs, composed from this module's
+    operators plus exact dedup:
+
+    keep a document iff it (a) is the canonical copy of its exact-hash
+    group, (b) language-identifies as ``lang``, (c) scores at least
+    ``min_score`` on the composite quality heuristic, and (d) has a
+    whitespace-token count in ``[min_tokens, max_tokens]``.
+
+    All stages are column expressions over ONE documents scan (the
+    helpers chain in append mode — no self-joins); the only shuffle is
+    the dedup window on the 32-byte content hash.  Returns the
+    surviving ``(id_col, pred_lang, score, n_ws_tokens)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256))
+    canon = docs.withColumn(
+        "_canon", F.col(id_col) == F.min(id_col).over(w)
+    )
+    staged = token_counts(
+        quality_score(
+            language_id(canon, text_col=text_col, id_col=id_col, append=True),
+            text_col=text_col,
+            id_col=id_col,
+            append=True,
+        ),
+        text_col=text_col,
+        id_col=id_col,
+        append=True,
+    )
+    return staged.where(
+        F.col("_canon")
+        & (F.col("pred_lang") == lang)
+        & (F.col("score") >= min_score)
+        & F.col("n_ws_tokens").between(min_tokens, max_tokens)
+    ).select(id_col, "pred_lang", "score", "n_ws_tokens")
