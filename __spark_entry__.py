@@ -1433,6 +1433,87 @@ def _q_triples_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_triples(spark: SparkSession) -> DataFrame:
+    """The deterministic 200-doc corpus + fixture docs, extracted and
+    blank-node-globalized — the shared input of the KG analytics
+    queries (same build as _q_kg_extract)."""
+    from turtle_spark.operators.canonicalize import globalize_blank_nodes
+    from turtle_spark.operators.extract import extract_triples, media_triples
+    from turtle_spark.sources.corpus import fixture_docs, generate_docs
+
+    docs = (
+        generate_docs(spark, 200, seed=42)
+        .unionByName(fixture_docs(spark))
+        .coalesce(8)
+        .persist()
+    )
+    return globalize_blank_nodes(
+        extract_triples(docs).unionByName(media_triples(docs))
+    )
+
+
+def _q_predicate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG schema profiling: per-predicate cardinalities + functional-
+    predicate detection over the materialized triples — the statistics
+    that drive join planning and bucketing choices downstream."""
+    from turtle_spark.operators.graph import predicate_profile
+
+    return predicate_profile(_corpus_triples(spark)).orderBy("predicate")
+
+
+def _q_pagerank_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 entities by fixed-point integer PageRank (10 rounds).
+    Integer micro-unit arithmetic keeps every iteration bit-identical
+    at any parallelism — float PageRank would not hash-match its own
+    reruns, let alone an oracle."""
+    from turtle_spark.operators.graph import entity_edges, pagerank
+
+    ranks = pagerank(entity_edges(_corpus_triples(spark)), iterations=10)
+    return ranks.orderBy(F.col("rank_fp").desc(), "node").limit(20)
+
+
+def _q_entity_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sampled slice of the dense entity dictionary (distributed
+    dictionary encoding: hash buckets + within-bucket rank + offsets —
+    no global-sort bottleneck)."""
+    from turtle_spark.operators.graph import dense_entity_ids, kg_entities
+
+    ids = dense_entity_ids(kg_entities(_corpus_triples(spark)))
+    return ids.where(
+        F.pmod(F.xxhash64(F.concat(F.col("entity"), F.lit("#sample"))), F.lit(20))
+        == 0
+    )
+
+
+def _q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransE-style negative sampling over a hash-picked tenth of the
+    distinct entity triples: corruption is seeded by the triple's own
+    hash, so the drawn negatives are identical across runs, retries,
+    and cluster sizes."""
+    from turtle_spark.operators.graph import (
+        dense_entity_ids,
+        kg_entities,
+        negative_samples,
+    )
+
+    triples = _corpus_triples(spark).persist()
+    ids = dense_entity_ids(kg_entities(triples))
+    picked = (
+        triples.where(F.col("objecttype") == "iri")
+        .dropDuplicates(["subject", "predicate", "object"])
+        .where(
+            F.pmod(
+                F.xxhash64(
+                    F.concat_ws("|", "subject", "predicate", "object", F.lit("pick"))
+                ),
+                F.lit(10),
+            )
+            == 0
+        )
+    )
+    return negative_samples(picked, ids, per_triple=1)
+
+
 def _q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from turtle_spark.operators.dedup import minhash_near_duplicates
 
@@ -1570,7 +1651,8 @@ _GOLDEN_ROOT = pathlib.Path(__file__).resolve().parent / "tests" / "goldens"
 _CORPUS_GOLDENS = frozenset(
     {
         "q_kg_extract", "q_serialize_roundtrip", "q_media_features",
-        "q_frame_sample", "q_triples_two_hop",
+        "q_frame_sample", "q_triples_two_hop", "q_predicate_profile",
+        "q_pagerank_kg", "q_entity_ids", "q_kg_negative_samples",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -1661,6 +1743,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # non-SQL-expressible (rows-only checks)
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
+        "q_predicate_profile": _q_predicate_profile,
+        "q_pagerank_kg": _q_pagerank_kg,
+        "q_entity_ids": _q_entity_ids,
+        "q_kg_negative_samples": _q_kg_negative_samples,
         "q_minhash_dedup_docs": _q_minhash_dedup_docs,
         "q_simhash_dedup_docs": _q_simhash_dedup_docs,
         "q_doc_fingerprints": _q_doc_fingerprints,

@@ -1,0 +1,158 @@
+"""Unit tests for the KG graph-analytics operators
+(turtle_spark.operators.graph); oracle parity is covered by
+test_oracle_parity.py via the corpus goldens."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from turtle_spark.operators.graph import (
+    _SCALE,
+    dense_entity_ids,
+    entity_edges,
+    kg_entities,
+    negative_samples,
+    pagerank,
+    predicate_profile,
+)
+
+TRIPLE_SCHEMA = (
+    "subject string, predicate string, object string, "
+    "label string, datatype string, objecttype string"
+)
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        [(s, p, o, "", "", t) for s, p, o, t in rows], TRIPLE_SCHEMA
+    )
+
+
+class TestPredicateProfile:
+    def test_hand_kg(self, spark):
+        t = _triples(
+            spark,
+            [
+                ("a", "type", "T", "iri"),
+                ("b", "type", "T", "iri"),
+                ("a", "knows", "b", "iri"),
+                ("a", "knows", "c", "iri"),
+                ("a", "knows", "b", "iri"),  # duplicate triple kept in count
+                ("b", "name", "Bob", "literal"),
+            ],
+        )
+        out = {r["predicate"]: r for r in predicate_profile(t).collect()}
+        assert out["type"]["n_triples"] == 2
+        assert out["type"]["n_subjects"] == 2
+        assert out["type"]["n_objects"] == 1
+        assert out["type"]["is_functional"] is True
+        assert out["knows"]["n_triples"] == 3
+        assert out["knows"]["max_fanout"] == 2
+        assert out["knows"]["is_functional"] is False
+        assert out["name"]["is_functional"] is True
+
+
+class TestDenseEntityIds:
+    def test_dense_and_deterministic(self, spark):
+        ents = spark.createDataFrame(
+            [(f"e{i:03d}",) for i in range(257)], "entity string"
+        )
+        ids = {r["entity"]: r["entity_id"] for r in dense_entity_ids(ents).collect()}
+        assert sorted(ids.values()) == list(range(257))
+        again = {
+            r["entity"]: r["entity_id"]
+            for r in dense_entity_ids(ents.repartition(7)).collect()
+        }
+        assert ids == again  # partitioning-independent
+
+    def test_null_and_dup_entities_ignored(self, spark):
+        ents = spark.createDataFrame(
+            [("a",), ("a",), (None,), ("b",)], "entity string"
+        )
+        ids = {r["entity"]: r["entity_id"] for r in dense_entity_ids(ents).collect()}
+        assert sorted(ids.values()) == [0, 1]
+
+
+class TestPagerank:
+    def test_cycle_is_uniform(self, spark):
+        # a->b->c->a: perfect symmetry, every node keeps rank 1.0
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+        )
+        out = {r["node"]: r["rank_fp"] for r in pagerank(edges, iterations=5).collect()}
+        assert set(out) == {"a", "b", "c"}
+        assert len(set(out.values())) == 1
+        # mass conserved on a cycle: rank stays at the initial unit
+        assert abs(out["a"] - _SCALE) <= 5  # floor-div rounding only
+
+    def test_hub_and_its_target_outrank_leaves(self, spark):
+        # b, c are dangling sources: they keep only the base rank.
+        # hub aggregates three in-edges; a receives hub's entire mass.
+        edges = spark.createDataFrame(
+            [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")],
+            "src string, dst string",
+        )
+        out = {r["node"]: r["rank_fp"] for r in pagerank(edges, iterations=10).collect()}
+        base = 15 * _SCALE // 100
+        assert out["b"] == out["c"] == base
+        assert out["hub"] > 5 * base
+        assert out["a"] > 5 * base
+
+    def test_parallelism_independent(self, spark):
+        edges = spark.createDataFrame(
+            [(f"n{i}", f"n{(i * 7 + 3) % 50}") for i in range(200)],
+            "src string, dst string",
+        ).where("src != dst")
+        r1 = {r["node"]: r["rank_fp"] for r in pagerank(edges, iterations=6).collect()}
+        r2 = {
+            r["node"]: r["rank_fp"]
+            for r in pagerank(edges.repartition(13), iterations=6).collect()
+        }
+        assert r1 == r2  # exact int equality, not approx
+
+
+class TestNegativeSamples:
+    def _kg(self, spark):
+        return _triples(
+            spark,
+            [(f"s{i}", "p", f"o{i % 7}", "iri") for i in range(30)]
+            + [("s0", "lit", "text", "literal")],
+        )
+
+    def test_negatives_never_equal_truth(self, spark):
+        t = self._kg(spark)
+        ids = dense_entity_ids(kg_entities(t))
+        out = negative_samples(t, ids, per_triple=2).collect()
+        assert len(out) == 60  # literals excluded, 2 per entity triple
+        for r in out:
+            assert r["neg_object"] != r["true_object"]
+
+    def test_deterministic_across_partitionings(self, spark):
+        t = self._kg(spark)
+        ids = dense_entity_ids(kg_entities(t))
+        a = sorted(map(tuple, negative_samples(t, ids).collect()))
+        b = sorted(map(tuple, negative_samples(t.repartition(5), ids).collect()))
+        assert a == b
+
+    def test_tiny_dictionary_rejected(self, spark):
+        t = _triples(spark, [("a", "p", "a", "iri")])
+        ids = dense_entity_ids(kg_entities(t))
+        with pytest.raises(ValueError):
+            negative_samples(t, ids)
+
+
+class TestEntityEdges:
+    def test_filters_literals_selfloops_dups(self, spark):
+        t = _triples(
+            spark,
+            [
+                ("a", "p", "b", "iri"),
+                ("a", "p", "b", "iri"),
+                ("a", "q", "a", "iri"),
+                ("a", "r", "x", "literal"),
+            ],
+        )
+        assert entity_edges(t).collect() == [("a", "b")] or [
+            tuple(r) for r in entity_edges(t).collect()
+        ] == [("a", "b")]

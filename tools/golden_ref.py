@@ -576,6 +576,111 @@ def ref_q_dedup_clusters(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["cluster_size", "n_clusters"], sorted(hist.items())
 
 
+# --------------------------------------------------------------------------
+# KG graph analytics (operators/graph.py twins)
+# --------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000_000  # mirrors graph._SCALE
+
+
+def _kg_entities(rows) -> list[str]:
+    ents = {r[2] for r in rows} | {r[4] for r in rows if r[7] == "iri"}
+    return sorted(ents)
+
+
+def _dense_ids(entities: list[str], n_buckets: int = 64) -> dict[str, int]:
+    """Mirror of graph.dense_entity_ids: hash-bucket, rank within
+    bucket by entity string, add cumulative bucket offsets."""
+    buckets: dict[int, list[str]] = {}
+    for e in entities:
+        buckets.setdefault(pmod(xxh64_str(e), n_buckets), []).append(e)
+    ids, acc = {}, 0
+    for b in range(n_buckets):
+        for rank, e in enumerate(sorted(buckets.get(b, ()))):
+            ids[e] = acc + rank
+        acc += len(buckets.get(b, ()))
+    return ids
+
+
+def ref_q_predicate_profile() -> tuple[list[str], list[tuple]]:
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    per_pred: dict[str, dict] = {}
+    for r in rows:
+        p = per_pred.setdefault(
+            r[3], {"n": 0, "subs": set(), "objs": set(), "fan": {}}
+        )
+        p["n"] += 1
+        p["subs"].add(r[2])
+        p["objs"].add(r[4])
+        p["fan"].setdefault(r[2], set()).add(r[4])
+    out = [
+        (
+            pred,
+            p["n"],
+            len(p["subs"]),
+            len(p["objs"]),
+            max(len(v) for v in p["fan"].values()),
+            max(len(v) for v in p["fan"].values()) == 1,
+        )
+        for pred, p in sorted(per_pred.items())
+    ]
+    return (
+        ["predicate", "n_triples", "n_subjects", "n_objects", "max_fanout", "is_functional"],
+        out,
+    )
+
+
+def ref_q_pagerank_kg() -> tuple[list[str], list[tuple]]:
+    """Fixed-point PageRank — plain dict loops vs the engine's
+    join/groupBy iterations; integer arithmetic makes both exact."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    edges = sorted({(r[2], r[4]) for r in rows if r[7] == "iri" and r[2] != r[4]})
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg: dict[str, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: _PR_SCALE for n in nodes}
+    base = 15 * _PR_SCALE // 100
+    for _ in range(10):
+        inflow = {n: 0 for n in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // deg[s]
+        rank = {n: base + 85 * inflow[n] // 100 for n in nodes}
+    top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return ["node", "rank_fp"], [(n, r) for n, r in top]
+
+
+def ref_q_entity_ids() -> tuple[list[str], list[tuple]]:
+    """Hash-sampled slice of the dense entity dictionary (the full
+    layout is pinned by pytest; the oracle checks per-entity ids)."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    ids = _dense_ids(_kg_entities(rows))
+    out = [
+        (e, i)
+        for e, i in sorted(ids.items())
+        if pmod(xxh64_str(e + "#sample"), 20) == 0
+    ]
+    return ["entity", "entity_id"], out
+
+
+def ref_q_kg_negative_samples() -> tuple[list[str], list[tuple]]:
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    entities = _kg_entities(rows)
+    ids = _dense_ids(entities)
+    by_id = {i: e for e, i in ids.items()}
+    n = len(entities)
+    out = []
+    for r in sorted({(r[2], r[3], r[4]) for r in rows if r[7] == "iri"}):
+        s, p, o = r
+        if pmod(xxh64_str(f"{s}|{p}|{o}|pick"), 10) != 0:
+            continue
+        draw = pmod(xxh64_str(f"{s}|{p}|{o}|0"), n)
+        if draw == ids[o]:
+            draw = (draw + 1) % n
+        out.append((s, p, o, 0, by_id[draw]))
+    return ["subject", "predicate", "true_object", "k", "neg_object"], out
+
+
 SF_QUERIES = {
     "q_minhash_dedup_docs": ref_q_minhash_dedup_docs,
     "q_simhash_dedup_docs": ref_q_simhash_dedup_docs,
@@ -591,6 +696,10 @@ CORPUS_QUERIES = {
     "q_serialize_roundtrip": ref_q_serialize_roundtrip,
     "q_media_features": ref_q_media_features,
     "q_frame_sample": ref_q_frame_sample,
+    "q_predicate_profile": ref_q_predicate_profile,
+    "q_pagerank_kg": ref_q_pagerank_kg,
+    "q_entity_ids": ref_q_entity_ids,
+    "q_kg_negative_samples": ref_q_kg_negative_samples,
 }
 
 # DuckDB column types per query — chosen to land in pandas with the
@@ -607,4 +716,14 @@ DUCK_TYPES = {
     "q_media_features": {"media_type": "VARCHAR", "n_media": "BIGINT", "total_bytes": "BIGINT", "f0_sum": "DOUBLE"},
     "q_frame_sample": {"media_ref": "VARCHAR", "n_frames": "BIGINT", "last_ts_ms": "INTEGER"},
     "q_dedup_clusters": {"cluster_size": "BIGINT", "n_clusters": "BIGINT"},
+    "q_predicate_profile": {
+        "predicate": "VARCHAR", "n_triples": "BIGINT", "n_subjects": "BIGINT",
+        "n_objects": "BIGINT", "max_fanout": "BIGINT", "is_functional": "BOOLEAN",
+    },
+    "q_pagerank_kg": {"node": "VARCHAR", "rank_fp": "BIGINT"},
+    "q_entity_ids": {"entity": "VARCHAR", "entity_id": "BIGINT"},
+    "q_kg_negative_samples": {
+        "subject": "VARCHAR", "predicate": "VARCHAR", "true_object": "VARCHAR",
+        "k": "INTEGER", "neg_object": "VARCHAR",
+    },
 }

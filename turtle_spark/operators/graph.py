@@ -1,0 +1,250 @@
+"""Graph analytics over the materialized knowledge graph.
+
+The KG-construction pipeline ends with a subject-hash-bucketed triple
+table (SURVEY.md §3.4 stage E); these operators are the downstream
+consumers a KG platform needs on day one:
+
+* ``predicate_profile``  — ontology/schema profiling (cardinalities,
+  functional-predicate detection) that drives partitioning and join
+  planning decisions;
+* ``dense_entity_ids``   — distributed dictionary encoding of entity
+  IRIs to dense int64 ids (the prerequisite for KG-embedding training
+  and compact adjacency representations);
+* ``pagerank``           — fixed-point integer PageRank: exact int64
+  arithmetic makes every iteration's result independent of partition
+  count, task order, and retries — float PageRank is none of those
+  (double addition does not commute), which matters both for the
+  oracle gate here and for reproducible runs at 1000 executors;
+* ``negative_samples``   — deterministic corrupted triples for
+  KG-embedding training (TransE-style), hash-seeded so regeneration
+  is stable across runs and cluster sizes.
+
+No counterpart in the reference (a parser library); these belong to
+the pipeline layer the brief adds on top (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# fixed-point scale for PageRank: micro-micro units.  10^12 per unit
+# rank leaves int64 headroom of ~9.2e6 units — safe for any realistic
+# per-node rank mass (total mass is bounded by n_nodes units only when
+# every node funnels into one sink; overflow would need a 9-million-
+# node star, at which point SCALE can drop a digit).
+_SCALE = 1_000_000_000_000
+_DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
+
+
+def entity_edges(triples: DataFrame) -> DataFrame:
+    """Distinct entity->entity edges (subject -> iri-object), self
+    loops dropped — the adjacency view of the triple table."""
+    return (
+        triples.where(F.col("objecttype") == "iri")
+        .select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+
+
+def kg_entities(triples: DataFrame) -> DataFrame:
+    """Distinct entity universe of a triple table: every subject plus
+    every iri-typed object, one ``entity`` string column."""
+    return (
+        triples.select(F.col("subject").alias("entity"))
+        .union(
+            triples.where(F.col("objecttype") == "iri").select(
+                F.col("object").alias("entity")
+            )
+        )
+        .dropDuplicates()
+    )
+
+
+def predicate_profile(triples: DataFrame) -> DataFrame:
+    """Per-predicate schema profile of a triple table.
+
+    Columns: ``n_triples``, ``n_subjects``, ``n_objects`` (distinct),
+    ``max_fanout`` (most objects any one subject has under this
+    predicate) and ``is_functional`` (max_fanout == 1 — the property
+    that licenses 1:1 join planning on that predicate).
+
+    Two-level aggregation: the (predicate, subject) stage pre-shrinks
+    the fanout computation map-side, then one reduce per predicate.
+    Both shuffles carry keys only; nothing is collected.
+    """
+    per_subject = triples.groupBy("predicate", "subject").agg(
+        F.count("*").alias("_n"),
+        F.count_distinct("object").alias("_n_obj"),
+    )
+    fanout = per_subject.groupBy("predicate").agg(
+        F.sum("_n").alias("n_triples"),
+        F.count("*").alias("n_subjects"),
+        F.max("_n_obj").alias("max_fanout"),
+    )
+    objects = triples.groupBy("predicate").agg(
+        F.count_distinct("object").alias("n_objects")
+    )
+    return (
+        fanout.join(objects, "predicate")
+        .select(
+            "predicate",
+            "n_triples",
+            "n_subjects",
+            "n_objects",
+            "max_fanout",
+            (F.col("max_fanout") == 1).alias("is_functional"),
+        )
+    )
+
+
+def dense_entity_ids(
+    entities: DataFrame, col: str = "entity", n_buckets: int = 64
+) -> DataFrame:
+    """Dictionary-encode distinct entity strings to dense ids
+    ``0..N-1`` — deterministically, without a global sort bottleneck.
+
+    A single ``row_number`` over the whole table would serialize on
+    one reducer; instead each entity hashes into one of ``n_buckets``
+    buckets, gets a within-bucket rank (ordered by entity string), and
+    the bucket's base offset is added.  The only driver-side data is
+    the ``n_buckets`` bucket counts — bounded and tiny at any corpus
+    size.  Ids are dense and deterministic (hash + string order), just
+    not globally string-ordered, which no consumer needs.
+    """
+    base = (
+        entities.select(F.col(col).alias("entity"))
+        .where(F.col("entity").isNotNull())
+        .dropDuplicates()
+        .withColumn("_b", F.pmod(F.xxhash64("entity"), F.lit(n_buckets)))
+    )
+    counts = {
+        r["_b"]: r["n"]
+        for r in base.groupBy("_b").agg(F.count("*").alias("n")).collect()
+    }
+    spark = entities.sparkSession
+    rows, acc = [], 0
+    for b in range(n_buckets):
+        rows.append((b, acc))
+        acc += counts.get(b, 0)
+    offsets = F.broadcast(
+        spark.createDataFrame(rows, "_b long, _off long")
+    )
+    w = Window.partitionBy("_b").orderBy("entity")
+    return (
+        base.join(offsets, "_b")
+        .select(
+            "entity",
+            (F.col("_off") + F.row_number().over(w) - 1)
+            .cast("long")
+            .alias("entity_id"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-point integer PageRank over ``edges(src, dst)``.
+
+    Ranks live in int64 micro-units (``_SCALE`` per unit rank);
+    contributions are floor-divided by out-degree and damping is the
+    exact rational 85/100, so every arithmetic step is integer-exact
+    and the result is bit-identical at any parallelism — the property
+    the scaling evidence relies on.  Dangling-node mass is dropped
+    (the standard simplification; documented, deterministic).
+
+    Per iteration: one shuffle join (ranks x edges on src) + one
+    groupBy(dst) sum; lineage is truncated every ``checkpoint_every``
+    rounds.  Returns ``(node, rank_fp)`` — callers divide by
+    ``10**12`` for a float view.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    degree = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("rank_fp", F.lit(_SCALE).cast("long"))
+    base_fp = F.lit((_DAMP_DEN - _DAMP_NUM) * _SCALE // _DAMP_DEN).cast("long")
+    for i in range(iterations):
+        contribs = (
+            ranks.join(edges, ranks["node"] == edges["src"])
+            .join(degree, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fp div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    base_fp
+                    + F.expr(
+                        f"{_DAMP_NUM} * coalesce(inflow, 0L) div {_DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def negative_samples(
+    triples: DataFrame,
+    entity_ids: DataFrame,
+    per_triple: int = 1,
+) -> DataFrame:
+    """Deterministic corrupted triples for KG-embedding training.
+
+    For each entity-object triple, the object is replaced by the
+    entity whose dense id is ``xxhash64(s|p|o|k) mod N`` (skipping
+    forward by one when the draw hits the true object) — TransE-style
+    negatives, reproducible across runs, retries, and cluster sizes
+    because the "randomness" is a hash of the triple itself.
+
+    ``entity_ids`` is the ``dense_entity_ids`` output.  The id->entity
+    resolution is an equi-join on the sampled id; the dictionary side
+    shuffles once however many negatives are drawn.
+    """
+    n = entity_ids.count()
+    if n < 2:
+        raise ValueError("need at least 2 entities to draw negatives")
+    ent = triples.where(F.col("objecttype") == "iri")
+    ks = F.explode(F.sequence(F.lit(0), F.lit(per_triple - 1))).alias("k")
+    drawn = ent.select(
+        "subject", "predicate", F.col("object").alias("true_object"), ks
+    ).withColumn(
+        "_draw",
+        F.pmod(
+            F.xxhash64(
+                F.concat_ws("|", "subject", "predicate", "true_object", "k")
+            ),
+            F.lit(n),
+        ),
+    )
+    # resolve the drawn id and the true object's id in one pass each;
+    # if the draw equals the true object, step to the next id mod N
+    true_ids = entity_ids.select(
+        F.col("entity").alias("true_object"), F.col("entity_id").alias("_tid")
+    )
+    drawn = drawn.join(true_ids, "true_object", "left").withColumn(
+        "_neg_id",
+        F.when(F.col("_draw") == F.col("_tid"), (F.col("_draw") + 1) % n)
+        .otherwise(F.col("_draw")),
+    )
+    neg = entity_ids.select(
+        F.col("entity_id").alias("_neg_id"), F.col("entity").alias("neg_object")
+    )
+    return drawn.join(neg, "_neg_id").select(
+        "subject", "predicate", "true_object", F.col("k").cast("int").alias("k"),
+        "neg_object",
+    )
