@@ -72,6 +72,10 @@ HEADLINE = [
     "q_windowed_event_counts",
     "q_triples_two_hop",
     "q_kg_extract",
+    "q_doc_chunks",
+    "q_tfidf_keywords",
+    "q_corpus_filter",
+    "q_pagerank_kg",
 ]
 
 

@@ -47,6 +47,13 @@ AUDITED = [
     "q_small_qty_revenue",
     "q_events_gapfill",
     "q_fuzzy_name_match",
+    "q_doc_chunks",
+    "q_tfidf_keywords",
+    "q_cdc_latest_events",
+    "q_corpus_filter",
+    "q_predicate_profile",
+    "q_entity_ids",
+    "q_kg_negative_samples",
 ]
 
 

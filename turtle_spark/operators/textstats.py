@@ -199,11 +199,12 @@ def tfidf_keywords(
     implementations and poison a hash comparison.  Ranking is by the
     raw score with a term tiebreak, so ordering is deterministic too.
 
-    Plan shape: one explode + two hash aggregations (doc-term tf, then
-    term df) + one shuffle join on term + one window.  The df side is
-    bounded by vocabulary size, not corpus size, so at 100 TB the join
-    shuffles a dictionary-sized table against the tf stream; nothing
-    is ever collected.
+    Plan shape: one explode + one hash aggregation (doc-term tf), then
+    df as a COUNT window over the tf rows keyed by term — not a
+    self-join, which would rescan and re-explode the whole corpus
+    (exchange reuse does not fire across differently-keyed
+    aggregations of the same subtree).  One scan, three shuffles
+    (tf agg, term window, per-doc ranking window), nothing collected.
     """
     from pyspark.sql import Window
 
@@ -212,10 +213,9 @@ def tfidf_keywords(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
     )
     tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(df_, "term").withColumn(
-        "score", F.col("tf") / F.col("df")
-    )
+    scored = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    ).withColumn("score", F.col("tf") / F.col("df"))
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
