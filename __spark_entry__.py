@@ -1323,6 +1323,51 @@ WHERE rn = 1
 """
 
 
+def _q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (attribution): each purchase joined
+    to the same user's clicks in the preceding hour.  The SAME
+    function drives the streaming path (watermarks on both sides +
+    time-bounded condition = bounded join state); here it runs on
+    batch DataFrames where watermarks are no-ops, so the oracle can
+    check it."""
+    from turtle_spark.streaming.stream import stream_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return stream_interval_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        gap_minutes=60,
+    )
+
+
+_SQL_CLICK_ATTRIBUTION = """
+SELECT p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       epoch_us(c.ts) AS click_ts_us,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 60 MINUTES
+ AND c.ts <= p.ts
+"""
+
+
 def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-corpus funnel: exact-dedup canonical AND
     language == en AND quality score >= 0.45 AND 20..2000 tokens —
@@ -1740,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_keywords": _q_tfidf_keywords,
         "q_cdc_latest_events": _q_cdc_latest_events,
         "q_corpus_filter": _q_corpus_filter,
+        "q_click_attribution": _q_click_attribution,
         # non-SQL-expressible (rows-only checks)
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -1814,4 +1860,5 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_tfidf_keywords": _SQL_TFIDF_KEYWORDS,
         "q_cdc_latest_events": _SQL_CDC_LATEST_EVENTS,
         "q_corpus_filter": _SQL_CORPUS_FILTER,
+        "q_click_attribution": _SQL_CLICK_ATTRIBUTION,
     }

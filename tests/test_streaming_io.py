@@ -130,3 +130,62 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
     batch = spark.read.parquet(src).dropDuplicates(["doc_id"])
     assert got.count() == batch.count() == 5
     assert {r.doc_id for r in got.collect()} == {r.doc_id for r in batch.collect()}
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-stream interval join (attribution shape): the streaming
+    run over file-source micro-batches must emit exactly the batch
+    result of the same function on the same data."""
+    from turtle_spark.streaming.stream import stream_interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events_dir = str(tmp_path / "events_dir")
+    # two files so the join state crosses micro-batch boundaries
+    ev.where("event_id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(events_dir)
+    ev.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(events_dir)
+
+    def split(df):
+        p = df.where("event_type = 'purchase'").select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        c = df.where("event_type = 'click'").select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        return p, c
+
+    bp, bc = split(spark.read.parquet(events_dir))
+    batch = {
+        tuple(r)
+        for r in stream_interval_join(
+            bp, bc, key="user_id", left_ts="purchase_ts", right_ts="click_ts"
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    sp, sc = split(stream)
+    out, ckpt = str(tmp_path / "ssj_out"), str(tmp_path / "ssj_ckpt")
+    q = (
+        stream_interval_join(
+            sp, sc, key="user_id", left_ts="purchase_ts", right_ts="click_ts"
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert len(batch) > 0
+    # inner stream-stream joins emit matches as they arrive; on a
+    # finite input everything must be emitted and nothing extra
+    assert streamed == batch
