@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from turtle_spark.operators import linking
+from turtle_spark.operators import linking, skew
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -86,9 +86,15 @@ def ngram_jaccard_pairs(
     # inside lambda bodies, so referencing split(...) directly would
     # re-tokenize the document once per gram — O(words^2) per doc
     # (measured 2.7x slower at sf0.1)
-    words = docs.select(
-        F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("_w")
-    ).where(F.size("_w") >= n)
+    # spread: the gram explode is seconds-per-MB CPU work, so it needs a
+    # task per core even when the corpus bytes fit one AQE partition
+    words = skew.spread(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+        ).where(F.size("_w") >= n),
+        "id",
+    )
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size("_w") - n),
@@ -164,10 +170,17 @@ def minhash_near_duplicates(
     so callers get actionable (src, dst, jaccard) pairs with
     ``src < dst`` in doc-id order, not opaque hashes.
     """
-    base = docs.select(
-        F.col(id_col).alias("_doc"),
-        F.xxhash64(F.col(id_col).cast("string")).alias("term_id"),
-        F.col(text_col).alias("term"),
+    # spread BEFORE dropDuplicates: the explicit hash repartition on
+    # term_id is reused by the dedup aggregate (same key), so the
+    # downstream MinHash banding UDF inherits one partition per core
+    # instead of AQE's bytes-sized (often 1) post-shuffle count
+    base = skew.spread(
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("term_id"),
+            F.col(text_col).alias("term"),
+        ),
+        "term_id",
     ).dropDuplicates(["term_id"])
     edges = linking.link_terms(
         base.select("term_id", "term"),
@@ -220,7 +233,10 @@ def simhash_near_duplicates(
         return pd.Series(simhash64_batch([(t or "") for t in texts]))
 
     width = 64 // n_bands
-    sh = docs.select(F.col(id_col).alias("id"), sh_udf(F.col(text_col)).alias("simhash"))
+    # spread: one SimHash UDF task per core even on a tiny corpus
+    sh = skew.spread(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")), "id"
+    ).select("id", sh_udf("_t").alias("simhash"))
     banded = sh.select(
         "id",
         "simhash",

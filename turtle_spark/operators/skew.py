@@ -99,3 +99,30 @@ def skew_hint_join(
         n_salts=n_salts,
     )
     return cold.unionByName(hot_join)
+
+
+def spread(df: DataFrame, *key_cols: str, min_slots: int | None = None) -> DataFrame:
+    """Guarantee a compute-dense stage at least one partition per core.
+
+    AQE sizes shuffle partitions by BYTES (64 MB advisory target), which
+    is the right call for relational work but starves compute-dense
+    stages: a few-MB corpus coalesces to one partition, and the pandas
+    UDF / explode that costs seconds-per-MB then runs on a single core
+    (measured: the sf0.1 MinHash banding stage ran 1-partition, one core
+    of 32 busy).  Bytes are the wrong cost model when CPU-per-byte is
+    large.
+
+    ``spread`` is a no-op whenever the plan already has at least
+    ``min_slots`` (default ``sc.defaultParallelism``) partitions — on a
+    1000-executor cluster reading 100 TB the scan alone clears that, so
+    no extra shuffle is ever added at scale.  Only in the small-input /
+    expensive-compute regime does it insert one explicit hash
+    repartition on ``key_cols`` (explicit numeric repartitions are
+    exempt from AQE coalescing, and hash-partitioning on the downstream
+    aggregate/window key means the next exchange is reused, not added).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_slots if min_slots is not None else sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
