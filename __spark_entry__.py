@@ -1559,6 +1559,71 @@ def _q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(picked, ids, per_triple=1)
 
 
+_RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _q_bgp_typed_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style BGP over the materialized KG:
+    ``{ ?s rdf:type ?cls . ?s ?p ?o FILTER isIRI(?o) }`` aggregated
+    per class.  The 2-constant type pattern is the broadcast anchor;
+    the join is an equi-join on ?s (bgp_select compiles the pattern
+    list — see operators/bgp.py for the planning rules)."""
+    from turtle_spark.operators.bgp import bgp_select
+
+    bindings = bgp_select(
+        _corpus_triples(spark),
+        [("?s", _RDF_TYPE_IRI, "?cls", "iri"), ("?s", "?p", "?o", "iri")],
+    )
+    return (
+        bindings.groupBy("cls")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.count_distinct("s").alias("n_entities"),
+        )
+        .orderBy("cls")
+    )
+
+
+def _q_bgp_note_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP chain through blank nodes:
+    ``{ ?s ?p ?b FILTER isIRI(?b) . ?b ex:note ?note }`` — raw
+    bindings, bag semantics.  The note pattern (2 constants) anchors
+    and broadcasts; blank nodes join only because extraction
+    globalized their labels (cross-document ``_:b0`` collisions would
+    otherwise forge chains)."""
+    from turtle_spark.operators.bgp import bgp_select
+
+    return bgp_select(
+        _corpus_triples(spark),
+        [
+            ("?s", "?p", "?b", "iri"),
+            ("?b", "http://example.org/stuff/1.0/note", "?note", "literal"),
+        ],
+        project=["s", "p", "note"],
+    ).orderBy("s", "p", "note")
+
+
+def _q_kg_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reachability closure of the entity graph by path doubling
+    (O(log depth) self-joins — operators/graph.py), summarized per
+    hash-sampled source as (n_reachable, XOR-fingerprint of the
+    reachable set) so the full closure is pinned compactly."""
+    from turtle_spark.operators.graph import entity_edges, transitive_closure
+
+    closure = transitive_closure(entity_edges(_corpus_triples(spark)))
+    sampled = closure.where(
+        F.pmod(F.xxhash64(F.concat(F.col("src"), F.lit("#closure"))), F.lit(20)) == 0
+    )
+    return (
+        sampled.groupBy("src")
+        .agg(
+            F.count("*").alias("n_reachable"),
+            F.expr("bit_xor(xxhash64(dst))").alias("dst_fp"),
+        )
+        .orderBy("src")
+    )
+
+
 def _q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from turtle_spark.operators.dedup import minhash_near_duplicates
 
@@ -1698,6 +1763,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_kg_extract", "q_serialize_roundtrip", "q_media_features",
         "q_frame_sample", "q_triples_two_hop", "q_predicate_profile",
         "q_pagerank_kg", "q_entity_ids", "q_kg_negative_samples",
+        "q_bgp_typed_links", "q_bgp_note_chain", "q_kg_closure",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -1793,6 +1859,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank_kg": _q_pagerank_kg,
         "q_entity_ids": _q_entity_ids,
         "q_kg_negative_samples": _q_kg_negative_samples,
+        "q_bgp_typed_links": _q_bgp_typed_links,
+        "q_bgp_note_chain": _q_bgp_note_chain,
+        "q_kg_closure": _q_kg_closure,
         "q_minhash_dedup_docs": _q_minhash_dedup_docs,
         "q_simhash_dedup_docs": _q_simhash_dedup_docs,
         "q_doc_fingerprints": _q_doc_fingerprints,

@@ -76,6 +76,8 @@ HEADLINE = [
     "q_tfidf_keywords",
     "q_corpus_filter",
     "q_pagerank_kg",
+    "q_bgp_typed_links",
+    "q_kg_closure",
 ]
 
 

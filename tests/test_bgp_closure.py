@@ -1,0 +1,132 @@
+"""Unit tests for the BGP query compiler (operators/bgp.py) and the
+path-doubling transitive closure (operators/graph.py); driver-level
+oracle parity is covered by test_oracle_parity.py via corpus goldens."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from turtle_spark.operators.bgp import bgp_select
+from turtle_spark.operators.graph import transitive_closure
+
+TRIPLE_SCHEMA = (
+    "subject string, predicate string, object string, "
+    "label string, datatype string, objecttype string"
+)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        [(s, p, o, "", "", t) for s, p, o, t in rows], TRIPLE_SCHEMA
+    )
+
+
+@pytest.fixture()
+def kg(spark):
+    return _triples(
+        spark,
+        [
+            ("a", RDF_TYPE, "Person", "iri"),
+            ("b", RDF_TYPE, "Person", "iri"),
+            ("c", RDF_TYPE, "Robot", "iri"),
+            ("a", "knows", "b", "iri"),
+            ("b", "knows", "c", "iri"),
+            ("a", "name", "Alice", "literal"),
+            ("b", "name", "Bob", "literal"),
+            ("c", "name", "C3PO", "literal"),
+        ],
+    )
+
+
+class TestBgpSelect:
+    def test_chain_join(self, kg):
+        # ?x knows ?y . ?y name ?n  — bindings for (x, n)
+        out = bgp_select(
+            kg,
+            [("?x", "knows", "?y"), ("?y", "name", "?n", "literal")],
+            project=["x", "n"],
+        )
+        assert sorted(map(tuple, out.collect())) == [("a", "Bob"), ("b", "C3PO")]
+
+    def test_constant_object_and_type_pattern(self, kg):
+        # ?p a Person . ?p name ?n
+        out = bgp_select(
+            kg,
+            [("?p", RDF_TYPE, "Person"), ("?p", "name", "?n")],
+            project=["p", "n"],
+        )
+        assert sorted(map(tuple, out.collect())) == [("a", "Alice"), ("b", "Bob")]
+
+    def test_bag_semantics_keeps_duplicates(self, spark):
+        t = _triples(
+            spark,
+            [
+                ("a", "p", "x", "iri"),
+                ("a", "p", "x", "iri"),  # duplicate triple
+                ("x", "q", "v", "literal"),
+            ],
+        )
+        out = bgp_select(t, [("?s", "p", "?o"), ("?o", "q", "?v")])
+        assert out.count() == 2  # SPARQL bag semantics
+
+    def test_same_var_twice_in_one_pattern(self, spark):
+        t = _triples(
+            spark,
+            [("n1", "self", "n1", "iri"), ("n1", "self", "n2", "iri")],
+        )
+        out = bgp_select(t, [("?x", "self", "?x")], project=["x"])
+        assert [r["x"] for r in out.collect()] == ["n1"]
+
+    def test_cartesian_refused(self, kg):
+        with pytest.raises(ValueError, match="cartesian"):
+            bgp_select(kg, [("?a", "knows", "?b"), ("?c", "name", "?d")])
+
+    def test_unbound_projection_refused(self, kg):
+        with pytest.raises(ValueError, match="never bound"):
+            bgp_select(kg, [("?x", "knows", "?y")], project=["z"])
+
+    def test_anchor_pattern_broadcast_no_bnlj(self, kg):
+        # 2-constant pattern must broadcast; plan stays equi-join-only
+        out = bgp_select(
+            kg,
+            [("?p", RDF_TYPE, "Person"), ("?p", "name", "?n")],
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Broadcast" in plan
+
+
+class TestTransitiveClosure:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def test_chain(self, spark):
+        e = self._edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        out = sorted(map(tuple, transitive_closure(e).collect()))
+        assert out == [
+            ("a", "b"), ("a", "c"), ("a", "d"),
+            ("b", "c"), ("b", "d"), ("c", "d"),
+        ]
+
+    def test_cycle_yields_self_pairs(self, spark):
+        e = self._edges(spark, [("a", "b"), ("b", "a")])
+        out = sorted(map(tuple, transitive_closure(e).collect()))
+        assert out == [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]
+
+    def test_deep_chain_logarithmic_rounds(self, spark):
+        # depth 40 closes within 16 doubling rounds (would need 40 BFS rounds)
+        e = self._edges(spark, [(f"n{i}", f"n{i+1}") for i in range(40)])
+        out = transitive_closure(e, max_rounds=7)
+        assert out.count() == 40 * 41 // 2
+
+    def test_duplicate_edges_collapse(self, spark):
+        e = self._edges(spark, [("a", "b"), ("a", "b"), ("b", "c")])
+        assert transitive_closure(e).count() == 3
+
+    def test_max_rounds_guard(self, spark):
+        e = self._edges(spark, [(f"n{i}", f"n{i+1}") for i in range(10)])
+        with pytest.raises(RuntimeError, match="fixpoint"):
+            transitive_closure(e, max_rounds=2)

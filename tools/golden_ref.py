@@ -681,6 +681,77 @@ def ref_q_kg_negative_samples() -> tuple[list[str], list[tuple]]:
     return ["subject", "predicate", "true_object", "k", "neg_object"], out
 
 
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_NOTE_PRED = "http://example.org/stuff/1.0/note"
+_U64 = (1 << 64) - 1
+
+
+def ref_q_bgp_typed_links() -> tuple[list[str], list[tuple]]:
+    """BGP { ?s rdf:type ?cls . ?s ?p ?o FILTER isIRI(?o) } aggregated
+    per class — bag semantics (duplicate triples multiply bindings),
+    mirroring the join the engine's bgp_select performs."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    links: dict[str, int] = {}
+    for r in rows:
+        if r[7] == "iri":
+            links[r[2]] = links.get(r[2], 0) + 1
+    agg: dict[str, list] = {}
+    for r in rows:
+        if r[3] == _RDF_TYPE and r[7] == "iri":
+            c = links.get(r[2], 0)
+            if c:
+                e = agg.setdefault(r[4], [0, set()])
+                e[0] += c
+                e[1].add(r[2])
+    out = [(cls, n, len(subs)) for cls, (n, subs) in sorted(agg.items())]
+    return ["cls", "n_links", "n_entities"], out
+
+
+def ref_q_bgp_note_chain() -> tuple[list[str], list[tuple]]:
+    """BGP { ?s ?p ?b FILTER isIRI(?b) . ?b ex:note ?note } raw
+    bindings (bag semantics), sorted."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    notes: dict[str, list[str]] = {}
+    for r in rows:
+        if r[3] == _NOTE_PRED and r[7] == "literal":
+            notes.setdefault(r[2], []).append(r[4])
+    out = []
+    for r in rows:
+        if r[7] == "iri" and r[4] in notes:
+            for note in notes[r[4]]:
+                out.append((r[2], r[3], note))
+    return ["s", "p", "note"], sorted(out)
+
+
+def ref_q_kg_closure() -> tuple[list[str], list[tuple]]:
+    """Reachability closure of the entity graph (classic per-source
+    BFS — independent of the engine's path-doubling joins), summarized
+    for a deterministic 1-in-20 hash sample of sources as
+    (src, n_reachable, XOR of xxhash64(dst))."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    adj: dict[str, set] = {}
+    for r in rows:
+        if r[7] == "iri" and r[2] != r[4]:
+            adj.setdefault(r[2], set()).add(r[4])
+    out = []
+    for src in sorted(adj):
+        if pmod(xxh64_str(src + "#closure"), 20) != 0:
+            continue
+        seen: set[str] = set()
+        stack = [src]
+        while stack:
+            for v in adj.get(stack.pop(), ()):
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        fp = 0
+        for d in seen:
+            fp ^= xxh64_str(d) & _U64
+        fp = fp - (1 << 64) if fp >= (1 << 63) else fp
+        out.append((src, len(seen), fp))
+    return ["src", "n_reachable", "dst_fp"], out
+
+
 SF_QUERIES = {
     "q_minhash_dedup_docs": ref_q_minhash_dedup_docs,
     "q_simhash_dedup_docs": ref_q_simhash_dedup_docs,
@@ -698,6 +769,9 @@ CORPUS_QUERIES = {
     "q_frame_sample": ref_q_frame_sample,
     "q_predicate_profile": ref_q_predicate_profile,
     "q_pagerank_kg": ref_q_pagerank_kg,
+    "q_bgp_typed_links": ref_q_bgp_typed_links,
+    "q_bgp_note_chain": ref_q_bgp_note_chain,
+    "q_kg_closure": ref_q_kg_closure,
     "q_entity_ids": ref_q_entity_ids,
     "q_kg_negative_samples": ref_q_kg_negative_samples,
 }
@@ -726,4 +800,7 @@ DUCK_TYPES = {
         "subject": "VARCHAR", "predicate": "VARCHAR", "true_object": "VARCHAR",
         "k": "INTEGER", "neg_object": "VARCHAR",
     },
+    "q_bgp_typed_links": {"cls": "VARCHAR", "n_links": "BIGINT", "n_entities": "BIGINT"},
+    "q_bgp_note_chain": {"s": "VARCHAR", "p": "VARCHAR", "note": "VARCHAR"},
+    "q_kg_closure": {"src": "VARCHAR", "n_reachable": "BIGINT", "dst_fp": "BIGINT"},
 }

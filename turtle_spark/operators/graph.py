@@ -248,3 +248,46 @@ def negative_samples(
         "subject", "predicate", "true_object", F.col("k").cast("int").alias("k"),
         "neg_object",
     )
+
+
+def transitive_closure(
+    edges: DataFrame,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Reachability closure of ``edges(src, dst)`` by path doubling.
+
+    Returns every (src, dst) with a directed path of length >= 1 —
+    (s, s) appears iff ``s`` lies on a cycle.  Rounds double the
+    covered path length (R := R ∪ R∘R), so a hierarchy of depth d
+    closes in ceil(log2 d) self-joins instead of d breadth-first
+    rounds — at 1000 executors that is the difference between 5 and
+    40 shuffle barriers for a depth-30 ontology.  Each round is one
+    equi-join (dst = src) + dedup; lineage is truncated per round
+    (``localCheckpoint``) and the fixpoint test reuses the
+    materialized count, so the driver holds one scalar per round.
+
+    Intended for BOUNDED-DEPTH relation subgraphs (rdfs:subClassOf /
+    subPropertyOf hierarchies, part-of chains): closure output is
+    O(n^2) in the worst case, so at web scale you close the ontology
+    predicate slice (thousands of classes), not the instance graph —
+    filter ``edges`` to one predicate before calling.  Raises if the
+    fixpoint is not reached within ``max_rounds`` (2^16-step paths
+    means the input was not the bounded hierarchy this is for).
+    """
+    reach = edges.select("src", "dst").dropDuplicates().localCheckpoint(eager=True)
+    n = reach.count()
+    for _ in range(max_rounds):
+        hop = (
+            reach.alias("a")
+            .join(reach.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        reach = reach.union(hop).dropDuplicates().localCheckpoint(eager=True)
+        n_new = reach.count()
+        if n_new == n:
+            return reach
+        n = n_new
+    raise RuntimeError(
+        f"transitive_closure: no fixpoint after {max_rounds} doubling rounds "
+        f"(paths longer than 2^{max_rounds}); was the input a bounded hierarchy?"
+    )
