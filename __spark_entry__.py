@@ -1624,6 +1624,17 @@ def _q_kg_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed next-fit sequence packing of the documents table into
+    256-token training budgets — sequential packing made distributable
+    by deterministic hash bucketing (operators/chunking.py)."""
+    from turtle_spark.operators.chunking import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), max_tokens=256, n_buckets=32
+    ).orderBy("doc_id")
+
+
 def _q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from turtle_spark.operators.dedup import minhash_near_duplicates
 
@@ -1770,7 +1781,7 @@ _CORPUS_GOLDENS = frozenset(
 _SF_GOLDENS = frozenset(
     {
         "q_minhash_dedup_docs", "q_simhash_dedup_docs", "q_doc_fingerprints",
-        "q_lsh_topk", "q_ivf_topk", "q_dedup_clusters",
+        "q_lsh_topk", "q_ivf_topk", "q_dedup_clusters", "q_pack_sequences",
     }
 )
 
@@ -1863,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bgp_note_chain": _q_bgp_note_chain,
         "q_kg_closure": _q_kg_closure,
         "q_minhash_dedup_docs": _q_minhash_dedup_docs,
+        "q_pack_sequences": _q_pack_sequences,
         "q_simhash_dedup_docs": _q_simhash_dedup_docs,
         "q_doc_fingerprints": _q_doc_fingerprints,
         "q_lsh_topk": _q_lsh_topk,

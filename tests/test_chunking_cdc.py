@@ -150,3 +150,78 @@ class TestTrainingFilter:
         docs = spark.createDataFrame([(1, "the cat and dog")], "doc_id long, text string")
         plan = training_filter(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan
+
+
+class TestPackSequences:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_next_fit_within_bucket(self, spark):
+        from turtle_spark.operators.chunking import pack_sequences
+
+        # single bucket => pure next-fit in id order
+        docs = self._docs(
+            spark,
+            [
+                (1, "a b c"),          # 3 tokens
+                (2, "d e"),            # 2 -> pack 0 full at 5
+                (3, "f g h"),          # 3 > cap-5 => new pack
+                (4, " "),              # whitespace-only: dropped
+                (5, "i j"),            # fits pack 1 (3+2=5)
+            ],
+        )
+        out = {
+            r["doc_id"]: (r["pack_id"], r["pack_pos"], r["n_tokens"])
+            for r in pack_sequences(docs, max_tokens=5, n_buckets=1).collect()
+        }
+        assert set(out) == {1, 2, 3, 5}
+        assert out[1] == (0, 0, 3)
+        assert out[2] == (0, 1, 2)
+        assert out[3] == (1, 0, 3)
+        assert out[5] == (1, 1, 2)
+
+    def test_oversize_gets_own_pack(self, spark):
+        from turtle_spark.operators.chunking import pack_sequences
+
+        docs = self._docs(
+            spark, [(1, "a b"), (2, "x " * 10), (3, "c d")]
+        )
+        out = {
+            r["doc_id"]: (r["pack_id"], r["pack_pos"])
+            for r in pack_sequences(docs, max_tokens=4, n_buckets=1).collect()
+        }
+        packs = {out[1][0], out[2][0], out[3][0]}
+        assert len(packs) == 3  # oversize doc 2 split packs 1 and 3 apart
+        assert out[2][1] == 0
+
+    def test_parallelism_independent(self, spark):
+        from turtle_spark.operators.chunking import pack_sequences
+
+        docs = self._docs(
+            spark, [(i, "w " * (i % 7 + 1)) for i in range(200)]
+        )
+        a = sorted(
+            map(tuple, pack_sequences(docs, 32, n_buckets=8).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                pack_sequences(docs.repartition(13), 32, n_buckets=8).collect(),
+            )
+        )
+        assert a == b
+
+    def test_fill_never_exceeds_budget(self, spark):
+        from turtle_spark.operators.chunking import pack_sequences
+        from pyspark.sql import functions as F
+
+        docs = self._docs(
+            spark, [(i, "w " * (i % 9 + 1)) for i in range(100)]
+        )
+        out = pack_sequences(docs, max_tokens=12, n_buckets=4)
+        fills = (
+            out.where(F.col("n_tokens") <= 12)
+            .groupBy("pack_id")
+            .agg(F.sum("n_tokens").alias("fill"))
+        )
+        assert fills.where(F.col("fill") > 12).count() == 0

@@ -752,8 +752,45 @@ def ref_q_kg_closure() -> tuple[list[str], list[tuple]]:
     return ["src", "n_reachable", "dst_fp"], out
 
 
+def ref_q_pack_sequences(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Bucketed next-fit sequence packing (max_tokens=256, 32 buckets)
+    — plain dict/loop mirror of operators/chunking.pack_sequences.
+    Token count mirrors Spark's split(trim(text), '\\s+'): trim strips
+    ASCII spaces only, and re.ASCII makes Python's \\s the same class
+    as Java's."""
+    import re
+
+    by_bucket: dict[int, list[tuple]] = {}
+    for doc_id, text in _read_documents(sf_dir):
+        t = (text or "").strip(" ")
+        if not t:
+            continue
+        n = len(re.split(r"\s+", t, flags=re.ASCII))
+        b = pmod(xxh64_str(str(doc_id)), 32)
+        by_bucket.setdefault(b, []).append((doc_id, n))
+    out = []
+    for b, rows in by_bucket.items():
+        rows.sort()
+        seq = pos = run = 0
+        for doc_id, n in rows:
+            if n > 256:
+                if pos > 0:
+                    seq += 1
+                out.append((doc_id, n, b, (b << 32) + seq, 0))
+                seq, pos, run = seq + 1, 0, 0
+                continue
+            if run + n > 256 and pos > 0:
+                seq, pos, run = seq + 1, 0, 0
+            out.append((doc_id, n, b, (b << 32) + seq, pos))
+            run += n
+            pos += 1
+    out.sort()
+    return ["doc_id", "n_tokens", "bucket", "pack_id", "pack_pos"], out
+
+
 SF_QUERIES = {
     "q_minhash_dedup_docs": ref_q_minhash_dedup_docs,
+    "q_pack_sequences": ref_q_pack_sequences,
     "q_simhash_dedup_docs": ref_q_simhash_dedup_docs,
     "q_doc_fingerprints": ref_q_doc_fingerprints,
     "q_lsh_topk": ref_q_lsh_topk,
@@ -801,6 +838,10 @@ DUCK_TYPES = {
         "k": "INTEGER", "neg_object": "VARCHAR",
     },
     "q_bgp_typed_links": {"cls": "VARCHAR", "n_links": "BIGINT", "n_entities": "BIGINT"},
+    "q_pack_sequences": {
+        "doc_id": "BIGINT", "n_tokens": "BIGINT", "bucket": "INTEGER",
+        "pack_id": "BIGINT", "pack_pos": "INTEGER",
+    },
     "q_bgp_note_chain": {"s": "VARCHAR", "p": "VARCHAR", "note": "VARCHAR"},
     "q_kg_closure": {"src": "VARCHAR", "n_reachable": "BIGINT", "dst_fp": "BIGINT"},
 }

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def chunk_documents(
@@ -73,3 +74,88 @@ def chunk_documents(
         *([chunk_text.alias("chunk_text")] if with_text else []),
     )
     return out
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy next-fit sequence packing into fixed token budgets —
+    the step between "chunked corpus" and "training batches" (packing
+    short documents together is how LLM pre-training keeps padding
+    waste low).
+
+    Packing is inherently sequential (each decision depends on the
+    running fill), so it cannot be a window expression; the scalable
+    shape is BUCKETED sequential packing: every document lands in a
+    deterministic hash bucket (``pmod(xxhash64(id), n_buckets)``), and
+    packing runs next-fit in id order WITHIN each bucket via one
+    ``applyInPandas``.  Buckets are independent, so the stage
+    parallelizes to ``n_buckets`` tasks; at 100 TB you raise
+    ``n_buckets`` so one bucket's documents fit an executor (the knob
+    is data-dependent, NOT cluster-dependent — results are identical
+    at any parallelism, which is what makes the output reproducible
+    and oracle-checkable).  Cross-bucket packing waste is at most one
+    partial pack per bucket — negligible for n_buckets << n_docs.
+
+    Documents larger than ``max_tokens`` get a single-document
+    oversize pack (pre-split them with ``chunk_documents`` if that is
+    not wanted); whitespace-only documents are dropped (nothing to
+    pack).  Token count = whitespace tokens, same tokenization as
+    ``chunk_documents``.
+
+    Output: ``(id_col, n_tokens, bucket, pack_id, pack_pos)`` with
+    ``pack_id = bucket * 2^32 + per-bucket pack index`` (collision-free
+    for < 2^32 packs per bucket).
+    """
+    import pandas as pd
+
+    if max_tokens <= 0 or n_buckets <= 0:
+        raise ValueError("max_tokens and n_buckets must be positive")
+    c = F.col(text_col)
+    base = docs.where(F.length(F.trim(c)) > 0).select(
+        F.col(id_col),
+        F.size(F.split(F.trim(c), r"\s+")).cast("long").alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+    )
+    id_field = base.schema[id_col]
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        bucket = int(pdf["bucket"].iloc[0])
+        seqs, poss = [], []
+        seq, pos, run = 0, 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > max_tokens:
+                if pos > 0:
+                    seq += 1
+                seqs.append(seq)
+                poss.append(0)
+                seq, pos, run = seq + 1, 0, 0
+                continue
+            if run + n > max_tokens and pos > 0:
+                seq, pos, run = seq + 1, 0, 0
+            seqs.append(seq)
+            poss.append(pos)
+            run += n
+            pos += 1
+        pdf["pack_id"] = [(bucket << 32) + s for s in seqs]
+        pdf["pack_pos"] = pd.Series(poss, dtype="int32")
+        return pdf
+
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("pack_id", T.LongType()),
+            T.StructField("pack_pos", T.IntegerType()),
+        ]
+    )
+    return base.groupBy("bucket").applyInPandas(_pack, schema=out_schema)
