@@ -1416,6 +1416,174 @@ WHERE _canon AND pred_lang = 'en' AND score >= 0.45
 """
 
 
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a deterministically PII-enriched corpus view
+    (the synthetic documents carry no PII, so the query plants emails /
+    IPs / phones keyed off doc_id before scrubbing — the operator
+    itself is the general one).  Narrow map, zero shuffles."""
+    from turtle_spark.operators.curation import pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    enriched = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" contact u"), d.cast("string"), F.lit("@mail.example.org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit(" from 192.168."),
+                (d % 256).cast("string"),
+                F.lit("."),
+                (d % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return pii_redact(docs.withColumn("text", enriched))
+
+
+def _sql_pii_redact() -> str:
+    from turtle_spark.operators.curation import _REDACTIONS, EMAIL_RE, IPV4_RE, PHONE_RE
+
+    redacted = "text"
+    for pattern, token in _REDACTIONS:
+        redacted = f"regexp_replace({redacted}, '{pattern}', '{token}', 'g')"
+    return f"""
+WITH enriched AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(LEN(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ipv4,
+       CAST(LEN(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       {redacted} AS redacted_text,
+       md5({redacted}) AS redacted_md5
+FROM enriched
+"""
+
+
+_SQL_PII_REDACT = _sql_pii_redact()
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition signals per document."""
+    from turtle_spark.operators.curation import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+_SQL_REPETITION_STATS = r"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(TRIM(text), '\s+') END AS w
+  FROM documents
+), narrow AS (
+  SELECT doc_id,
+         CAST(LEN(w) AS BIGINT) AS n_words,
+         CAST(LEN(list_distinct(w)) AS BIGINT) AS n_distinct,
+         CASE WHEN LEN(w) >= 2
+              THEN list_transform(range(1, LEN(w)), i -> w[i] || ' ' || w[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS bg
+  FROM w
+), tops AS (
+  SELECT doc_id, MAX(cnt) AS top_cnt
+  FROM (
+    SELECT doc_id, word, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(w) AS word FROM w)
+    GROUP BY doc_id, word
+  )
+  GROUP BY doc_id
+)
+SELECT n.doc_id,
+       n.n_words,
+       ROUND(n.n_distinct / CAST(GREATEST(n.n_words, 1) AS DOUBLE), 6) AS distinct_word_ratio,
+       ROUND(COALESCE(t.top_cnt, 0) / CAST(GREATEST(n.n_words, 1) AS DOUBLE), 6) AS top_word_ratio,
+       CASE WHEN LEN(n.bg) = 0 THEN 0.0
+            ELSE ROUND(1.0 - LEN(list_distinct(n.bg)) / CAST(LEN(n.bg) AS DOUBLE), 6)
+            END AS dup_bigram_ratio
+FROM narrow n LEFT JOIN tops t USING (doc_id)
+"""
+
+
+_DECON_N = 8
+_DECON_EVAL_FRACTION = 0.05
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a deterministic 5% of the documents
+    plays the held-out benchmark; every remaining (training) document
+    is scored by shared 8-gram count against it."""
+    from turtle_spark.operators.curation import decontaminate, split_corpus
+
+    train, bench = split_corpus(
+        _t(spark, sf_dir, "documents"), _DECON_EVAL_FRACTION
+    )
+    return decontaminate(train, bench, n=_DECON_N)
+
+
+def _sql_decontaminate() -> str:
+    from turtle_spark.operators.sampling import sample_sql_predicate
+
+    pred = sample_sql_predicate(["doc_id"], _DECON_EVAL_FRACTION)
+    n = _DECON_N
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(TRIM(text), '\s+') END AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN LEN(w) >= {n}
+                     THEN list_distinct(list_transform(
+                          range(1, LEN(w) - {n} + 2),
+                          i -> array_to_string(w[i : i + {n - 1}], ' ')))
+                     ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM w
+), ev AS (
+  SELECT DISTINCT md5(gram) AS gram_h FROM g WHERE {pred}
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n_hits
+  FROM (SELECT doc_id, md5(gram) AS gram_h FROM g WHERE NOT ({pred})) t
+  JOIN ev USING (gram_h)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE NOT ({pred.replace("doc_id", "d.doc_id")})
+"""
+
+
+_SQL_DECONTAMINATE = _sql_decontaminate()
+
+
 # -- non-SQL-expressible operators (rows-only driver check) ------------------
 
 def _q_kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1863,6 +2031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_latest_events": _q_cdc_latest_events,
         "q_corpus_filter": _q_corpus_filter,
         "q_click_attribution": _q_click_attribution,
+        "q_pii_redact": _q_pii_redact,
+        "q_repetition_stats": _q_repetition_stats,
+        "q_decontaminate": _q_decontaminate,
         # non-SQL-expressible (rows-only checks)
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -1942,4 +2113,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_cdc_latest_events": _SQL_CDC_LATEST_EVENTS,
         "q_corpus_filter": _SQL_CORPUS_FILTER,
         "q_click_attribution": _SQL_CLICK_ATTRIBUTION,
+        "q_pii_redact": _SQL_PII_REDACT,
+        "q_repetition_stats": _SQL_REPETITION_STATS,
+        "q_decontaminate": _SQL_DECONTAMINATE,
     }

@@ -54,6 +54,9 @@ AUDITED = [
     "q_predicate_profile",
     "q_entity_ids",
     "q_kg_negative_samples",
+    "q_pii_redact",
+    "q_repetition_stats",
+    "q_decontaminate",
 ]
 
 

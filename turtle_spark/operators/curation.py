@@ -1,0 +1,228 @@
+"""Corpus-curation operators for training-data pipelines: PII
+redaction, repetition-based quality filters (the Gopher rules), and
+benchmark decontamination.
+
+Like the rest of the text stack these are pure column expressions —
+whole-stage codegen, no Python in the hot path — and every function
+sticks to constructs with identical semantics in DuckDB (character
+classes legal in both Java regex and RE2, ``md5``, list/array
+higher-order functions) so the driver's oracle can compare exactly.
+
+Scale notes per operator are in the docstrings; the common theme is
+that curation is a *narrow map over the scan* (redaction, repetition
+stats) or a *broadcast semi-join against a tiny reference set*
+(decontamination) — nothing here shuffles the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from turtle_spark.operators.sampling import sample_hash
+
+# PII patterns — shared with the SQL oracle verbatim.  Only constructs
+# that Java regex and RE2 treat identically: character classes, bounded
+# repetition, the ASCII word boundary \b.  No lookaround, no backrefs
+# (RE2 has neither).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+# Redaction order is part of the spec: emails first (their local/domain
+# parts may contain digit runs and dots that the IP/phone patterns
+# would otherwise bite into), then IPs, then phones.  The replacement
+# tokens contain no digits, so later passes never match inside them.
+_REDACTIONS = (
+    (EMAIL_RE, "<EMAIL>"),
+    (IPV4_RE, "<IP>"),
+    (PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_redact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Detect and redact emails / IPv4 addresses / phone numbers.
+
+    Returns per document: match counts per PII class (counted on the
+    ORIGINAL text, independent of redaction order) plus the redacted
+    text and its md5 (the hash lets an oracle verify the full redacted
+    string without hauling it around).
+
+    Scale: a narrow projection over the scan — zero shuffles, zero
+    Python; regex matching runs in whole-stage codegen.  At 100 TB this
+    is scan-bound, exactly what a curation pass should be.
+    """
+    c = F.col(text_col)
+    redacted = c
+    for pattern, token in _REDACTIONS:
+        redacted = F.regexp_replace(redacted, pattern, token)
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_count(c, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        redacted.alias("redacted_text"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def _words(text_col: str) -> F.Column:
+    """Whitespace tokens; '' -> empty array (split would yield [''])."""
+    c = F.trim(F.col(text_col))
+    return F.when(F.length(c) == 0, F.expr("CAST(array() AS array<string>)")).otherwise(
+        F.split(c, r"\s+")
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    ``distinct_word_ratio``  |vocab(doc)| / n_words  (low = repetitive)
+    ``top_word_ratio``       count(mode word) / n_words
+    ``dup_bigram_ratio``     1 − distinct_bigrams / n_bigrams
+
+    Plan shape: the array-derivable stats (distinct words, bigram
+    duplication) are a NARROW map — ``array_distinct`` over the split,
+    bigrams via ``transform(sequence(...))``, no shuffle.  Only the
+    mode count needs an aggregation: explode → (doc, word) hash agg →
+    per-doc max, i.e. two shuffles both keyed by doc_id — map-side
+    combine collapses the heavy repetition before the exchange, and the
+    final join back to the narrow side broadcasts nothing big because
+    the aggregated side is one row per document.  Empty documents get
+    ratio 0 across the board (no division by zero, no NULLs).
+    """
+    base = docs.select(F.col(id_col), _words(text_col).alias("w"))
+    narrow = base.select(
+        id_col,
+        F.size("w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_distinct"),
+        F.expr(
+            "CASE WHEN size(w) >= 2 THEN "
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) "
+            "ELSE CAST(array() AS array<string>) END"
+        ).alias("bg"),
+    ).select(
+        id_col,
+        "n_words",
+        "n_distinct",
+        F.size("bg").cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct("bg")).cast("long").alias("n_distinct_bigrams"),
+    )
+    tops = (
+        base.select(id_col, F.explode("w").alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+    nw = F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+    return narrow.join(tops, id_col, "left").select(
+        id_col,
+        "n_words",
+        F.round(F.col("n_distinct") / nw, 6).alias("distinct_word_ratio"),
+        F.round(F.coalesce(F.col("top_cnt"), F.lit(0)) / nw, 6).alias("top_word_ratio"),
+        F.when(F.col("n_bigrams") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams").cast("double"),
+                6,
+            )
+        )
+        .alias("dup_bigram_ratio"),
+    )
+
+
+def word_ngrams(
+    docs: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct word ``n``-grams per document as ``(id_col, gram)``.
+
+    Narrow map (split + transform/slice + explode) — the distinct is
+    per-document via ``array_distinct`` BEFORE the explode, so no
+    shuffle happens here at all.
+    """
+    return (
+        docs.select(F.col(id_col), _words(text_col).alias("w"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(w) >= {n} THEN array_distinct("
+                    f"transform(sequence(1, size(w) - {n} + 1),"
+                    f" i -> array_join(slice(w, i, {n}), ' '))) "
+                    "ELSE CAST(array() AS array<string>) END"
+                )
+            ).alias("gram"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with a benchmark/eval set (the Lee et al. /
+    GPT-3-appendix overlap rule that every serious pre-training
+    pipeline runs before training).
+
+    Returns one row per ``train`` document: ``n_hits`` = number of the
+    document's DISTINCT n-grams that occur anywhere in the benchmark,
+    and ``contaminated`` = ``n_hits > 0``.
+
+    Scale: benchmark suites are tiny next to a 100 TB corpus, so the
+    benchmark gram set is broadcast — the training side is a pure scan
+    + narrow n-gram explode into a BroadcastHashJoin (no corpus
+    shuffle).  Grams join on ``md5(gram)`` so the broadcast ships
+    fixed-width hashes, not strings.  The per-doc hit count shuffles
+    only the matched rows (rare by construction), and the final
+    join-back of hits to the corpus broadcasts the hit table for the
+    same reason.  Nothing in this plan moves the corpus.
+    """
+    bench_grams = (
+        word_ngrams(benchmark, n, text_col, id_col)
+        .select(F.md5("gram").alias("gram_h"))
+        .distinct()
+    )
+    hits = (
+        word_ngrams(train, n, text_col, id_col)
+        .select(id_col, F.md5("gram").alias("gram_h"))
+        .join(F.broadcast(bench_grams), "gram_h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return train.select(id_col).join(F.broadcast(hits), id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.coalesce(F.col("n_hits") > 0, F.lit(False)).alias("contaminated"),
+    )
+
+
+def split_corpus(
+    docs: DataFrame,
+    eval_fraction: float,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (train, benchmark) split by md5-hash cutoff on the
+    id — retry/rerun/partitioning-stable, and exactly reproducible in
+    the SQL oracle (see operators.sampling for why md5)."""
+    from turtle_spark.operators.sampling import _cutoff_hex
+
+    cutoff = F.lit(_cutoff_hex(eval_fraction))
+    h = sample_hash(id_col)
+    return docs.where(~(h < cutoff)), docs.where(h < cutoff)
