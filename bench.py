@@ -41,18 +41,24 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_SMALL = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "2"))
 SCALE_BIG = SCALE_SMALL * 4
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
-# 5 interleaved trials per level: this host throttles in multi-minute
+# Interleaved trials per level: this host throttles in multi-minute
 # bursts that per-trial steal% does NOT always reveal (observed a
-# 0.1%-steal trial 2x slower than a 3.7%-steal one), so the only
-# robust defense is sampling enough windows that each level catches a
-# clean one; best-of-trials per level is the measurement
-BENCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
+# 0.1%-steal trial 2x slower than a 3.7%-steal one), so the defense is
+# sampling several windows per level and taking the best (least-
+# disturbed) trial.  3 trials keeps the whole bench inside a bounded
+# wall budget (a local[2] trial costs ~5-6 min under load: session +
+# 300k-doc persist + warmup + two timed passes); use
+# SPARK_GRAFT_BENCH_TRIALS=5 for a max-robustness rerun.
+BENCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 CORPUS_ROOT = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/turtle_spark_bench")
 # full-pipeline scaling evidence (extract -> link -> CC -> canonicalize
 # -> materialize): smaller corpus + fewer trials than the extraction
-# pair, because one local[2] pass runs minutes, not seconds
-PIPE_DOCS = int(os.environ.get("SPARK_GRAFT_PIPE_DOCS", "25000"))
-PIPE_TRIALS = int(os.environ.get("SPARK_GRAFT_PIPE_TRIALS", "2"))
+# pair, because one pass runs minutes, not seconds (measured ~2 min at
+# 4k docs / local[2]); 12k docs is the largest size whose 1-trial pair
+# fits the bench budget while still amortizing the fixed per-stage
+# cost that dominates tiny corpora
+PIPE_DOCS = int(os.environ.get("SPARK_GRAFT_PIPE_DOCS", "12000"))
+PIPE_TRIALS = int(os.environ.get("SPARK_GRAFT_PIPE_TRIALS", "1"))
 
 HEADLINE = [
     "q_lineitem_agg",
