@@ -304,29 +304,38 @@ def verify_pairs(
     numpy ``intersect1d`` formulation, bit-for-bit (exact integer
     operands; IEEE division)."""
     profiles = shingle_profiles(terms, shingle_k)
-    # melt each pair into two (pair, member) rows and join profiles
-    # ONCE — two aliased joins would duplicate the (expensive) profile
-    # UDF subtree, since exchange reuse does not fire across
-    # differently-aliased branches (same reasoning as candidate_pairs)
-    melted = pairs.select(
-        F.struct("src", "dst").alias("_pair"),
-        F.explode(F.array("src", "dst")).alias("term_id"),
+    # Join the SKINNY pair table (16 bytes/row) against the profiles
+    # twice on 8-byte ids.  The shingle arrays never enter a shuffle:
+    # each join only moves pair ids, and AQE broadcasts the profile
+    # side outright when it fits.  The profile-UDF subtree is
+    # evaluated once per join (O(2*corpus) Python) — cheap next to the
+    # alternative this replaces: melting pairs into a
+    # collect_list-groupBy shuffled the full arrays of BOTH members
+    # per candidate (O(candidates * |shs|) shuffle bytes), which blew
+    # up superlinearly with corpus size once LSH emitted ~40
+    # candidates/doc (5.5 s -> ~110 s from sf0.01 to sf0.1).
+    a = profiles.select(
+        F.col("term_id").alias("src"),
+        F.col("shs").alias("_ashs"),
+        F.col("nw").alias("_anw"),
     )
-    both = (
-        melted.join(profiles, "term_id")
-        .groupBy("_pair")
-        .agg(F.collect_list(F.struct("shs", "nw")).alias("ms"))
-        .where(F.size("ms") == 2)  # drop pairs with a missing profile
+    b = profiles.select(
+        F.col("term_id").alias("dst"),
+        F.col("shs").alias("_bshs"),
+        F.col("nw").alias("_bnw"),
     )
-    inter = F.size(F.array_intersect(F.col("ms")[0]["shs"], F.col("ms")[1]["shs"]))
-    union = F.col("ms")[0]["nw"] + F.col("ms")[1]["nw"] - inter
+    # inner joins drop pairs with a missing profile, matching the
+    # previous size(ms)==2 guard
+    joined = pairs.join(a, "src").join(b, "dst")
+    inter = F.size(F.array_intersect("_ashs", "_bshs"))
+    union = F.col("_anw") + F.col("_bnw") - inter
     jaccard = F.when(union == 0, F.lit(1.0)).otherwise(
         inter.cast("double") / union.cast("double")
     )
     return (
-        both.withColumn("jaccard", jaccard)
+        joined.withColumn("jaccard", jaccard)
         .where(F.col("jaccard") >= threshold)
-        .select(F.col("_pair.src").alias("src"), F.col("_pair.dst").alias("dst"), "jaccard")
+        .select("src", "dst", "jaccard")
     )
 
 
