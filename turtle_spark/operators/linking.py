@@ -303,7 +303,13 @@ def verify_pairs(
     with |A| the RAW window count — identical to the previous
     numpy ``intersect1d`` formulation, bit-for-bit (exact integer
     operands; IEEE division)."""
-    profiles = shingle_profiles(terms, shingle_k)
+    from turtle_spark.operators.skew import pin
+
+    # pinned: both join branches below reference the profile subtree,
+    # and Catalyst evaluates each branch separately — without the pin
+    # the shingling UDF (and the scan under it) runs twice per query.
+    # Profiles are O(|terms|) id+sketch rows, the pinnable projection.
+    profiles = pin(shingle_profiles(terms, shingle_k))
     # Join the SKINNY pair table (16 bytes/row) against the profiles
     # twice on 8-byte ids.  The shingle arrays never enter a shuffle:
     # each join only moves pair ids, and AQE broadcasts the profile

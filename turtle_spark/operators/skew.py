@@ -101,6 +101,29 @@ def skew_hint_join(
     return cold.unionByName(hot_join)
 
 
+def pin(df: DataFrame) -> DataFrame:
+    """Persist (MEMORY_AND_DISK) a subtree that the enclosing plan
+    references more than once.
+
+    Catalyst does no common-subexpression elimination across join
+    branches: a DataFrame joined twice (or fed to both an edge list and
+    an id-mapping join-back) evaluates its whole subtree once per
+    reference — for pandas-UDF subtrees that multiplies the Python
+    stage cost, and it multiplies every upstream shuffle.  Pinning
+    materializes the first evaluation and serves the rest from block
+    storage; MEMORY_AND_DISK spills instead of recomputing, and LRU
+    eviction bounds a long session.  At cluster scale pin only what is
+    O(corpus-projection) small (id + sketch columns), never raw
+    payloads.  ``TURTLE_SPARK_NO_PIN=1`` disables pinning (A/B knob)."""
+    import os
+
+    from pyspark import StorageLevel
+
+    if os.environ.get("TURTLE_SPARK_NO_PIN"):
+        return df
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def spread(df: DataFrame, *key_cols: str, min_slots: int | None = None) -> DataFrame:
     """Guarantee a compute-dense stage at least one partition per core.
 
