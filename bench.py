@@ -53,12 +53,16 @@ BENCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 CORPUS_ROOT = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/turtle_spark_bench")
 # full-pipeline scaling evidence (extract -> link -> CC -> canonicalize
 # -> materialize): smaller corpus + fewer trials than the extraction
-# pair, because one pass runs minutes, not seconds (measured ~2 min at
-# 4k docs / local[2]); 12k docs is the largest size whose 1-trial pair
-# fits the bench budget while still amortizing the fixed per-stage
-# cost that dominates tiny corpora
-PIPE_DOCS = int(os.environ.get("SPARK_GRAFT_PIPE_DOCS", "12000"))
-PIPE_TRIALS = int(os.environ.get("SPARK_GRAFT_PIPE_TRIALS", "1"))
+# pair, because one pass runs minutes, not seconds.  24k docs became
+# affordable once stage commits stopped re-scanning their output for
+# lineage (parquet footers carry the row counts) — the larger corpus
+# grows the data-proportional term that actually scales, so the pair
+# measures the engine rather than per-stage scheduling constants
+PIPE_DOCS = int(os.environ.get("SPARK_GRAFT_PIPE_DOCS", "24000"))
+# 2 interleaved trials per level, best-of: a single-trial pair is one
+# hypervisor burst away from nonsense (observed a local[8] leg 2x
+# slower than its own local[2] leg at 2.8% average steal)
+PIPE_TRIALS = int(os.environ.get("SPARK_GRAFT_PIPE_TRIALS", "2"))
 
 HEADLINE = [
     "q_lineitem_agg",
@@ -206,6 +210,7 @@ def _one_pipeline_run(cores: int, n_docs: int) -> dict:
     import shutil
     import uuid
 
+    from turtle_spark.operators.extract import extract_triples
     from turtle_spark.plans.pipeline import run_pipeline
 
     spark = _fresh_spark(cores)
@@ -216,6 +221,9 @@ def _one_pipeline_run(cores: int, n_docs: int) -> dict:
             .persist()
         )
         docs.count()
+        # warm-up: spin up Python workers on every core (same
+        # steady-state methodology as the extraction pair)
+        extract_triples(docs.sample(fraction=0.02, seed=1)).count()
         wd = f"{CORPUS_ROOT}/pipe_wd_{uuid.uuid4().hex}"
         s0, t0j = _steal_sample()
         t0 = time.time()
@@ -231,6 +239,11 @@ def _one_pipeline_run(cores: int, n_docs: int) -> dict:
             "triples": n_triples,
             "triples_per_sec": round(n_triples / dt, 1),
             "steal_pct": round(100.0 * (s1 - s0) / max(t1j - t0j, 1), 1),
+            # per-stage walls: makes the scaling decomposition auditable
+            # (which stages are data-proportional vs O(1) commit cost)
+            "stages": {
+                k: v.get("wall_s") for k, v in res.metrics.items() if "wall_s" in v
+            },
         }
     finally:
         spark.stop()
@@ -352,6 +365,20 @@ def write_bench_md(
             f"{pipe['efficiency']:.3f}**",
             "",
         ]
+        if ps.get("stages") and pb.get("stages"):
+            lines += [
+                "Per-stage decomposition of the best trials (data-proportional",
+                "stages scale; the residual is O(1)-per-stage commit/checkpoint",
+                "cost that a larger corpus amortizes):",
+                "",
+                f"| stage | local[{ps['cores']}] sec | local[{pb['cores']}] sec | speedup |",
+                "| --- | --- | --- | --- |",
+            ]
+            for k in ps["stages"]:
+                a, b = ps["stages"][k], pb["stages"].get(k)
+                if a and b:
+                    lines.append(f"| {k} | {a} | {b} | {a / b:.2f}x |")
+            lines.append("")
     lines += [
         f"## Headline queries ({sf_dir}, local[{CPUS}])",
         "",

@@ -88,7 +88,7 @@ def _local_union_find(edge_rows: list) -> list[tuple[int, int]]:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20, local_cutoff: int = 100_000
+    edges: DataFrame, max_iterations: int = 20, local_cutoff: int = 2_000_000
 ) -> DataFrame:
     """edges(src, dst) -> assignments(node, component).
 
@@ -98,10 +98,14 @@ def connected_components(
     Adaptive tail: star rounds CONTRACT the edge set, so late rounds
     shuffle a few thousand rows while paying full scheduling + 4
     exchanges each.  Once the remaining edges fit in ``local_cutoff``
-    (a bounded ≤ ~1.6 MB collect at the default), the components are
-    finished with an exact driver-side union-find — identical output,
-    and the O(log n) distributed prefix is untouched for web-scale
-    inputs.  ``local_cutoff=0`` disables the tail entirely.
+    (a bounded ≤ ~32 MB collect of long pairs at the default — the
+    same order as a broadcast-join threshold, far under driver heaps),
+    the components are finished with an exact driver-side union-find —
+    identical output, and the O(log n) distributed prefix is untouched
+    for web-scale inputs: at 10^12 documents the first rounds run
+    distributed and the tail only fires once contraction has collapsed
+    the graph to near-component size.  ``local_cutoff=0`` disables the
+    tail entirely.
     """
     spark = edges.sparkSession
     cur = (

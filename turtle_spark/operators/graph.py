@@ -161,13 +161,23 @@ def pagerank(
     groupBy(dst) sum; lineage is truncated every ``checkpoint_every``
     rounds.  Returns ``(node, rank_fp)`` — callers divide by
     ``10**12`` for a float view.
+
+    ``edges``/``nodes``/``degree`` are pinned once up front: every
+    iteration references all three, and without the pin each round
+    re-runs the node-dedup and degree shuffles from the source scan
+    (20 iterations = 40 redundant shuffles).  Caching the edge list is
+    the standard iterative-graph trade (GraphX does the same); it is
+    O(E) block storage that spills to disk at web scale.
     """
-    nodes = (
+    from turtle_spark.operators.skew import pin
+
+    edges = pin(edges.select("src", "dst"))
+    nodes = pin(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .dropDuplicates()
     )
-    degree = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    degree = pin(edges.groupBy("src").agg(F.count("*").alias("deg")))
     ranks = nodes.withColumn("rank_fp", F.lit(_SCALE).cast("long"))
     base_fp = F.lit((_DAMP_DEN - _DAMP_NUM) * _SCALE // _DAMP_DEN).cast("long")
     for i in range(iterations):

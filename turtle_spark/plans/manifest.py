@@ -94,27 +94,43 @@ class StageManifest:
         writer.parquet(path)
 
         out = spark.read.parquet(path)
-        from pyspark.sql import functions as F
 
         # per-partition lineage: one row count per on-disk file — this
         # is what lets an operator (or a human) audit exactly which
-        # partition of which stage produced what.  The COLLECT itself is
-        # capped (limit 513, not a post-collect slice): a million-file
-        # stage must not pull a million rows through the driver at every
-        # commit.  Totals come from a separate one-row aggregate over
-        # the same grouped exchange, so the cap drops lineage detail,
-        # never the stage-level totals.
-        per_file = out.groupBy(F.input_file_name().alias("file")).count()
-        totals = per_file.agg(
-            F.sum("count").alias("rows"), F.count("*").alias("files")
-        ).collect()[0]
-        head = per_file.orderBy("file").limit(513).collect()
-        lineage = [
-            {"file": r["file"].rsplit("/", 1)[-1], "rows": r["count"]}
-            for r in head[:512]
-        ]
-        rows = int(totals["rows"] or 0)
-        n_files = int(totals["files"])
+        # partition of which stage produced what.  Counts come from the
+        # parquet FOOTERS (driver-side metadata reads, no Spark job):
+        # the row count is already materialized in each file's footer,
+        # so re-scanning the stage output with a groupBy just to learn
+        # it cost 2 extra jobs per commit — fixed overhead that capped
+        # pipeline scaling at small corpus sizes.  Footer reads are
+        # O(files) driver work; above the lineage cap we stop reading
+        # footers and take stage totals from ONE Spark aggregate (a
+        # million-file stage pays one job, never a million driver
+        # reads — and lineage detail is truncated, as before).
+        files = sorted(
+            str(p)
+            for p in pathlib.Path(path).rglob("*.parquet")
+            if not p.name.startswith((".", "_"))
+        )
+        n_files = len(files)
+        truncated = n_files > 512
+        if truncated:
+            from pyspark.sql import functions as F
+
+            head = files[:512]
+            totals = out.agg(F.count("*").alias("rows")).collect()[0]
+            rows = int(totals["rows"] or 0)
+        else:
+            head = files
+            rows = 0
+        lineage = []
+        import pyarrow.parquet as pq
+
+        for fp in head:
+            n = pq.ParquetFile(fp).metadata.num_rows
+            lineage.append({"file": fp.rsplit("/", 1)[-1], "rows": n})
+            if not truncated:
+                rows += n
         self._write(
             stage,
             {
@@ -123,7 +139,7 @@ class StageManifest:
                 "rows": rows,
                 "partitions": n_files,
                 "partition_lineage": lineage,
-                "partition_lineage_truncated": len(head) > 512,
+                "partition_lineage_truncated": truncated,
                 "status": "committed",
                 "metrics": metrics or {},
             },

@@ -113,6 +113,9 @@ def run_pipeline(
     metrics: dict[str, Any] = {}
 
     def stage(name: str, thunk, partition_by=None) -> DataFrame:
+        import time
+
+        t0 = time.monotonic()
         df, was_resumed = manifest.load_or_compute(
             spark, name, input_fingerprint, thunk, partition_by=partition_by
         )
@@ -120,6 +123,8 @@ def run_pipeline(
             resumed.append(name)
         rec = manifest.read(name)
         metrics[name] = {"rows": rec["rows"]} if rec else {}
+        metrics[name]["wall_s"] = round(time.monotonic() - t0, 3)
+        metrics[name]["resumed"] = was_resumed
         return df
 
     # B: extraction — text spans through the parser, media spans JVM-side.
