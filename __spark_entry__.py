@@ -1792,6 +1792,43 @@ def _q_kg_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the KG entity graph via
+    degree-ordered wedge joins (operators/graph.py::triangle_count) —
+    the orientation bounds wedge fan-out by O(sqrt(|E|)) per node, so
+    a celebrity entity cannot explode the join at web scale."""
+    from turtle_spark.operators.graph import entity_edges, triangle_count
+
+    return triangle_count(entity_edges(_corpus_triples(spark))).orderBy("node")
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-targeted training-corpus composition: water-fill the
+    per-source budget (clamped buckets redistribute), then ONE
+    deterministic md5-cutoff filter — summarized per source as
+    (n_docs, XOR doc fingerprint, char mass) so exact membership is
+    pinned compactly."""
+    from tools.golden_ref import MIXTURE_BUDGET, MIXTURE_WEIGHTS
+    from turtle_spark.operators.sampling import mixture_sample
+
+    sampled = mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        bucket_col="source",
+        key_cols=["doc_id"],
+        weights=MIXTURE_WEIGHTS,
+        budget=MIXTURE_BUDGET,
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("bit_xor(xxhash64(cast(doc_id as string)))").alias("doc_fp"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed next-fit sequence packing of the documents table into
     256-token training budgets — sequential packing made distributable
@@ -1943,6 +1980,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_frame_sample", "q_triples_two_hop", "q_predicate_profile",
         "q_pagerank_kg", "q_entity_ids", "q_kg_negative_samples",
         "q_bgp_typed_links", "q_bgp_note_chain", "q_kg_closure",
+        "q_triangle_count",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -1950,6 +1988,7 @@ _SF_GOLDENS = frozenset(
     {
         "q_minhash_dedup_docs", "q_simhash_dedup_docs", "q_doc_fingerprints",
         "q_lsh_topk", "q_ivf_topk", "q_dedup_clusters", "q_pack_sequences",
+        "q_mixture_sample",
     }
 )
 
@@ -2045,6 +2084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bgp_note_chain": _q_bgp_note_chain,
         "q_kg_closure": _q_kg_closure,
         "q_minhash_dedup_docs": _q_minhash_dedup_docs,
+        "q_triangle_count": _q_triangle_count,
+        "q_mixture_sample": _q_mixture_sample,
         "q_pack_sequences": _q_pack_sequences,
         "q_simhash_dedup_docs": _q_simhash_dedup_docs,
         "q_doc_fingerprints": _q_doc_fingerprints,

@@ -156,3 +156,49 @@ class TestEntityEdges:
         assert entity_edges(t).collect() == [("a", "b")] or [
             tuple(r) for r in entity_edges(t).collect()
         ] == [("a", "b")]
+
+
+# --------------------------------------------------------------------------
+# triangle counting (degree-ordered wedge joins)
+# --------------------------------------------------------------------------
+
+from turtle_spark.operators.graph import triangle_count  # noqa: E402
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: r.n_triangles for r in triangle_count(df).collect()}
+
+
+def test_triangle_single(spark):
+    # one triangle, regardless of edge direction / duplicates
+    got = _tri(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")])
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_star_has_none(spark):
+    got = _tri(spark, [("hub", x) for x in ("a", "b", "c", "d")])
+    assert got == {}
+
+
+def test_triangle_book_graph(spark):
+    # two triangles sharing edge (a, b): a and b sit on 2 each
+    got = _tri(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")])
+    assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_triangle_k4(spark):
+    # K4: C(3,2) = 3 triangles per node, 4 triangles total
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    got = _tri(spark, edges)
+    assert got == {n: 3 for n in "abcd"}
+    assert sum(got.values()) == 3 * 4  # each triangle credits 3 corners
+
+
+def test_triangle_partitioning_independent(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e"), ("c", "e")]
+    df1 = spark.createDataFrame(edges, "src string, dst string")
+    df2 = df1.repartition(7)
+    r1 = {(r.node, r.n_triangles) for r in triangle_count(df1).collect()}
+    r2 = {(r.node, r.n_triangles) for r in triangle_count(df2).collect()}
+    assert r1 == r2 == {("a", 1), ("b", 1), ("c", 2), ("d", 1), ("e", 1)}

@@ -92,3 +92,75 @@ def test_sample_is_pure_filter(events):
     with pushdown and costs one pass at any scale."""
     plan = deterministic_sample(events, ["event_id"], 0.1)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --------------------------------------------------------------------------
+# mixture sampling (water-filling corpus composition)
+# --------------------------------------------------------------------------
+
+from turtle_spark.functions.mixture import mixture_fractions  # noqa: E402
+from turtle_spark.operators.sampling import mixture_sample, sample_hash  # noqa: E402
+
+
+def test_mixture_fractions_plain_split():
+    # everyone has plenty: fractions follow the weights exactly
+    fr = mixture_fractions({"a": 100, "b": 100}, {"a": 0.75, "b": 0.25}, 40)
+    assert fr == {"a": 30 / 100, "b": 10 / 100}
+
+
+def test_mixture_fractions_clamp_and_redistribute():
+    # "a" wants 30 but only has 10 -> clamped to 1.0; the unused 20
+    # rows flow to b and c in weight proportion (1:1 -> 10 each)
+    fr = mixture_fractions(
+        {"a": 10, "b": 100, "c": 100}, {"a": 0.6, "b": 0.2, "c": 0.2}, 50
+    )
+    assert fr["a"] == 1.0
+    assert fr["b"] == fr["c"] == 20 / 100
+
+
+def test_mixture_fractions_budget_exceeds_corpus():
+    fr = mixture_fractions({"a": 5, "b": 5}, {"a": 0.5, "b": 0.5}, 100)
+    assert fr == {"a": 1.0, "b": 1.0}  # never upsamples past 1.0
+
+
+def test_mixture_fractions_empty_and_missing_buckets():
+    # zero-count and absent buckets get no allocation (and no KeyError)
+    fr = mixture_fractions({"a": 10}, {"a": 0.5, "ghost": 0.5}, 10)
+    assert fr == {"a": 1.0}
+    with pytest.raises(ValueError):
+        mixture_fractions({"a": 1}, {"a": 0.0}, 1)
+    with pytest.raises(ValueError):
+        mixture_fractions({"a": 1}, {"a": 1.0}, -1)
+
+
+def test_mixture_fractions_deterministic_rounding():
+    # 3-way split of 10 rows: largest-remainder with name tiebreak
+    fr1 = mixture_fractions({c: 100 for c in "abc"}, {c: 1 / 3 for c in "abc"}, 10)
+    fr2 = mixture_fractions({c: 100 for c in "abc"}, {c: 1 / 3 for c in "abc"}, 10)
+    assert fr1 == fr2
+    assert sum(int(round(f * 100)) for f in fr1.values()) == 10
+
+
+def test_mixture_sample_composition(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"src0": 0.5, "src1": 0.25, "src2": 0.15, "src3": 0.1}
+    out = mixture_sample(docs, "source", ["doc_id"], weights, budget=60)
+    rows = out.collect()
+    # only weighted buckets survive
+    assert {r.source for r in rows} <= set(weights)
+    # membership is the md5-cutoff contract: recompute per row
+    counts = {
+        r[0]: r[1]
+        for r in docs.where(F.col("source").isin(list(weights)))
+        .groupBy("source").count().collect()
+    }
+    fracs = mixture_fractions(counts, weights, 60)
+    expected = {
+        (r.doc_id, r.source)
+        for r in docs.withColumn("_h", sample_hash("doc_id")).collect()
+        if r.source in fracs and r._h < _cutoff_hex(fracs[r.source])
+    }
+    assert {(r.doc_id, r.source) for r in rows} == expected
+    # partitioning-independent
+    out2 = mixture_sample(docs.repartition(13), "source", ["doc_id"], weights, 60)
+    assert {(r.doc_id, r.source) for r in out2.collect()} == expected

@@ -57,6 +57,8 @@ AUDITED = [
     "q_pii_redact",
     "q_repetition_stats",
     "q_decontaminate",
+    "q_triangle_count",
+    "q_mixture_sample",
 ]
 
 

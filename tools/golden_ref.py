@@ -788,7 +788,79 @@ def ref_q_pack_sequences(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["doc_id", "n_tokens", "bucket", "pack_id", "pack_pos"], out
 
 
+MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.15, "src3": 0.1}
+MIXTURE_BUDGET = 60
+
+
+def ref_q_mixture_sample(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Mixture-targeted corpus sample, summarized per source bucket.
+
+    Counts + per-row md5-cutoff membership recomputed with plain
+    Python/hashlib; the water-filling allocation is the SHARED pure
+    function (turtle_spark.functions.mixture — Spark-free), so what
+    this golden pins is the distributed side: the bounded count
+    aggregate, the CASE-cutoff filter, and the summary aggregation."""
+    import hashlib
+
+    import pandas as pd
+
+    from turtle_spark.functions.mixture import mixture_fractions
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = list(zip(d["doc_id"].tolist(), d["source"].tolist(), d["n_chars"].tolist()))
+    counts: dict[str, int] = {}
+    for _, src, _ in rows:
+        if src in MIXTURE_WEIGHTS:
+            counts[src] = counts.get(src, 0) + 1
+    fracs = mixture_fractions(counts, MIXTURE_WEIGHTS, MIXTURE_BUDGET)
+
+    def cutoff_hex(fraction: float) -> str:
+        n = int(round(fraction * (1 << 32)))
+        return "g" if n >= 1 << 32 else format(n, "08x")
+
+    agg: dict[str, list] = {}
+    for doc_id, src, n_chars in rows:
+        frac = fracs.get(src)
+        if frac is None:
+            continue
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+        if h < cutoff_hex(frac):
+            a = agg.setdefault(src, [0, 0, 0])
+            a[0] += 1
+            a[1] ^= xxh64_str(str(doc_id)) & _U64
+            a[2] += int(n_chars)
+    out = [
+        (src, n, fp - (1 << 64) if fp >= 1 << 63 else fp, chars)
+        for src, (n, fp, chars) in sorted(agg.items())
+    ]
+    return ["source", "n_docs", "doc_fp", "sum_chars"], out
+
+
+def ref_q_triangle_count() -> tuple[list[str], list[tuple]]:
+    """Per-node triangle counts — adjacency-set intersection loop (a
+    DIFFERENT algorithm from the engine's degree-ordered wedge joins:
+    no orientation, no join machinery)."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    nbrs: dict[str, set] = {}
+    und = set()
+    for r in rows:
+        if r[7] == "iri" and r[2] != r[4]:
+            a, b = min(r[2], r[4]), max(r[2], r[4])
+            und.add((a, b))
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    tri: dict[str, int] = {}
+    for a, b in sorted(und):
+        for c in nbrs[a] & nbrs[b]:
+            if c > b:  # each triangle once: a < b < c
+                for n in (a, b, c):
+                    tri[n] = tri.get(n, 0) + 1
+    return ["node", "n_triangles"], sorted(tri.items())
+
+
 SF_QUERIES = {
+    "q_mixture_sample": ref_q_mixture_sample,
     "q_minhash_dedup_docs": ref_q_minhash_dedup_docs,
     "q_pack_sequences": ref_q_pack_sequences,
     "q_simhash_dedup_docs": ref_q_simhash_dedup_docs,
@@ -799,6 +871,7 @@ SF_QUERIES = {
 }
 
 CORPUS_QUERIES = {
+    "q_triangle_count": ref_q_triangle_count,
     "q_kg_extract": ref_q_kg_extract,
     "q_triples_two_hop": ref_q_triples_two_hop,
     "q_serialize_roundtrip": ref_q_serialize_roundtrip,
@@ -816,6 +889,8 @@ CORPUS_QUERIES = {
 # DuckDB column types per query — chosen to land in pandas with the
 # exact dtype the Spark query produces (the driver's hash sees dtypes)
 DUCK_TYPES = {
+    "q_mixture_sample": {"source": "VARCHAR", "n_docs": "BIGINT", "doc_fp": "BIGINT", "sum_chars": "BIGINT"},
+    "q_triangle_count": {"node": "VARCHAR", "n_triangles": "BIGINT"},
     "q_kg_extract": {"objecttype": "VARCHAR", "n_triples": "BIGINT", "n_subjects": "BIGINT"},
     "q_triples_two_hop": {"p1": "VARCHAR", "p2": "VARCHAR", "n_paths": "BIGINT"},
     "q_serialize_roundtrip": {"subject_initial": "VARCHAR", "n_subjects": "BIGINT", "total_bytes": "BIGINT"},

@@ -23,6 +23,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from turtle_spark.functions.mixture import mixture_fractions
+
+__all__ = [
+    "deterministic_sample",
+    "mixture_fractions",
+    "mixture_sample",
+    "sample_hash",
+    "sample_sql_predicate",
+    "stratified_sample",
+]
+
 _HEX_DIGITS = 8  # 32 bits of the digest: granularity 1/2^32
 
 
@@ -76,6 +87,37 @@ def stratified_sample(
             F.col(strata_col) == F.lit(value), F.lit(_cutoff_hex(frac))
         ).otherwise(cutoff)
     return df.where(sample_hash(*key_cols) < cutoff)
+
+
+def mixture_sample(
+    df: DataFrame,
+    bucket_col: str,
+    key_cols: list[str],
+    weights: dict[str, float],
+    budget: int,
+) -> DataFrame:
+    """Deterministic corpus composition to target mixture ``weights``.
+
+    One bounded groupBy-count (|buckets| rows to the driver — the
+    mixture spec is driver-sized by definition), water-fill to
+    per-bucket fractions, then ONE stratified hash-cutoff filter over
+    the corpus: no shuffle touches the data rows at any scale, and the
+    sample nests/repeats exactly like ``deterministic_sample``.
+
+    The realized size approximates ``budget``: the md5 cutoff keeps
+    ``~fraction * count`` rows per bucket (binomial jitter around the
+    target, exact determinism per row).  Buckets absent from
+    ``weights`` are dropped.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.where(F.col(bucket_col).isin(list(weights)))
+        .groupBy(bucket_col)
+        .count()
+        .collect()
+    }
+    fracs = mixture_fractions(counts, weights, budget)
+    return stratified_sample(df, bucket_col, key_cols, fracs, default_fraction=0.0)
 
 
 def sample_sql_predicate(key_cols: list[str], fraction: float) -> str:
