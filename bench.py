@@ -160,6 +160,21 @@ def _one_extraction_run(cores: int, n_docs: int) -> dict:
         spark.stop()
 
 
+_PROBE_DOC = "@prefix ex: <http://example.org/> .\n" + "\n".join(
+    f'ex:s{i} ex:p{i % 7} "v{i}" .' for i in range(40)
+)
+
+
+def _probe_work(n_docs: int) -> float:
+    """Module-level so multiprocessing can pickle it."""
+    from turtle_spark.core.parser import parse_document
+
+    t0 = time.time()
+    for _ in range(n_docs):
+        parse_document(_PROBE_DOC)
+    return time.time() - t0
+
+
 def host_contention_probe(seconds_budget: float = 15.0) -> dict:
     """No-Spark probe of the host's per-core throughput under load.
 
@@ -173,26 +188,13 @@ def host_contention_probe(seconds_budget: float = 15.0) -> dict:
     """
     import multiprocessing as mp
 
-    from turtle_spark.core.parser import parse_document
-
-    doc = (
-        "@prefix ex: <http://example.org/> .\n"
-        + "\n".join(f'ex:s{i} ex:p{i % 7} "v{i}" .' for i in range(40))
-    )
-
-    def work(n_docs: int) -> float:
-        t0 = time.time()
-        for _ in range(n_docs):
-            parse_document(doc)
-        return time.time() - t0
-
     # size the loop to ~1/5 of the budget solo
     n = 200
-    while work(n) < seconds_budget / 10:
+    while _probe_work(n) < seconds_budget / 10:
         n *= 2
-    solo = min(work(n), work(n))
+    solo = min(_probe_work(n), _probe_work(n))
     with mp.Pool(8) as pool:
-        walls = pool.map(work, [n] * 8)
+        walls = pool.map(_probe_work, [n] * 8)
     return {
         "solo_s": round(solo, 3),
         "par8_max_s": round(max(walls), 3),
