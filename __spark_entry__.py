@@ -1808,7 +1808,7 @@ def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic md5-cutoff filter — summarized per source as
     (n_docs, XOR doc fingerprint, char mass) so exact membership is
     pinned compactly."""
-    from tools.golden_ref import MIXTURE_BUDGET, MIXTURE_WEIGHTS
+    from turtle_spark.functions.mixture import MIXTURE_BUDGET, MIXTURE_WEIGHTS
     from turtle_spark.operators.sampling import mixture_sample
 
     sampled = mixture_sample(

@@ -788,8 +788,10 @@ def ref_q_pack_sequences(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["doc_id", "n_tokens", "bucket", "pack_id", "pack_pos"], out
 
 
-MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.15, "src3": 0.1}
-MIXTURE_BUDGET = 60
+from turtle_spark.functions.mixture import (  # noqa: E402
+    MIXTURE_BUDGET,
+    MIXTURE_WEIGHTS,
+)
 
 
 def ref_q_mixture_sample(sf_dir: str) -> tuple[list[str], list[tuple]]:

@@ -10,6 +10,12 @@ than re-deriving allocation arithmetic twice.
 
 from __future__ import annotations
 
+# the q_mixture_sample query/oracle spec — shared verbatim by
+# __spark_entry__ (Spark side) and tools/golden_ref.py (DuckDB golden)
+# so the two sides can never drift
+MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.15, "src3": 0.1}
+MIXTURE_BUDGET = 60
+
 
 def mixture_fractions(
     counts: dict[str, int], weights: dict[str, float], budget: int
