@@ -1829,6 +1829,21 @@ def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_novelty_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup: documents with doc_id % 5 == 0
+    play the incoming batch, the rest the already-ingested corpus whose
+    NoveltyIndex (LSH band table + shingle profiles) would be built
+    once and stored bucketed at real scale.  Each batch doc is labeled
+    exact / near / novel with a deterministic matched corpus doc."""
+    from turtle_spark.operators.dedup import build_novelty_index, screen_against_index
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    batch = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    index = build_novelty_index(corpus)
+    return screen_against_index(batch, index, threshold=0.5).orderBy("doc_id")
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed next-fit sequence packing of the documents table into
     256-token training budgets — sequential packing made distributable
@@ -1988,7 +2003,7 @@ _SF_GOLDENS = frozenset(
     {
         "q_minhash_dedup_docs", "q_simhash_dedup_docs", "q_doc_fingerprints",
         "q_lsh_topk", "q_ivf_topk", "q_dedup_clusters", "q_pack_sequences",
-        "q_mixture_sample",
+        "q_mixture_sample", "q_novelty_screen",
     }
 )
 
@@ -2086,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_dedup_docs": _q_minhash_dedup_docs,
         "q_triangle_count": _q_triangle_count,
         "q_mixture_sample": _q_mixture_sample,
+        "q_novelty_screen": _q_novelty_screen,
         "q_pack_sequences": _q_pack_sequences,
         "q_simhash_dedup_docs": _q_simhash_dedup_docs,
         "q_doc_fingerprints": _q_doc_fingerprints,

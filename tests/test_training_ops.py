@@ -321,3 +321,60 @@ def test_minhash_empty_text_pair(spark):
     }
     assert pairs.get((1, 2)) == 1.0
     assert all({3} - set(k) == {3} for k in pairs)  # 3 pairs with nobody
+
+
+# --------------------------------------------------------------------------
+# incremental cross-snapshot dedup (novelty screen)
+# --------------------------------------------------------------------------
+
+from turtle_spark.operators.dedup import (  # noqa: E402
+    build_novelty_index,
+    screen_against_index,
+)
+
+
+class TestNoveltyScreen:
+    def _screen(self, spark, corpus_rows, batch_rows, **kw):
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+        index = build_novelty_index(corpus)
+        out = screen_against_index(batch, index, **kw)
+        return {r.doc_id: (r.status, r.matched_id, r.jaccard) for r in out.collect()}
+
+    def test_exact_takes_precedence_and_picks_min_id(self, spark):
+        text = "the exact same document body"
+        got = self._screen(
+            spark,
+            [(7, text), (3, text), (9, "something unrelated entirely")],
+            [(100, text)],
+        )
+        status, matched, jac = got[100]
+        # both corpus copies match byte-for-byte -> exact, smallest id,
+        # and the (trivial) near match must NOT override it
+        assert (status, matched, jac) == ("exact", 3, None)
+
+    def test_near_match_scores_best_corpus_doc(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        close = base + " x"
+        far = "completely different words nothing shared here at all ok"
+        got = self._screen(
+            spark, [(1, base), (2, far)], [(200, close)], threshold=0.3
+        )
+        status, matched, jac = got[200]
+        assert status == "near" and matched == 1 and jac is not None and jac > 0.5
+
+    def test_novel_when_nothing_matches(self, spark):
+        got = self._screen(
+            spark,
+            [(1, "alpha beta gamma delta epsilon")],
+            [(300, "zzz qqq www rrr ttt yyy uuu")],
+        )
+        assert got[300] == ("novel", None, None)
+
+    def test_batch_is_not_screened_against_itself(self, spark):
+        text = "twins inside the same batch are both novel vs the corpus"
+        got = self._screen(
+            spark, [(1, "unrelated corpus doc body")], [(10, text), (11, text)]
+        )
+        assert got[10] == ("novel", None, None)
+        assert got[11] == ("novel", None, None)

@@ -59,6 +59,7 @@ AUDITED = [
     "q_decontaminate",
     "q_triangle_count",
     "q_mixture_sample",
+    "q_novelty_screen",
 ]
 
 

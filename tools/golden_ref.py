@@ -838,6 +838,57 @@ def ref_q_mixture_sample(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["source", "n_docs", "doc_fp", "sum_chars"], out
 
 
+NOVELTY_THRESHOLD = 0.5
+NOVELTY_CANDIDATE_CAP = 64
+
+
+def ref_q_novelty_screen(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Incremental dedup of a batch (doc_id % 5 == 0) against the rest
+    of the corpus as the pre-built index — plain dict/set loops vs the
+    engine's hash joins + window caps."""
+    import hashlib
+
+    docs = _read_documents(sf_dir)
+    corpus = [(d, t) for d, t in docs if d % 5 != 0]
+    batch = [(d, t) for d, t in docs if d % 5 == 0]
+
+    by_hash: dict[str, int] = {}
+    for d, t in corpus:
+        h = hashlib.sha256((t or "").encode()).hexdigest()
+        by_hash[h] = min(by_hash.get(h, d), d)
+
+    a, b = minhash_perm_coeffs(128, seed=7)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    texts = {d: (t or "") for d, t in docs}
+    for d, t in corpus:
+        sig = minhash_sig(char_shingles(t or "", 5), a, b)
+        for band_index, band_hash in enumerate(band_fold(sig, 32)):
+            buckets.setdefault((band_index, band_hash), []).append(d)
+
+    out = []
+    for d, t in sorted(batch):
+        h = hashlib.sha256((t or "").encode()).hexdigest()
+        if h in by_hash:
+            out.append((d, "exact", by_hash[h], None))
+            continue
+        sig = minhash_sig(char_shingles(t or "", 5), a, b)
+        cands: set[int] = set()
+        for band_index, band_hash in enumerate(band_fold(sig, 32)):
+            cands.update(buckets.get((band_index, band_hash), ()))
+        best = None
+        for old in sorted(cands)[:NOVELTY_CANDIDATE_CAP]:
+            jac = jaccard_shingles(t or "", texts[old], 5)
+            if jac >= NOVELTY_THRESHOLD and (
+                best is None or jac > best[1] or (jac == best[1] and old < best[0])
+            ):
+                best = (old, jac)
+        if best is not None:
+            out.append((d, "near", best[0], best[1]))
+        else:
+            out.append((d, "novel", None, None))
+    return ["doc_id", "status", "matched_id", "jaccard"], out
+
+
 def ref_q_triangle_count() -> tuple[list[str], list[tuple]]:
     """Per-node triangle counts — adjacency-set intersection loop (a
     DIFFERENT algorithm from the engine's degree-ordered wedge joins:
@@ -862,6 +913,7 @@ def ref_q_triangle_count() -> tuple[list[str], list[tuple]]:
 
 
 SF_QUERIES = {
+    "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
     "q_minhash_dedup_docs": ref_q_minhash_dedup_docs,
     "q_pack_sequences": ref_q_pack_sequences,
@@ -892,6 +944,7 @@ CORPUS_QUERIES = {
 # exact dtype the Spark query produces (the driver's hash sees dtypes)
 DUCK_TYPES = {
     "q_mixture_sample": {"source": "VARCHAR", "n_docs": "BIGINT", "doc_fp": "BIGINT", "sum_chars": "BIGINT"},
+    "q_novelty_screen": {"doc_id": "BIGINT", "status": "VARCHAR", "matched_id": "BIGINT", "jaccard": "DOUBLE"},
     "q_triangle_count": {"node": "VARCHAR", "n_triangles": "BIGINT"},
     "q_kg_extract": {"objecttype": "VARCHAR", "n_triples": "BIGINT", "n_subjects": "BIGINT"},
     "q_triples_two_hop": {"p1": "VARCHAR", "p2": "VARCHAR", "n_paths": "BIGINT"},

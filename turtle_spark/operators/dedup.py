@@ -22,6 +22,8 @@ ground-truth comparisons at small scale.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -357,4 +359,170 @@ def embedding_dedup(
     comps = connected_components(edges.select("src", "dst"))
     return comps.select(
         F.col("node").alias(id_col), F.col("component").alias("canonical_id")
+    )
+
+
+@dataclass
+class NoveltyIndex:
+    """Precomputed dedup index of an existing corpus.
+
+    ``bands``    — (doc_id, band_index, band_hash): MinHash-LSH keys,
+                   one row per (doc, band).  At 10^12 docs this is the
+                   table you bucket BY (band_index, band_hash) so every
+                   incoming batch joins it shuffle-free on the index
+                   side.
+    ``profiles`` — (doc_id, content_hash, shs, nw): sha256 of the text
+                   plus the distinct-shingle set + raw window count the
+                   exact-Jaccard verify needs.
+    """
+
+    bands: DataFrame
+    profiles: DataFrame
+
+
+def build_novelty_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    seed: int = 7,
+) -> NoveltyIndex:
+    """Build the cross-snapshot dedup index of a corpus — computed
+    ONCE per snapshot, persisted, and joined against by every incoming
+    batch (training pipelines dedup new crawls against everything
+    already ingested, not just within the batch)."""
+    from turtle_spark.operators import linking
+
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("term"))
+    band_keys = linking.lsh_band_keys(
+        base.withColumnRenamed("doc_id", "term_id"),
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed,
+    ).select(F.col("term_id").alias("doc_id"), "band_index", "band_hash")
+    profiles = (
+        linking.shingle_profiles(
+            base.withColumnRenamed("doc_id", "term_id"), shingle_k
+        )
+        .select(F.col("term_id").alias("doc_id"), "shs", "nw")
+        .join(
+            base.select("doc_id", F.sha2(F.col("term"), 256).alias("content_hash")),
+            "doc_id",
+        )
+    )
+    return NoveltyIndex(bands=band_keys, profiles=profiles)
+
+
+def screen_against_index(
+    new_docs: DataFrame,
+    index: NoveltyIndex,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    seed: int = 7,
+    candidate_cap: int = 64,
+) -> DataFrame:
+    """Incremental dedup: label every new document against an existing
+    corpus index — (doc_id, status, matched_id, jaccard) with status
+    'exact' (byte-identical text exists), 'near' (shingle Jaccard >=
+    threshold vs some corpus doc), or 'novel'.
+
+    Scale shape: only the BATCH side computes sketches (O(batch), not
+    O(corpus)); candidates come from an equi-join of batch band keys
+    against the index's band table (bucketed on the join key at rest,
+    so the corpus side never shuffles); ``candidate_cap`` bounds a new
+    doc that lands in boilerplate-hot buckets to its cap smallest
+    corpus candidates (same contract as the LSH tiers: dropped
+    candidates cost recall only).  Matched ids are deterministic:
+    exact -> smallest matching corpus id; near -> highest Jaccard,
+    ties to the smallest id.
+    """
+    from turtle_spark.operators import linking
+
+    batch = skew.pin(
+        skew.spread(
+            new_docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("term")
+            ),
+            "doc_id",
+        )
+    )
+    # exact tier: content-hash equi-join (the cheapest screen first)
+    exact = (
+        batch.select("doc_id", F.sha2("term", 256).alias("content_hash"))
+        .join(
+            index.profiles.select(
+                F.col("doc_id").alias("_old"), "content_hash"
+            ),
+            "content_hash",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("_old").alias("exact_match"))
+    )
+    # near tier: batch band keys vs the index band table
+    batch_bands = linking.lsh_band_keys(
+        batch.withColumnRenamed("doc_id", "term_id"),
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed,
+    ).select(F.col("term_id").alias("doc_id"), "band_index", "band_hash")
+    w_cap = Window.partitionBy("doc_id").orderBy("_old")
+    candidates = (
+        batch_bands.join(
+            index.bands.select(
+                F.col("doc_id").alias("_old"), "band_index", "band_hash"
+            ),
+            ["band_index", "band_hash"],
+        )
+        .select("doc_id", "_old")
+        .dropDuplicates()
+        .withColumn("_rn", F.row_number().over(w_cap))
+        .where(F.col("_rn") <= candidate_cap)
+        .drop("_rn")
+    )
+    batch_profiles = linking.shingle_profiles(
+        batch.withColumnRenamed("doc_id", "term_id"), shingle_k
+    ).select(F.col("term_id").alias("doc_id"), "shs", "nw")
+    joined = (
+        candidates.join(batch_profiles, "doc_id")
+        .join(
+            index.profiles.select(
+                F.col("doc_id").alias("_old"),
+                F.col("shs").alias("_oshs"),
+                F.col("nw").alias("_onw"),
+            ),
+            "_old",
+        )
+    )
+    inter = F.size(F.array_intersect("shs", "_oshs"))
+    union = F.col("nw") + F.col("_onw") - inter
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("_old")
+    )
+    near = (
+        joined.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .withColumn("_rn", F.row_number().over(w_best))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", F.col("_old").alias("near_match"), "jaccard")
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact"))
+            .when(F.col("near_match").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            F.coalesce("exact_match", "near_match").alias("matched_id"),
+            F.when(
+                F.col("exact_match").isNull(), F.col("jaccard")
+            ).alias("jaccard"),
+        )
     )
