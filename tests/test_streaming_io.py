@@ -189,3 +189,42 @@ def test_stream_interval_join_matches_batch(spark, tmp_path, sf_dir):
     # inner stream-stream joins emit matches as they arrive; on a
     # finite input everything must be emitted and nothing extra
     assert streamed == batch
+
+
+def test_stream_novelty_screen_matches_batch(spark, tmp_path, sf_dir):
+    """The streaming novelty screen must label documents exactly as the
+    batch operator does — across micro-batch boundaries (2 files per
+    trigger forces several batches), since the screen is stateless
+    given the index."""
+    from turtle_spark.operators.dedup import build_novelty_index, screen_against_index
+    from turtle_spark.streaming.stream import stream_novelty_screen
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    batch = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+
+    batch_dir = str(tmp_path / "incoming")
+    batch.repartition(6).write.parquet(batch_dir)  # several files -> several triggers
+
+    index = build_novelty_index(corpus)
+    out_path = str(tmp_path / "screened")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(batch_dir)
+    )
+    q = stream_novelty_screen(
+        stream, index, out_path, str(tmp_path / "ckpt"),
+        threshold=0.5, available_now=True,
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r.doc_id, r.status, r.matched_id, r.jaccard)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    expected = {
+        (r.doc_id, r.status, r.matched_id, r.jaccard)
+        for r in screen_against_index(batch, index, threshold=0.5).collect()
+    }
+    assert streamed == expected

@@ -208,3 +208,46 @@ def stream_interval_join(
             *[F.col(f"r.{c}").alias(c) for c in out_right],
         )
     )
+
+
+def stream_novelty_screen(
+    docs_stream: DataFrame,
+    index,
+    output_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.5,
+    available_now: bool = False,
+    **screen_kwargs,
+):
+    """Continuously screen arriving documents against a corpus
+    NoveltyIndex (``operators.dedup.build_novelty_index``).
+
+    ``foreachBatch`` reuses the batch ``screen_against_index`` operator
+    verbatim per micro-batch — the screen is stateless given the index
+    (all dedup state lives in the index tables, not in streaming
+    state), so batch and stream cannot drift and streaming state stays
+    EMPTY no matter how long the stream runs.  The index side is a
+    static bucketed table at scale; each micro-batch joins against it
+    and appends (doc_id, status, matched_id, jaccard) rows with
+    exactly-once semantics from the streaming checkpoint.
+
+    The index is deliberately NOT updated intra-stream: cross-snapshot
+    dedup screens against the last committed snapshot (batch-refreshed
+    by the pipeline), which keeps results deterministic and
+    replay-safe — a self-updating index would make a doc's label
+    depend on micro-batch boundaries.
+    """
+    from turtle_spark.operators.dedup import screen_against_index
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        screen_against_index(
+            batch_df, index, threshold=threshold, **screen_kwargs
+        ).write.mode("append").parquet(output_path)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
