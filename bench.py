@@ -90,6 +90,7 @@ HEADLINE = [
     "q_kg_closure",
     "q_triangle_count",
     "q_mixture_sample",
+    "q_novelty_screen",
 ]
 
 

@@ -395,12 +395,21 @@ def build_novelty_index(
     already ingested, not just within the batch)."""
     from turtle_spark.operators import linking
 
-    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("term"))
-    band_keys = linking.lsh_band_keys(
-        base.withColumnRenamed("doc_id", "term_id"),
-        num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed,
-    ).select(F.col("term_id").alias("doc_id"), "band_index", "band_hash")
-    profiles = (
+    # pinned: an index is a MATERIALIZED artifact — at real scale both
+    # tables are written once per snapshot and read by every batch;
+    # in-memory use models that with persist, so screening does not
+    # re-run the corpus sketch UDFs once per reference (profiles is
+    # joined twice per screen: exact hash + near verify)
+    base = skew.pin(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("term"))
+    )
+    band_keys = skew.pin(
+        linking.lsh_band_keys(
+            base.withColumnRenamed("doc_id", "term_id"),
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed,
+        ).select(F.col("term_id").alias("doc_id"), "band_index", "band_hash")
+    )
+    profiles = skew.pin(
         linking.shingle_profiles(
             base.withColumnRenamed("doc_id", "term_id"), shingle_k
         )
