@@ -89,3 +89,33 @@ def read_subject(spark: SparkSession, path: str, subject: str, n_buckets: int = 
         (F.col("bucket") == F.pmod(F.xxhash64(F.lit(subject)), F.lit(n_buckets)))
         & (F.col("subject") == subject)
     )
+
+
+def write_triples_table(
+    triples: DataFrame,
+    table: str,
+    path: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Spark-native BUCKETED table: ``bucketBy(n, subject)`` +
+    ``sortBy(subject)`` + ``saveAsTable``.
+
+    This is the co-location form of the subject-hash layout: a join or
+    aggregation keyed on ``subject`` over two reads of this table (or a
+    self-join) is planned with ZERO Exchange — each task joins bucket i
+    against bucket i in place, which at 10^12 triples removes the
+    biggest shuffle a KG traversal pays.  The directory-``partitionBy``
+    fallback above gives pruning but NOT co-location (Spark only
+    trusts bucket metadata recorded in the catalog); Iceberg's hidden
+    ``bucket(N, subject)`` partitioning gives both.  Requires a
+    catalog (Spark's default in-memory/derby one works); ``path``
+    makes the table external.
+    """
+    w = (
+        triples.write.mode("overwrite")
+        .bucketBy(n_buckets, "subject")
+        .sortBy("subject")
+    )
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
