@@ -228,3 +228,25 @@ def test_stream_novelty_screen_matches_batch(spark, tmp_path, sf_dir):
         for r in screen_against_index(batch, index, threshold=0.5).collect()
     }
     assert streamed == expected
+
+    # replay idempotency: foreachBatch is at-least-once, so a replayed
+    # micro-batch (same batch_id) must REPLACE its own output partition
+    # rather than append duplicates.  Wiping the checkpoint and running
+    # the identical availableNow stream again replays every batch with
+    # the same batch ids — row count and content must be unchanged.
+    n_rows = spark.read.parquet(out_path).count()
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    q2 = stream_novelty_screen(
+        stream, index, out_path, str(tmp_path / "ckpt"),
+        threshold=0.5, available_now=True,
+    )
+    q2.awaitTermination(180)
+    replayed_df = spark.read.parquet(out_path)
+    assert replayed_df.count() == n_rows
+    replayed = {
+        (r.doc_id, r.status, r.matched_id, r.jaccard)
+        for r in replayed_df.collect()
+    }
+    assert replayed == expected

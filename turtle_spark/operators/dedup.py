@@ -372,8 +372,13 @@ class NoveltyIndex:
                    incoming batch joins it shuffle-free on the index
                    side.
     ``profiles`` — (doc_id, content_hash, shs, nw): sha256 of the text
-                   plus the distinct-shingle set + raw window count the
-                   exact-Jaccard verify needs.
+                   plus the distinct-shingle set and its size.  ``nw``
+                   is the DISTINCT shingle count (char_shingle_hashes
+                   returns np.unique per doc), NOT the raw window
+                   count — the Jaccard computed from it is set
+                   semantics, which is exactly what the goldens'
+                   jaccard_shingles pins.  Do not "fix" it to raw
+                   windows; that breaks golden parity.
     """
 
     bands: DataFrame
@@ -433,6 +438,7 @@ def screen_against_index(
     shingle_k: int = 5,
     seed: int = 7,
     candidate_cap: int = 64,
+    pin_batch: bool = True,
 ) -> DataFrame:
     """Incremental dedup: label every new document against an existing
     corpus index — (doc_id, status, matched_id, jaccard) with status
@@ -451,14 +457,19 @@ def screen_against_index(
     """
     from turtle_spark.operators import linking
 
-    batch = skew.pin(
-        skew.spread(
-            new_docs.select(
-                F.col(id_col).alias("doc_id"), F.col(text_col).alias("term")
-            ),
-            "doc_id",
-        )
+    # ``pin_batch=False`` for callers that invoke this repeatedly on a
+    # long-lived session (the streaming micro-batch path): pin() has no
+    # unpersist hook here, so a pin per trigger would accumulate one
+    # persisted DataFrame per micro-batch forever.  Such callers should
+    # persist/unpersist ``new_docs`` around the call instead.
+    batch = skew.spread(
+        new_docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("term")
+        ),
+        "doc_id",
     )
+    if pin_batch:
+        batch = skew.pin(batch)
     # exact tier: content-hash equi-join (the cheapest screen first)
     exact = (
         batch.select("doc_id", F.sha2("term", 256).alias("content_hash"))

@@ -251,8 +251,12 @@ def shingle_profiles(
     terms: DataFrame, shingle_k: int = DEFAULT_SHINGLE_K
 ) -> DataFrame:
     """(term_id, shs: array<long>, nw: int) — each term's DISTINCT
-    shingle-hash set plus its raw window count, computed ONCE per term
-    in a single Arrow pass (across-row numpy shingling)."""
+    shingle-hash set plus that set's size, computed ONCE per term in a
+    single Arrow pass (across-row numpy shingling).  ``nw`` counts
+    DISTINCT shingles, not raw windows (``char_shingle_hashes_batch``
+    applies ``np.unique`` per doc before this UDF sizes it) — keep it
+    that way: the set-semantics Jaccard built on it is what the
+    goldens' ``jaccard_shingles`` pins."""
 
     schema = T.StructType(
         [
@@ -300,9 +304,10 @@ def verify_pairs(
        ratio, and serialized to 2-3 tasks by byte-based coalescing).
 
     Jaccard here = |distinct(A) ∩ distinct(B)| / (|A| + |B| - |∩|)
-    with |A| the RAW window count — identical to the previous
-    numpy ``intersect1d`` formulation, bit-for-bit (exact integer
-    operands; IEEE division)."""
+    with |A| the DISTINCT shingle count (``nw``) — pure set-semantics
+    Jaccard, identical to the previous numpy ``intersect1d``
+    formulation, bit-for-bit (exact integer operands; IEEE
+    division)."""
     from turtle_spark.operators.skew import pin
 
     # pinned: both join branches below reference the profile subtree,

@@ -114,23 +114,49 @@ class StageManifest:
         )
         n_files = len(files)
         truncated = n_files > 512
-        if truncated:
+        if n_files == 0:
+            # pathlib only sees the LOCAL filesystem; on a URI workdir
+            # (hdfs://, s3a://, file:) rglob finds nothing even though
+            # the write succeeded.  Fall back to the storage-agnostic
+            # Spark aggregate (one job, capped collect) rather than
+            # silently committing rows=0 lineage.
             from pyspark.sql import functions as F
 
-            head = files[:512]
-            totals = out.agg(F.count("*").alias("rows")).collect()[0]
-            rows = int(totals["rows"] or 0)
+            per_file = (
+                out.groupBy(F.input_file_name().alias("file"))
+                .agg(F.count("*").alias("rows"))
+                .orderBy("file")
+                .limit(513)
+                .collect()
+            )
+            truncated = len(per_file) > 512
+            n_files = len(per_file)
+            lineage = [
+                {"file": r["file"].rsplit("/", 1)[-1], "rows": int(r["rows"])}
+                for r in per_file[:512]
+            ]
+            if truncated:
+                rows = int(out.agg(F.count("*")).collect()[0][0] or 0)
+            else:
+                rows = sum(e["rows"] for e in lineage)
         else:
-            head = files
-            rows = 0
-        lineage = []
-        import pyarrow.parquet as pq
+            if truncated:
+                from pyspark.sql import functions as F
 
-        for fp in head:
-            n = pq.ParquetFile(fp).metadata.num_rows
-            lineage.append({"file": fp.rsplit("/", 1)[-1], "rows": n})
-            if not truncated:
-                rows += n
+                head = files[:512]
+                totals = out.agg(F.count("*").alias("rows")).collect()[0]
+                rows = int(totals["rows"] or 0)
+            else:
+                head = files
+                rows = 0
+            lineage = []
+            import pyarrow.parquet as pq
+
+            for fp in head:
+                n = pq.ParquetFile(fp).metadata.num_rows
+                lineage.append({"file": fp.rsplit("/", 1)[-1], "rows": n})
+                if not truncated:
+                    rows += n
         self._write(
             stage,
             {

@@ -228,8 +228,16 @@ def stream_novelty_screen(
     state), so batch and stream cannot drift and streaming state stays
     EMPTY no matter how long the stream runs.  The index side is a
     static bucketed table at scale; each micro-batch joins against it
-    and appends (doc_id, status, matched_id, jaccard) rows with
-    exactly-once semantics from the streaming checkpoint.
+    and writes (batch_id, doc_id, status, matched_id, jaccard) rows.
+
+    Delivery semantics: ``foreachBatch`` itself is AT-LEAST-ONCE — a
+    micro-batch that fails (or whose driver dies) after a partial or
+    even completed write is replayed with the SAME batch_id on
+    restart.  The sink is therefore made idempotent per batch_id:
+    output is partitioned by ``batch_id`` and written with dynamic
+    partition overwrite, so a replayed batch replaces exactly its own
+    partition instead of appending duplicate rows.  Idempotent sink +
+    replayable source + checkpoint = effectively exactly-once results.
 
     The index is deliberately NOT updated intra-stream: cross-snapshot
     dedup screens against the last committed snapshot (batch-refreshed
@@ -240,9 +248,26 @@ def stream_novelty_screen(
     from turtle_spark.operators.dedup import screen_against_index
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        screen_against_index(
-            batch_df, index, threshold=threshold, **screen_kwargs
-        ).write.mode("append").parquet(output_path)
+        # pin_batch=False + local persist/unpersist: the operator's own
+        # pin() has no release hook, so letting it pin per trigger
+        # would leak one persisted DataFrame per micro-batch for the
+        # stream's lifetime.  Persisting the raw micro-batch here gives
+        # the same single-evaluation behavior and is released before
+        # the trigger completes.
+        batch_df.persist()
+        try:
+            out = screen_against_index(
+                batch_df, index, threshold=threshold, pin_batch=False,
+                **screen_kwargs,
+            ).withColumn("batch_id", F.lit(batch_id))
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(output_path)
+            )
+        finally:
+            batch_df.unpersist()
 
     writer = (
         docs_stream.writeStream.foreachBatch(process)
