@@ -1897,19 +1897,29 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: synthesized media table -> stub decoder ->
-    per-type feature summary (deterministic)."""
+    """Multimodal decode, REAL for image rows: the synthesized media
+    table carries actual PPM/BMP payloads, ``imaging.media_decoder``
+    decodes them to pixels through the Arrow seam and computes genuine
+    pixel statistics (mean/std per channel, luminance histogram);
+    audio/video fall back to the deterministic stub (codecs are
+    outside the sandbox).  ``px_mean_sum`` aggregates the decoded mean
+    red-channel values — it only matches the golden if the
+    encode -> decode -> feature path is bit-faithful."""
+    from turtle_spark.functions.imaging import media_decoder
     from turtle_spark.operators.multimodal import decode_features, synthesize_media_table
     from turtle_spark.sources.corpus import generate_docs
 
     docs = generate_docs(spark, 200, seed=42)
-    feats = decode_features(synthesize_media_table(docs), dim=16)
+    feats = decode_features(
+        synthesize_media_table(docs), dim=16, stub=False, decoder=media_decoder
+    )
     return (
         feats.groupBy("media_type")
         .agg(
             F.count("*").alias("n_media"),
             F.sum("n_bytes").alias("total_bytes"),
             F.round(F.sum(F.round(F.element_at("features", 1), 4)), 4).alias("f0_sum"),
+            F.round(F.sum(F.round(F.element_at("features", 3), 4)), 4).alias("px_mean_sum"),
         )
         .orderBy("media_type")
     )

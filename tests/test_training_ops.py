@@ -262,10 +262,13 @@ def test_multimodal_decoder_injection(spark):
 
     feats = decode_features(media, dim=8, decoder=fake_real_decoder).collect()
     assert len(feats) == media.count()
+    payload_lens = {r.media_ref: len(bytes(r.payload)) for r in media.collect()}
     for r in feats:
-        expect = len(r.media_ref) + len("payload:") + (10.0 if r.media_type == "video" else 0.0)
+        expect = payload_lens[r.media_ref] + (
+            10.0 if r.media_type == "video" else 0.0
+        )
         assert r.features == [expect] * 8
-        assert r.n_bytes == len("payload:") + len(r.media_ref)
+        assert r.n_bytes == payload_lens[r.media_ref]
 
 
 def test_embedding_dedup_matches_union_find(spark, embeddings):

@@ -508,8 +508,30 @@ def ref_q_ivf_topk(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["query_id", "neighbor_id", "cosine", "rank"], _topk_rerank(cands, vecs, 5)
 
 
+def _synth_image_pixels(w: int, h: int, s0: int, s1: int, s2: int) -> np.ndarray:
+    """Independent reimplementation of the engine's synthetic test
+    pattern: channel c at (row, col) = (seed_c + 31*row + 7*col) % 256.
+    Written with explicit loops on purpose — no shared code path with
+    `turtle_spark.functions.imaging.synth_pixels`."""
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    for row in range(h):
+        for col in range(w):
+            base = 31 * row + 7 * col
+            img[row, col, 0] = (s0 + base) % 256
+            img[row, col, 1] = (s1 + base) % 256
+            img[row, col, 2] = (s2 + base) % 256
+    return img
+
+
 def _corpus_media(n_docs: int = 200, seed: int = 42):
-    """(media_ref, doc_id, media_type, payload, duration_ms) rows."""
+    """(media_ref, doc_id, media_type, payload_len, duration_ms,
+    image_or_none) rows.
+
+    Image payload byte-lengths are derived ANALYTICALLY from the
+    container specs (PPM: ASCII header + 3wh raster; BMP: 54-byte
+    headers + 4-byte-aligned rows) rather than by calling the engine's
+    encoders — so `total_bytes` independently checks the encoders'
+    output sizes."""
     out = []
     for doc_id, spans in _corpus_docs(n_docs, seed):
         for kind, _text, ref, _off in spans:
@@ -517,34 +539,59 @@ def _corpus_media(n_docs: int = 200, seed: int = 42):
                 continue
             h = xxh64_str(ref)
             mtype = ("image", "audio", "video")[h % 3]
-            out.append(
-                (ref, doc_id, mtype, ("payload:" + ref).encode(), h % 600000 + 1)
-            )
+            dur = h % 600000 + 1
+            if mtype == "image":
+                w, hgt = h % 40 + 8, h % 24 + 8
+                img = _synth_image_pixels(w, hgt, h % 256, h % 251, h % 241)
+                if h % 2 == 0:  # PPM
+                    plen = len(f"P6\n{w} {hgt}\n255\n") + 3 * w * hgt
+                else:  # BMP: 14+40 headers, rows padded to 4 bytes
+                    plen = 54 + ((3 * w + 3) & ~3) * hgt
+                out.append((ref, doc_id, mtype, plen, dur, img))
+            else:
+                out.append(
+                    (ref, doc_id, mtype, len("payload:" + ref), dur, None)
+                )
     return out
 
 
 def ref_q_media_features() -> tuple[list[str], list[tuple]]:
-    agg: dict[str, tuple[int, int, list[float]]] = {}
-    for ref, _doc, mtype, payload, _dur in _corpus_media():
-        data = np.frombuffer(payload or b"\0", dtype=np.uint8).astype(np.float32)
-        idx = np.arange(data.size) % 16
-        vec = np.zeros(16, dtype=np.float32)
-        np.add.at(vec, idx, data)
-        norm = float(np.linalg.norm(vec)) or 1.0
-        f0 = float(np.float32(vec[0] / norm))
-        n, total, f0s = agg.setdefault(mtype, (0, 0, []))
-        agg[mtype] = (n + 1, total + len(payload), f0s)
+    agg: dict[str, tuple[int, int, list[float], list[float]]] = {}
+    for ref, _doc, mtype, plen, _dur, img in _corpus_media():
+        if img is not None:
+            # engine spec: f0 = w/1024, f2 = mean(R)/255, float64 math
+            # cast to float32 once at the end
+            f0 = float(np.float32(img.shape[1] / 1024.0))
+            mean_r = float(img[:, :, 0].astype(np.float64).mean())
+            px = float(np.float32(mean_r / 255.0))
+        else:
+            payload = ("payload:" + ref).encode()
+            data = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+            idx = np.arange(data.size) % 16
+            vec = np.zeros(16, dtype=np.float32)
+            np.add.at(vec, idx, data)
+            norm = float(np.linalg.norm(vec)) or 1.0
+            f0 = float(np.float32(vec[0] / norm))
+            px = float(np.float32(vec[2] / norm))
+        n, total, f0s, pxs = agg.setdefault(mtype, (0, 0, [], []))
+        agg[mtype] = (n + 1, total + plen, f0s, pxs)
         f0s.append(spark_round(f0, 4))
+        pxs.append(spark_round(px, 4))
     out = [
-        (t, n, total, spark_round(math.fsum(f0s), 4))
-        for t, (n, total, f0s) in sorted(agg.items())
+        (t, n, total, spark_round(math.fsum(f0s), 4), spark_round(math.fsum(pxs), 4))
+        for t, (n, total, f0s, pxs) in sorted(agg.items())
     ]
-    return ["media_type", "n_media", "total_bytes", "f0_sum"], out
+    return (
+        ["media_type", "n_media", "total_bytes", "f0_sum", "px_mean_sum"],
+        out,
+    )
 
 
 def ref_q_frame_sample() -> tuple[list[str], list[tuple]]:
     out = []
-    for ref, _doc, mtype, _payload, dur in sorted(_corpus_media()):
+    for ref, _doc, mtype, _plen, dur, _img in sorted(
+        _corpus_media(), key=lambda t: t[0]
+    ):
         if mtype != "video":
             continue
         n_frames = dur // 1000 + 1  # sequence(0, dur, 1000) inclusive
@@ -954,7 +1001,7 @@ DUCK_TYPES = {
     "q_doc_fingerprints": {"doc_id": "BIGINT", "fingerprint": "BIGINT", "simhash": "BIGINT"},
     "q_lsh_topk": {"query_id": "BIGINT", "neighbor_id": "BIGINT", "cosine": "DOUBLE", "rank": "INTEGER"},
     "q_ivf_topk": {"query_id": "BIGINT", "neighbor_id": "BIGINT", "cosine": "DOUBLE", "rank": "INTEGER"},
-    "q_media_features": {"media_type": "VARCHAR", "n_media": "BIGINT", "total_bytes": "BIGINT", "f0_sum": "DOUBLE"},
+    "q_media_features": {"media_type": "VARCHAR", "n_media": "BIGINT", "total_bytes": "BIGINT", "f0_sum": "DOUBLE", "px_mean_sum": "DOUBLE"},
     "q_frame_sample": {"media_ref": "VARCHAR", "n_frames": "BIGINT", "last_ts_ms": "INTEGER"},
     "q_dedup_clusters": {"cluster_size": "BIGINT", "n_clusters": "BIGINT"},
     "q_predicate_profile": {

@@ -1,0 +1,219 @@
+"""Pure-Python/numpy image codecs + pixel features — no codec deps.
+
+The multimodal seam (`operators/multimodal.py`) was a documented
+``NotImplementedError`` until one real format could be decoded inside
+this sandbox.  PPM (P6 binary portable pixmap) and uncompressed 24-bit
+BMP need no external libraries, so they make the Arrow decode path
+REAL end-to-end: synthesize payload bytes -> sniff magic -> decode to
+an (h, w, 3) uint8 array -> compute actual pixel statistics -> resize
+by nearest-neighbor -> re-encode.  Formats that need real codecs
+(JPEG/PNG/audio/video) still raise at the seam, by design.
+
+Determinism contract: every function here is pure and single-threaded
+numpy; `tools/golden_ref.py` reimplements the decode + feature math
+independently, so `q_media_features` is differential-tested, not
+self-confirmed.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- PPM (P6, maxval 255) -------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary P6 bytes."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_ppm expects (h, w, 3)")
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary P6 bytes -> (h, w, 3) uint8.  Handles whitespace and
+    ``#`` comments in the header per the netpbm spec."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic + 3 ASCII ints (w, h, maxval), '#' comments allowed
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    n = w * h * 3
+    raster = data[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+# --- BMP (BITMAPINFOHEADER, 24-bit, uncompressed) --------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit BMP (bottom-up rows,
+    BGR byte order, rows padded to 4 bytes — the classic layout)."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects (h, w, 3)")
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+    pixel_size = stride * h
+    # rows bottom-up, channels BGR
+    bgr = np.ascontiguousarray(img[::-1, :, ::-1], dtype=np.uint8)
+    if pad:
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        padded[:, :row_bytes] = bgr.reshape(h, row_bytes)
+        raster = padded.tobytes()
+    else:
+        raster = bgr.tobytes()
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + pixel_size, 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_size, 2835, 2835, 0, 0
+    )
+    return header + info + raster
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (h, w, 3) uint8 RGB.  Supports the
+    layout ``encode_bmp`` writes plus top-down rows (negative height)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    header_size = struct.unpack_from("<I", data, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raster = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = raster.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR -> RGB
+    return np.ascontiguousarray(rgb if top_down else rgb[::-1])
+
+
+# --- deterministic synthetic images ----------------------------------------
+
+
+def synth_pixels(w: int, h: int, s0: int, s1: int, s2: int) -> np.ndarray:
+    """Deterministic (h, w, 3) test pattern: channel c at (row, col) =
+    (seed_c + 31*row + 7*col) mod 256.  Pure integer math — any engine
+    reproduces it bit-for-bit."""
+    r = np.arange(h, dtype=np.int64)[:, None]
+    x = np.arange(w, dtype=np.int64)[None, :]
+    base = 31 * r + 7 * x
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    for c, s in enumerate((s0, s1, s2)):
+        img[:, :, c] = ((base + int(s)) % 256).astype(np.uint8)
+    return img
+
+
+# --- real pixel features ----------------------------------------------------
+
+FEATURE_MIN_DIM = 16
+
+
+def image_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """Actual pixel statistics as a fixed-width float32 vector:
+
+    ``[w/1024, h/1024,
+       mean(R)/255, mean(G)/255, mean(B)/255,
+       std(R)/255,  std(G)/255,  std(B)/255,
+       8-bin luminance histogram fractions]``
+
+    zero-padded to ``dim`` (>= 16).  All math float64, cast once at
+    the end — deterministic for a given image on any partitioning.
+    """
+    if dim < FEATURE_MIN_DIM:
+        raise ValueError(f"image features need dim >= {FEATURE_MIN_DIM}")
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3).astype(np.float64)
+    means = flat.mean(axis=0) / 255.0
+    stds = flat.std(axis=0) / 255.0
+    lum = (img.reshape(-1, 3).astype(np.uint32).sum(axis=1) // 3).astype(np.uint8)
+    hist = np.bincount(lum >> 5, minlength=8).astype(np.float64) / lum.size
+    vec = np.zeros(dim, dtype=np.float64)
+    vec[0] = w / 1024.0
+    vec[1] = h / 1024.0
+    vec[2:5] = means
+    vec[5:8] = stds
+    vec[8:16] = hist
+    return vec.astype(np.float32)
+
+
+# --- seam implementations ---------------------------------------------------
+
+
+def sniff_format(payload: bytes) -> str | None:
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    return None
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    fmt = sniff_format(payload)
+    if fmt == "ppm":
+        return decode_ppm(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "only PPM/BMP decode in this environment (no image codec libraries); "
+        "payload magic = " + repr(payload[:2])
+    )
+
+
+def media_decoder(payload: bytes, media_type: str, dim: int) -> np.ndarray:
+    """REAL decoder for `operators.multimodal.decode_features`: PPM/BMP
+    payloads decode to pixels and yield actual pixel statistics; other
+    media types (audio/video — codecs not present here) fall back to
+    the deterministic content-derived stub vector."""
+    if sniff_format(payload or b"") is not None:
+        return image_features(decode_image(payload), dim)
+    from turtle_spark.operators.multimodal import _stub_features
+
+    return _stub_features(payload, dim)
+
+
+def resize_nearest(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Nearest-neighbor resample — pure index arithmetic, no codecs."""
+    h, w, _ = img.shape
+    rows = (np.arange(new_h, dtype=np.int64) * h) // new_h
+    cols = (np.arange(new_w, dtype=np.int64) * w) // new_w
+    return img[rows][:, cols]
+
+
+def media_resizer(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """REAL resizer for `operators.multimodal.resize_media`: decodes
+    PPM/BMP, nearest-neighbor resizes, re-encodes in the same format;
+    non-image payloads pass through unchanged."""
+    fmt = sniff_format(payload or b"")
+    if fmt is None:
+        return payload
+    img = resize_nearest(decode_image(payload), new_w, new_h)
+    return encode_ppm(img) if fmt == "ppm" else encode_bmp(img)

@@ -4,13 +4,16 @@ Images/audio/video ride through the pipeline as ``binary`` columns
 with a metadata struct; decode / feature-extraction / resize /
 frame-sampling run as Arrow-batched ``mapInPandas`` transforms.
 
-The decode step itself is STUBBED in this container (no image/audio
-libraries are installed): ``decode_features(..., stub=True)`` produces
-a deterministic content-derived fake feature vector, and
-``stub=False`` raises ``NotImplementedError`` at the exact seam where
-a real decoder (PIL / torchaudio / pyav) would plug in.  Everything
-Spark-side — schema, batch shape, partition behavior, UDF signature —
-is real and tested.
+Image decode is REAL for codec-free formats: synthetic image rows
+carry actual PPM/BMP payloads (``functions/imaging.py``) and
+``imaging.media_decoder`` decodes them to pixels and computes genuine
+pixel statistics through the same Arrow seam a PIL/torchaudio/pyav
+decoder would plug into.  Formats that need codec libraries
+(JPEG/PNG/audio/video frames) still raise ``NotImplementedError`` at
+the seam — ``decode_features(..., stub=True)`` produces a
+deterministic content-derived fake for those.  Everything Spark-side —
+schema, batch shape, partition behavior, UDF signature — is identical
+for the stub and real paths.
 """
 
 from __future__ import annotations
@@ -57,27 +60,83 @@ _MEDIA_TYPES = ("image", "audio", "video")
 def synthesize_media_table(docs: DataFrame) -> DataFrame:
     """Deterministic media rows for every media span in a docs table.
 
-    Payload = content-derived pseudo-bytes (media decode sources are
-    outside the sandbox); everything is a pure column expression.
+    Image rows carry REAL decodable payloads — deterministic test
+    patterns encoded as binary PPM or 24-bit BMP (format chosen by the
+    ref hash, so both codec paths are exercised) with small honest
+    dimensions in ``meta``.  Audio/video rows keep content-derived
+    pseudo-bytes (their codecs are outside the sandbox).  All selection
+    math (type, dims, seeds, format) is JVM column arithmetic; only the
+    pixel-byte materialization runs in Python, Arrow-batched.
     """
     span = F.explode("spans").alias("span")
     media = docs.select("doc_id", span).where(F.col("span.kind") == "media")
     h = F.xxhash64("span.media_ref")
-    return media.select(
+    mtype = F.element_at(
+        F.array(*[F.lit(t) for t in _MEDIA_TYPES]),
+        (F.pmod(h, F.lit(3)) + 1).cast("int"),
+    )
+    is_image = mtype == "image"
+    base = media.select(
         F.col("span.media_ref").alias("media_ref"),
         "doc_id",
-        F.element_at(
-            F.array(*[F.lit(t) for t in _MEDIA_TYPES]),
-            (F.pmod(h, F.lit(3)) + 1).cast("int"),
-        ).alias("media_type"),
-        F.encode(F.concat(F.lit("payload:"), F.col("span.media_ref")), "utf-8").alias("payload"),
-        F.struct(
-            (F.pmod(h, F.lit(1920)) + 1).cast("int").alias("width"),
-            (F.pmod(h, F.lit(1080)) + 1).cast("int").alias("height"),
-            (F.pmod(h, F.lit(600000)) + 1).cast("int").alias("duration_ms"),
-            F.lit("synthetic").alias("codec"),
-        ).alias("meta"),
+        mtype.alias("media_type"),
+        F.when(is_image, F.pmod(h, F.lit(40)).cast("int") + 8)
+        .otherwise((F.pmod(h, F.lit(1920)) + 1).cast("int"))
+        .alias("width"),
+        F.when(is_image, F.pmod(h, F.lit(24)).cast("int") + 8)
+        .otherwise((F.pmod(h, F.lit(1080)) + 1).cast("int"))
+        .alias("height"),
+        (F.pmod(h, F.lit(600000)) + 1).cast("int").alias("duration_ms"),
+        F.when(is_image, F.when(F.pmod(h, F.lit(2)) == 0, F.lit("ppm")).otherwise(F.lit("bmp")))
+        .otherwise(F.lit("synthetic"))
+        .alias("codec"),
+        F.pmod(h, F.lit(256)).cast("int").alias("_s0"),
+        F.pmod(h, F.lit(251)).cast("int").alias("_s1"),
+        F.pmod(h, F.lit(241)).cast("int").alias("_s2"),
     )
+
+    def batches(it):
+        from turtle_spark.functions import imaging
+
+        for pdf in it:
+            payloads = []
+            for ref, mt, codec, w, hgt, s0, s1, s2 in zip(
+                pdf["media_ref"], pdf["media_type"], pdf["codec"],
+                pdf["width"], pdf["height"], pdf["_s0"], pdf["_s1"], pdf["_s2"],
+            ):
+                if mt == "image":
+                    img = imaging.synth_pixels(
+                        int(w), int(hgt), int(s0), int(s1), int(s2)
+                    )
+                    payloads.append(
+                        imaging.encode_ppm(img)
+                        if codec == "ppm"
+                        else imaging.encode_bmp(img)
+                    )
+                else:
+                    payloads.append(("payload:" + ref).encode())
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "width": int(w),
+                            "height": int(hgt),
+                            "duration_ms": int(d),
+                            "codec": c,
+                        }
+                        for w, hgt, d, c in zip(
+                            pdf["width"], pdf["height"],
+                            pdf["duration_ms"], pdf["codec"],
+                        )
+                    ],
+                }
+            )
+
+    return base.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def _stub_features(payload: bytes, dim: int) -> np.ndarray:
@@ -123,7 +182,7 @@ def decode_features(
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "features": feats,
-                    "n_bytes": pdf["payload"].map(lambda b: len(b or b"")).astype("int32"),
+                    "n_bytes": pdf["payload"].str.len().fillna(0).astype("int32"),
                 }
             )
 
