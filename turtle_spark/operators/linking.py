@@ -131,8 +131,17 @@ def lsh_band_keys(
     pandas UDF (all across-row numpy), so the text crosses the Python
     boundary exactly once and no intermediate 128-long signature arrays
     shuttle through Arrow.  Bitwise-identical keys to
-    ``lsh_buckets(minhash_terms(terms))``."""
+    ``lsh_buckets(minhash_terms(terms))``.
+
+    The input is ``spread`` first: a terms table read back from a
+    checkpoint parquet is a few MB = 1-2 scan partitions, which would
+    run this compute-dense UDF on 1-2 cores regardless of cluster
+    width (the pipeline's measured edges-stage scaling bottleneck).
+    No-op whenever the scan already has a partition per core."""
+    from turtle_spark.operators.skew import spread
+
     a, b = minhash_permutations(num_perm, seed)
+    terms = spread(terms, "term_id")
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def keys_udf(col: pd.Series) -> pd.Series:
@@ -256,8 +265,14 @@ def shingle_profiles(
     DISTINCT shingles, not raw windows (``char_shingle_hashes_batch``
     applies ``np.unique`` per doc before this UDF sizes it) — keep it
     that way: the set-semantics Jaccard built on it is what the
-    goldens' ``jaccard_shingles`` pins."""
+    goldens' ``jaccard_shingles`` pins.
 
+    ``spread`` first, same rationale as ``lsh_band_keys``: a
+    checkpoint-read terms table is byte-small, and byte-based
+    partitioning would serialize this Arrow pass to 1-2 cores."""
+    from turtle_spark.operators.skew import spread
+
+    terms = spread(terms, "term_id")
     schema = T.StructType(
         [
             T.StructField("shs", T.ArrayType(T.LongType())),
