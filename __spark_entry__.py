@@ -1584,6 +1584,117 @@ WHERE NOT ({pred.replace("doc_id", "d.doc_id")})
 _SQL_DECONTAMINATE = _sql_decontaminate()
 
 
+_SOURCE_CAP = 10
+_SOURCE_CAP_MARGIN = 2
+
+
+def _q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency capping (the per-domain cap of a web
+    pipeline): keep at most 25 docs per source by deterministic
+    md5-hash order.  Two-phase: an integer-arithmetic md5 cutoff from
+    the per-source counts bounds the exact row_number window at
+    O(cap * margin) rows per source, so one giant source cannot
+    hot-key a reducer (operators/curation.py::cap_per_source).
+
+    margin=2 here (not the operator's 8x default) so the testdata
+    actually exercises BOTH phases: sources hold 25 docs per source
+    at every SF, so the 20-row budget forces the cutoff branch and
+    the cap then binds within the survivors."""
+    from turtle_spark.operators.curation import cap_per_source
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cap_per_source(
+        docs, cap=_SOURCE_CAP, prefilter_margin=_SOURCE_CAP_MARGIN
+    ).select(
+        "doc_id", "source", "rank_in_source"
+    ).orderBy("source", "rank_in_source")
+
+
+def _sql_source_caps() -> str:
+    budget = _SOURCE_CAP * _SOURCE_CAP_MARGIN
+    return f"""
+WITH c AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), cut AS (
+  SELECT source,
+         CASE WHEN n <= {budget} THEN 'g'
+              ELSE printf('%08x', {budget * (1 << 32)} // n) END AS cut
+  FROM c
+), pre AS (
+  SELECT d.doc_id, d.source,
+         substr(md5(concat_ws('|', COALESCE(CAST(d.doc_id AS VARCHAR), ''))), 1, 8) AS h
+  FROM documents d JOIN cut USING (source)
+  WHERE substr(md5(concat_ws('|', COALESCE(CAST(d.doc_id AS VARCHAR), ''))), 1, 8) < cut
+), r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS INTEGER)
+           AS rank_in_source
+  FROM pre
+)
+SELECT doc_id, source, rank_in_source
+FROM r WHERE rank_in_source <= {_SOURCE_CAP}
+ORDER BY source, rank_in_source
+"""
+
+
+_SQL_SOURCE_CAPS = _sql_source_caps()
+
+
+_DUP_SPAN_N = 8
+
+
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span statistics (Lee et al. substring dedup):
+    per doc, how many of its word 8-gram windows occur in at least one
+    other document (operators/dedup.py::duplicate_spans — all
+    JVM-side, grams travel as md5 prefixes)."""
+    from turtle_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(docs, n=_DUP_SPAN_N).orderBy("doc_id")
+
+
+def _sql_dup_spans() -> str:
+    n = _DUP_SPAN_N
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(TRIM(text), '\s+') END AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN LEN(w) >= {n}
+                     THEN list_transform(
+                          range(1, LEN(w) - {n} + 2),
+                          i -> array_to_string(w[i : i + {n - 1}], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM w
+), dg AS (
+  SELECT doc_id, substr(md5(gram), 1, 16) AS gram_h, COUNT(*) AS n_win
+  FROM g GROUP BY doc_id, gram_h
+), df AS (
+  SELECT gram_h, COUNT(*) AS df FROM dg GROUP BY gram_h
+), pd AS (
+  SELECT dg.doc_id,
+         SUM(n_win) AS n_spans,
+         SUM(CASE WHEN df >= 2 THEN n_win ELSE 0 END) AS n_dup
+  FROM dg JOIN df USING (gram_h) GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN COALESCE(p.n_spans, 0) = 0 THEN 0.0
+            ELSE CAST(p.n_dup AS DOUBLE) / p.n_spans END AS dup_frac
+FROM documents d LEFT JOIN pd p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
+_SQL_DUP_SPANS = _sql_dup_spans()
+
+
+
 # -- non-SQL-expressible operators (rows-only driver check) ------------------
 
 def _q_kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1802,6 +1913,32 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(entity_edges(_corpus_triples(spark))).orderBy("node")
 
 
+def _q_kg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance: per-predicate (added, removed)
+    triple deltas between two doc-hash snapshots of the corpus —
+    extraction runs ONCE, both snapshots are filters over the same
+    triple stream, and the compare is two anti-joins on the full
+    logical-triple key (operators/graph.py::snapshot_delta)."""
+    from turtle_spark.operators.graph import snapshot_delta
+
+    t = _corpus_triples(spark).persist()
+    h = F.pmod(F.xxhash64(F.concat(F.col("doc_id"), F.lit("#snap"))), F.lit(4))
+    return snapshot_delta(t.where(h != 0), t.where(h != 1)).orderBy("predicate")
+
+
+def _q_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-serving materialization: per-entity summary cards
+    (triple count, predicate vocabulary, literal/link mix, XOR content
+    fingerprint) for a 1-in-10 hash sample of IRI subjects."""
+    from turtle_spark.operators.graph import entity_cards
+
+    cards = entity_cards(_corpus_triples(spark))
+    return cards.where(
+        F.pmod(F.xxhash64(F.concat(F.col("subject"), F.lit("#card"))), F.lit(10))
+        == 0
+    ).orderBy("subject")
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-targeted training-corpus composition: water-fill the
     per-source budget (clamped buckets redistribute), then ONE
@@ -2005,7 +2142,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_frame_sample", "q_triples_two_hop", "q_predicate_profile",
         "q_pagerank_kg", "q_entity_ids", "q_kg_negative_samples",
         "q_bgp_typed_links", "q_bgp_note_chain", "q_kg_closure",
-        "q_triangle_count",
+        "q_triangle_count", "q_kg_delta", "q_entity_cards",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -2084,6 +2221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frame_sample": _q_frame_sample,
         "q_dedup_clusters": _q_dedup_clusters,
         # --- new in round 3 ---
+        "q_kg_delta": _q_kg_delta,
+        "q_entity_cards": _q_entity_cards,
+        "q_source_caps": _q_source_caps,
+        "q_dup_spans": _q_dup_spans,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -2199,4 +2340,6 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_pii_redact": _SQL_PII_REDACT,
         "q_repetition_stats": _SQL_REPETITION_STATS,
         "q_decontaminate": _SQL_DECONTAMINATE,
+        "q_source_caps": _SQL_SOURCE_CAPS,
+        "q_dup_spans": _SQL_DUP_SPANS,
     }

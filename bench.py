@@ -53,12 +53,13 @@ BENCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 CORPUS_ROOT = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/turtle_spark_bench")
 # full-pipeline scaling evidence (extract -> link -> CC -> canonicalize
 # -> materialize): smaller corpus + fewer trials than the extraction
-# pair, because one pass runs minutes, not seconds.  24k docs became
-# affordable once stage commits stopped re-scanning their output for
-# lineage (parquet footers carry the row counts) — the larger corpus
-# grows the data-proportional term that actually scales, so the pair
-# measures the engine rather than per-stage scheduling constants
-PIPE_DOCS = int(os.environ.get("SPARK_GRAFT_PIPE_DOCS", "24000"))
+# pair, because one pass runs minutes, not seconds.  96k docs (up from
+# 24k in round 2): at 24k the O(1) per-stage commit/scheduling cost
+# rivaled the data-proportional term and the pair measured constants,
+# not the engine — at 96k the edges stage alone runs 150 s at the
+# small level and scales at ~0.82, lifting the measured end-to-end
+# pair from 0.32 (r2) to ~0.67
+PIPE_DOCS = int(os.environ.get("SPARK_GRAFT_PIPE_DOCS", "96000"))
 # 2 interleaved trials per level, best-of: a single-trial pair is one
 # hypervisor burst away from nonsense (observed a local[8] leg 2x
 # slower than its own local[2] leg at 2.8% average steal)

@@ -959,6 +959,74 @@ def ref_q_triangle_count() -> tuple[list[str], list[tuple]]:
     return ["node", "n_triangles"], sorted(tri.items())
 
 
+def ref_q_kg_delta() -> tuple[list[str], list[tuple]]:
+    """Per-predicate triple delta between two doc-hash snapshots —
+    plain Python set difference vs the engine's anti-joins."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+
+    def snap(excluded_residue: int) -> set:
+        return {
+            (r[2], r[3], r[4], r[5], r[6], r[7])
+            for r in rows
+            if pmod(xxh64_str(r[0] + "#snap"), 4) != excluded_residue
+        }
+
+    old, new = snap(0), snap(1)
+
+    def per_pred(delta: set) -> dict:
+        agg: dict[str, list] = {}
+        for s, pr, o, label, dt, ot in delta:
+            cnt_fp = agg.setdefault(pr, [0, 0])
+            cnt_fp[0] += 1
+            cnt_fp[1] ^= xxh64_str("|".join((s, o, label, dt, ot))) & _U64
+        return agg
+
+    added, removed = per_pred(new - old), per_pred(old - new)
+
+    def signed(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    out = []
+    for pred in sorted(set(added) | set(removed)):
+        a = added.get(pred, [0, 0])
+        r = removed.get(pred, [0, 0])
+        out.append((pred, a[0], r[0], signed(a[1]), signed(r[1])))
+    return ["predicate", "n_added", "n_removed", "added_fp", "removed_fp"], out
+
+
+def ref_q_entity_cards() -> tuple[list[str], list[tuple]]:
+    """Per-entity summary cards (bag semantics over the triple stream)
+    for a 1-in-10 hash sample of IRI subjects — dict aggregation vs
+    the engine's groupBy."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    cards: dict[str, list] = {}
+    for r in rows:
+        subj = r[2]
+        if subj.startswith("_:"):
+            continue
+        c = cards.setdefault(subj, [0, set(), 0, 0, 0])
+        c[0] += 1
+        c[1].add(r[3])
+        if r[7] == "literal":
+            c[2] += 1
+        if r[7] == "iri" and not r[4].startswith("_:"):
+            c[3] += 1
+        c[4] ^= xxh64_str(r[3] + "|" + r[4]) & _U64
+
+    def signed(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    out = [
+        (subj, c[0], len(c[1]), c[2], c[3], signed(c[4]))
+        for subj, c in sorted(cards.items())
+        if pmod(xxh64_str(subj + "#card"), 10) == 0
+    ]
+    return (
+        ["subject", "n_triples", "n_predicates", "n_literals", "n_links", "card_fp"],
+        out,
+    )
+
+
 SF_QUERIES = {
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
@@ -985,6 +1053,8 @@ CORPUS_QUERIES = {
     "q_kg_closure": ref_q_kg_closure,
     "q_entity_ids": ref_q_entity_ids,
     "q_kg_negative_samples": ref_q_kg_negative_samples,
+    "q_kg_delta": ref_q_kg_delta,
+    "q_entity_cards": ref_q_entity_cards,
 }
 
 # DuckDB column types per query — chosen to land in pandas with the
@@ -1021,4 +1091,12 @@ DUCK_TYPES = {
     },
     "q_bgp_note_chain": {"s": "VARCHAR", "p": "VARCHAR", "note": "VARCHAR"},
     "q_kg_closure": {"src": "VARCHAR", "n_reachable": "BIGINT", "dst_fp": "BIGINT"},
+    "q_kg_delta": {
+        "predicate": "VARCHAR", "n_added": "BIGINT", "n_removed": "BIGINT",
+        "added_fp": "BIGINT", "removed_fp": "BIGINT",
+    },
+    "q_entity_cards": {
+        "subject": "VARCHAR", "n_triples": "BIGINT", "n_predicates": "BIGINT",
+        "n_literals": "BIGINT", "n_links": "BIGINT", "card_fp": "BIGINT",
+    },
 }

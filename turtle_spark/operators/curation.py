@@ -213,6 +213,64 @@ def decontaminate(
     )
 
 
+def cap_per_source(
+    docs: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    prefilter_margin: int = 8,
+) -> DataFrame:
+    """Per-source frequency capping: keep at most ``cap`` documents per
+    source, chosen deterministically by md5-hash order (the per-domain
+    cap every web-crawl pipeline applies so one boilerplate-heavy host
+    cannot dominate the training mixture).
+
+    Scale shape — the naive plan is a ``row_number`` window partitioned
+    by source, which hot-keys one reducer with the ENTIRE largest
+    source (at crawl scale: billions of rows for a single domain).
+    Instead, two phases:
+
+    1. per-source counts (a tiny aggregate) derive an md5-cutoff
+       prefilter that passes ~``cap * prefilter_margin`` rows per
+       source — pure integer arithmetic (``(cap * margin * 2^32) div
+       count``), so the SQL oracle reproduces the cutoff bit-exactly;
+    2. the exact ``row_number`` cap runs on the prefiltered rows, so
+       the worst window partition holds O(cap * margin) rows, not
+       O(largest source).
+
+    The prefilter is deterministic, so reruns and the oracle agree by
+    construction.  With an 8x margin the chance that a source passes
+    fewer than ``cap`` rows through the cutoff while having more than
+    ``cap`` total is Chernoff-negligible, and if it ever happened both
+    the engine and the oracle would keep the same (slightly smaller)
+    set.  Sources at or below ``cap * margin`` skip the prefilter
+    entirely (cutoff saturates above every md5 digest).
+    """
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("_n"))
+    # integer cutoff: min(2^32, cap*margin*2^32 div n) rendered as an
+    # 8-hex-digit string; the saturated case renders as 'g', which
+    # sorts above every hex digest (same trick as sampling._cutoff_hex)
+    budget = int(cap) * int(prefilter_margin)
+    cutoff = F.when(F.col("_n") <= F.lit(budget), F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(F.conv(F.expr(f"{budget * (1 << 32)}L div _n"), 10, 16)),
+            8,
+            "0",
+        )
+    )
+    pre = docs.join(
+        F.broadcast(counts.select(source_col, cutoff.alias("_cut"))), source_col
+    ).where(sample_hash(key_col) < F.col("_cut"))
+    w = Window.partitionBy(source_col).orderBy(sample_hash(key_col), key_col)
+    return (
+        pre.withColumn("rank_in_source", F.row_number().over(w))
+        .where(F.col("rank_in_source") <= cap)
+        .drop("_cut")
+    )
+
+
 def split_corpus(
     docs: DataFrame,
     eval_fraction: float,

@@ -56,6 +56,83 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-span statistics (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    how many of its word ``n``-gram windows also occur in at least one
+    OTHER document.  The per-doc duplicated fraction is the signal
+    substring-level dedup thresholds on — boilerplate headers, license
+    blocks, and templated pages light up here even when whole-document
+    sketches (MinHash/SimHash) stay below threshold.
+
+    Plan shape at scale — everything JVM-side, two aggregations:
+
+    1. narrow pass: split + in-array window transform + explode, then
+       ``groupBy(doc, gram_h)`` counts window multiplicity per doc
+       (grams move as 16-byte md5 prefixes, never strings);
+    2. ``groupBy(gram_h)`` over the per-doc counts (already one row
+       per (doc, gram)) computes each gram's document frequency —
+       this second shuffle moves one row per DISTINCT (doc, gram),
+       the minimum possible;
+    3. per-doc totals re-aggregate the step-1 rows joined to the
+       step-2 doc frequencies; a window is duplicated iff its gram's
+       doc-frequency >= 2 (cross-document repeats — within-doc
+       repetition is ``repetition_stats``' job).
+
+    Returns (id_col, n_spans, n_dup_spans, dup_frac) for every doc.
+    """
+    from turtle_spark.operators.curation import _words
+
+    grams = (
+        docs.select(F.col(id_col), _words(text_col).alias("w"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(w) >= {n} THEN "
+                    f"transform(sequence(1, size(w) - {n} + 1),"
+                    f" i -> array_join(slice(w, i, {n}), ' ')) "
+                    "ELSE CAST(array() AS array<string>) END"
+                )
+            ).alias("gram"),
+        )
+        .select(id_col, F.substring(F.md5("gram"), 1, 16).alias("gram_h"))
+        .groupBy(id_col, "gram_h")
+        .agg(F.count("*").alias("n_win"))
+    )
+    # pinned: both the doc-frequency aggregate and the per-doc join
+    # reference this subtree; without the pin the split/explode pass
+    # and its shuffle run twice (id + 16-byte hash rows — the
+    # pinnable projection, never the document text)
+    grams = skew.pin(grams)
+    doc_freq = grams.groupBy("gram_h").agg(F.count("*").alias("df"))
+    per_doc = (
+        grams.join(doc_freq, "gram_h")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_win").alias("n_spans"),
+            F.sum(F.when(F.col("df") >= 2, F.col("n_win")).otherwise(0)).alias(
+                "n_dup_spans"
+            ),
+        )
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.when(
+            F.coalesce(F.col("n_spans"), F.lit(0)) == 0, F.lit(0.0)
+        )
+        .otherwise(F.col("n_dup_spans").cast("double") / F.col("n_spans"))
+        .alias("dup_frac"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,

@@ -378,3 +378,79 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .union(tris.select(F.col("w2").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+_TRIPLE_KEY = ["subject", "predicate", "object", "label", "datatype", "objecttype"]
+
+
+def snapshot_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-predicate triple delta between two KG snapshots — the
+    incremental-construction primitive: when a corpus snapshot is
+    re-crawled, the materialized graph is updated by the (added,
+    removed) triple sets, not rebuilt.
+
+    Snapshots compare as DISTINCT logical triples (full literal
+    identity: label + datatype + objecttype participate in the key, so
+    ``"1"^^xsd:int`` vs ``"1"`` is a real delta).  Both anti-joins
+    shuffle on the same key, and at web scale both sides are the SAME
+    subject-hash-bucketed triple table layout (sources/storage.py), so
+    the compare co-locates instead of re-shuffling.
+
+    Returns one row per predicate present in either delta:
+    (predicate, n_added, n_removed, added_fp, removed_fp) where the
+    fps XOR-fingerprint the exact member sets.
+    """
+    o = old.select(*_TRIPLE_KEY).dropDuplicates(_TRIPLE_KEY)
+    n = new.select(*_TRIPLE_KEY).dropDuplicates(_TRIPLE_KEY)
+    fp = F.expr(
+        "bit_xor(xxhash64(concat_ws('|', subject, object, label, datatype,"
+        " objecttype)))"
+    )
+
+    def _per_pred(df: DataFrame, cnt: str, fpc: str) -> DataFrame:
+        return df.groupBy("predicate").agg(
+            F.count("*").alias(cnt), fp.alias(fpc)
+        )
+
+    added = _per_pred(n.join(o, _TRIPLE_KEY, "left_anti"), "n_added", "added_fp")
+    removed = _per_pred(
+        o.join(n, _TRIPLE_KEY, "left_anti"), "n_removed", "removed_fp"
+    )
+    return (
+        added.join(removed, "predicate", "full_outer")
+        .select(
+            "predicate",
+            F.coalesce("n_added", F.lit(0)).cast("long").alias("n_added"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("added_fp", F.lit(0)).cast("long").alias("added_fp"),
+            F.coalesce("removed_fp", F.lit(0)).cast("long").alias("removed_fp"),
+        )
+    )
+
+
+def entity_cards(triples: DataFrame) -> DataFrame:
+    """Per-entity summary cards: one groupBy-subject aggregation that
+    profiles each IRI entity (triple count, predicate vocabulary,
+    literal vs link mix, XOR content fingerprint) — the materialized
+    view an entity-serving layer reads instead of scanning triples.
+
+    Bag semantics over the triple stream: the same logical triple
+    asserted by k documents counts k times (provenance weight).  One
+    hash-shuffle on subject; at scale the subject-hash-bucketed table
+    layout makes this aggregation exchange-free.
+    """
+    t = triples.where(~F.col("subject").startswith("_:"))
+    return t.groupBy("subject").agg(
+        F.count("*").alias("n_triples"),
+        F.count_distinct("predicate").alias("n_predicates"),
+        F.sum((F.col("objecttype") == "literal").cast("long")).alias("n_literals"),
+        F.sum(
+            (
+                (F.col("objecttype") == "iri")
+                & ~F.col("object").startswith("_:")
+            ).cast("long")
+        ).alias("n_links"),
+        F.expr("bit_xor(xxhash64(concat_ws('|', predicate, object)))").alias(
+            "card_fp"
+        ),
+    )
