@@ -92,6 +92,10 @@ HEADLINE = [
     "q_triangle_count",
     "q_mixture_sample",
     "q_novelty_screen",
+    "q_source_caps",
+    "q_dup_spans",
+    "q_kg_delta",
+    "q_entity_cards",
 ]
 
 
