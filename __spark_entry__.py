@@ -2062,6 +2062,37 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: synthesized audio rows carry actual RIFF/WAVE
+    PCM16 payloads; ``imaging.media_decoder`` decodes the bytes back to
+    samples through the Arrow seam and computes genuine signal
+    statistics (duration, RMS, peak, zero-crossing rate).  The golden
+    recomputes every stat from an independent big-int reimplementation
+    of the waveform spec, so any encode/decode defect breaks parity."""
+    from turtle_spark.functions.imaging import media_decoder
+    from turtle_spark.operators.multimodal import decode_features, synthesize_media_table
+    from turtle_spark.sources.corpus import generate_docs
+
+    media = synthesize_media_table(generate_docs(spark, 200, seed=42)).where(
+        F.col("media_type") == "audio"
+    )
+    feats = decode_features(media, dim=16, stub=False, decoder=media_decoder)
+    meta = media.select("media_ref", F.col("meta.duration_ms").alias("duration_ms"))
+    return (
+        feats.join(F.broadcast(meta), "media_ref")
+        .select(
+            "media_ref",
+            "duration_ms",
+            "n_bytes",
+            F.round(F.element_at("features", 1).cast("double"), 4).alias("duration_s"),
+            F.round(F.element_at("features", 2).cast("double"), 4).alias("rms"),
+            F.round(F.element_at("features", 3).cast("double"), 4).alias("peak"),
+            F.round(F.element_at("features", 4).cast("double"), 4).alias("zcr"),
+        )
+        .orderBy("media_ref")
+    )
+
+
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: frames per video at 1 fps."""
     from turtle_spark.operators.multimodal import sample_frames, synthesize_media_table
@@ -2139,7 +2170,8 @@ _GOLDEN_ROOT = pathlib.Path(__file__).resolve().parent / "tests" / "goldens"
 _CORPUS_GOLDENS = frozenset(
     {
         "q_kg_extract", "q_serialize_roundtrip", "q_media_features",
-        "q_frame_sample", "q_triples_two_hop", "q_predicate_profile",
+        "q_audio_stats", "q_frame_sample", "q_triples_two_hop",
+        "q_predicate_profile",
         "q_pagerank_kg", "q_entity_ids", "q_kg_negative_samples",
         "q_bgp_typed_links", "q_bgp_note_chain", "q_kg_closure",
         "q_triangle_count", "q_kg_delta", "q_entity_cards",
@@ -2221,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frame_sample": _q_frame_sample,
         "q_dedup_clusters": _q_dedup_clusters,
         # --- new in round 3 ---
+        "q_audio_stats": _q_audio_stats,
         "q_kg_delta": _q_kg_delta,
         "q_entity_cards": _q_entity_cards,
         "q_source_caps": _q_source_caps,

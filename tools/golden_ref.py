@@ -523,15 +523,26 @@ def _synth_image_pixels(w: int, h: int, s0: int, s1: int, s2: int) -> np.ndarray
     return img
 
 
+def _synth_audio_samples(n: int, sa: int, sb: int) -> list[int]:
+    """Independent reimplementation of the engine's waveform spec
+    (functions/audio.py): pure-Python big-int arithmetic, no numpy,
+    no shared code path."""
+    return [
+        ((i * 2654435761 * (sa + 1) + sb) % 65536) - 32768
+        for i in range(1, n + 1)
+    ]
+
+
 def _corpus_media(n_docs: int = 200, seed: int = 42):
     """(media_ref, doc_id, media_type, payload_len, duration_ms,
-    image_or_none) rows.
+    image_or_none, audio_or_none) rows; audio_or_none is
+    (sample_rate, samples).
 
     Image payload byte-lengths are derived ANALYTICALLY from the
     container specs (PPM: ASCII header + 3wh raster; BMP: 54-byte
-    headers + 4-byte-aligned rows) rather than by calling the engine's
-    encoders — so `total_bytes` independently checks the encoders'
-    output sizes."""
+    headers + 4-byte-aligned rows; WAV: 44-byte canonical header +
+    2 bytes/sample) rather than by calling the engine's encoders — so
+    `total_bytes` independently checks the encoders' output sizes."""
     out = []
     for doc_id, spans in _corpus_docs(n_docs, seed):
         for kind, _text, ref, _off in spans:
@@ -547,23 +558,48 @@ def _corpus_media(n_docs: int = 200, seed: int = 42):
                     plen = len(f"P6\n{w} {hgt}\n255\n") + 3 * w * hgt
                 else:  # BMP: 14+40 headers, rows padded to 4 bytes
                     plen = 54 + ((3 * w + 3) & ~3) * hgt
-                out.append((ref, doc_id, mtype, plen, dur, img))
+                out.append((ref, doc_id, mtype, plen, dur, img, None))
+            elif mtype == "audio":
+                rate = (8000, 16000)[h % 2]
+                n = h % 4000 + 400
+                samples = _synth_audio_samples(n, h % 256, h % 251)
+                out.append(
+                    (ref, doc_id, mtype, 44 + 2 * n, n * 1000 // rate,
+                     None, (rate, samples))
+                )
             else:
                 out.append(
-                    (ref, doc_id, mtype, len("payload:" + ref), dur, None)
+                    (ref, doc_id, mtype, len("payload:" + ref), dur, None, None)
                 )
     return out
 
 
+def _audio_feature_stats(rate: int, samples: list[int]) -> tuple[float, ...]:
+    """(duration_s, rms, peak, zcr) per the engine's feature layout —
+    float64 math, one float32 cast at the end, independently coded."""
+    x = np.asarray(samples, dtype=np.float64)
+    n = x.size
+    dur = float(np.float32(n / float(rate)))
+    rms = float(np.float32(float(np.sqrt(np.mean(x * x))) / 32768.0))
+    peak = float(np.float32(float(np.max(np.abs(x))) / 32768.0))
+    s = np.sign(x)
+    s[s == 0] = 1.0
+    zcr = float(np.float32(float(np.count_nonzero(s[1:] != s[:-1])) / (n - 1)))
+    return dur, rms, peak, zcr
+
+
 def ref_q_media_features() -> tuple[list[str], list[tuple]]:
     agg: dict[str, tuple[int, int, list[float], list[float]]] = {}
-    for ref, _doc, mtype, plen, _dur, img in _corpus_media():
+    for ref, _doc, mtype, plen, _dur, img, aud in _corpus_media():
         if img is not None:
             # engine spec: f0 = w/1024, f2 = mean(R)/255, float64 math
             # cast to float32 once at the end
             f0 = float(np.float32(img.shape[1] / 1024.0))
             mean_r = float(img[:, :, 0].astype(np.float64).mean())
             px = float(np.float32(mean_r / 255.0))
+        elif aud is not None:
+            # engine spec: f0 = duration seconds, f2 = peak/32768
+            f0, _rms, px, _zcr = _audio_feature_stats(*aud)
         else:
             payload = ("payload:" + ref).encode()
             data = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
@@ -587,9 +623,32 @@ def ref_q_media_features() -> tuple[list[str], list[tuple]]:
     )
 
 
+def ref_q_audio_stats() -> tuple[list[str], list[tuple]]:
+    """Real WAV decode stats per audio row: the engine synthesizes a
+    PCM16 waveform, encodes RIFF/WAVE bytes, decodes them back through
+    the Arrow seam, and computes signal statistics; this golden
+    recomputes the same stats from an independent big-int reimplementation
+    of the waveform spec — any encode/decode defect breaks parity."""
+    out = []
+    for ref, _doc, mtype, plen, dur, _img, aud in sorted(
+        _corpus_media(), key=lambda t: t[0]
+    ):
+        if aud is None:
+            continue
+        dur_s, rms, peak, zcr = _audio_feature_stats(*aud)
+        out.append(
+            (ref, dur, plen, spark_round(dur_s, 4), spark_round(rms, 4),
+             spark_round(peak, 4), spark_round(zcr, 4))
+        )
+    return (
+        ["media_ref", "duration_ms", "n_bytes", "duration_s", "rms", "peak", "zcr"],
+        out,
+    )
+
+
 def ref_q_frame_sample() -> tuple[list[str], list[tuple]]:
     out = []
-    for ref, _doc, mtype, _plen, dur, _img in sorted(
+    for ref, _doc, mtype, _plen, dur, _img, _aud in sorted(
         _corpus_media(), key=lambda t: t[0]
     ):
         if mtype != "video":
@@ -1045,6 +1104,7 @@ CORPUS_QUERIES = {
     "q_triples_two_hop": ref_q_triples_two_hop,
     "q_serialize_roundtrip": ref_q_serialize_roundtrip,
     "q_media_features": ref_q_media_features,
+    "q_audio_stats": ref_q_audio_stats,
     "q_frame_sample": ref_q_frame_sample,
     "q_predicate_profile": ref_q_predicate_profile,
     "q_pagerank_kg": ref_q_pagerank_kg,
@@ -1072,6 +1132,7 @@ DUCK_TYPES = {
     "q_lsh_topk": {"query_id": "BIGINT", "neighbor_id": "BIGINT", "cosine": "DOUBLE", "rank": "INTEGER"},
     "q_ivf_topk": {"query_id": "BIGINT", "neighbor_id": "BIGINT", "cosine": "DOUBLE", "rank": "INTEGER"},
     "q_media_features": {"media_type": "VARCHAR", "n_media": "BIGINT", "total_bytes": "BIGINT", "f0_sum": "DOUBLE", "px_mean_sum": "DOUBLE"},
+    "q_audio_stats": {"media_ref": "VARCHAR", "duration_ms": "INTEGER", "n_bytes": "INTEGER", "duration_s": "DOUBLE", "rms": "DOUBLE", "peak": "DOUBLE", "zcr": "DOUBLE"},
     "q_frame_sample": {"media_ref": "VARCHAR", "n_frames": "BIGINT", "last_ts_ms": "INTEGER"},
     "q_dedup_clusters": {"cluster_size": "BIGINT", "n_clusters": "BIGINT"},
     "q_predicate_profile": {

@@ -190,11 +190,17 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 def media_decoder(payload: bytes, media_type: str, dim: int) -> np.ndarray:
     """REAL decoder for `operators.multimodal.decode_features`: PPM/BMP
-    payloads decode to pixels and yield actual pixel statistics; other
-    media types (audio/video — codecs not present here) fall back to
-    the deterministic content-derived stub vector."""
+    payloads decode to pixels and yield actual pixel statistics;
+    RIFF/WAVE PCM16 payloads decode to samples and yield actual signal
+    statistics; remaining media (video — codecs not present here) falls
+    back to the deterministic content-derived stub vector."""
     if sniff_format(payload or b"") is not None:
         return image_features(decode_image(payload), dim)
+    from turtle_spark.functions.audio import audio_features, decode_wav, sniff_wav
+
+    if sniff_wav(payload or b""):
+        rate, samples = decode_wav(payload)
+        return audio_features(samples, rate, dim)
     from turtle_spark.operators.multimodal import _stub_features
 
     return _stub_features(payload, dim)

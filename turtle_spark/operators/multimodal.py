@@ -4,16 +4,17 @@ Images/audio/video ride through the pipeline as ``binary`` columns
 with a metadata struct; decode / feature-extraction / resize /
 frame-sampling run as Arrow-batched ``mapInPandas`` transforms.
 
-Image decode is REAL for codec-free formats: synthetic image rows
-carry actual PPM/BMP payloads (``functions/imaging.py``) and
-``imaging.media_decoder`` decodes them to pixels and computes genuine
-pixel statistics through the same Arrow seam a PIL/torchaudio/pyav
-decoder would plug into.  Formats that need codec libraries
-(JPEG/PNG/audio/video frames) still raise ``NotImplementedError`` at
-the seam — ``decode_features(..., stub=True)`` produces a
-deterministic content-derived fake for those.  Everything Spark-side —
-schema, batch shape, partition behavior, UDF signature — is identical
-for the stub and real paths.
+Decode is REAL for codec-free formats: synthetic image rows carry
+actual PPM/BMP payloads (``functions/imaging.py``) decoded to pixels
+with genuine pixel statistics, and synthetic audio rows carry actual
+RIFF/WAVE PCM16 payloads (``functions/audio.py``) decoded to samples
+with genuine signal statistics — both through the same Arrow seam a
+PIL/torchaudio/pyav decoder would plug into.  Formats that need codec
+libraries (JPEG/PNG/MP3/video frames) still raise
+``NotImplementedError`` at the seam — ``decode_features(...,
+stub=True)`` produces a deterministic content-derived fake for those.
+Everything Spark-side — schema, batch shape, partition behavior, UDF
+signature — is identical for the stub and real paths.
 """
 
 from __future__ import annotations
@@ -63,10 +64,12 @@ def synthesize_media_table(docs: DataFrame) -> DataFrame:
     Image rows carry REAL decodable payloads — deterministic test
     patterns encoded as binary PPM or 24-bit BMP (format chosen by the
     ref hash, so both codec paths are exercised) with small honest
-    dimensions in ``meta``.  Audio/video rows keep content-derived
-    pseudo-bytes (their codecs are outside the sandbox).  All selection
-    math (type, dims, seeds, format) is JVM column arithmetic; only the
-    pixel-byte materialization runs in Python, Arrow-batched.
+    dimensions in ``meta``.  Audio rows carry REAL RIFF/WAVE PCM16
+    payloads (``functions/audio.py``) with honest sample-derived
+    ``duration_ms``.  Video rows keep content-derived pseudo-bytes
+    (video codecs are outside the sandbox).  All selection math (type,
+    dims, rates, seeds, format) is JVM column arithmetic; only the
+    pixel/sample-byte materialization runs in Python, Arrow-batched.
     """
     span = F.explode("spans").alias("span")
     media = docs.select("doc_id", span).where(F.col("span.kind") == "media")
@@ -76,6 +79,16 @@ def synthesize_media_table(docs: DataFrame) -> DataFrame:
         (F.pmod(h, F.lit(3)) + 1).cast("int"),
     )
     is_image = mtype == "image"
+    is_audio = mtype == "audio"
+    rate = F.when(
+        is_audio,
+        F.element_at(
+            F.array(F.lit(8000), F.lit(16000)), (F.pmod(h, F.lit(2)) + 1).cast("int")
+        ),
+    ).otherwise(F.lit(0))
+    nsamp = F.when(is_audio, (F.pmod(h, F.lit(4000)) + 400).cast("int")).otherwise(
+        F.lit(0)
+    )
     base = media.select(
         F.col("span.media_ref").alias("media_ref"),
         "doc_id",
@@ -86,23 +99,31 @@ def synthesize_media_table(docs: DataFrame) -> DataFrame:
         F.when(is_image, F.pmod(h, F.lit(24)).cast("int") + 8)
         .otherwise((F.pmod(h, F.lit(1080)) + 1).cast("int"))
         .alias("height"),
-        (F.pmod(h, F.lit(600000)) + 1).cast("int").alias("duration_ms"),
+        # audio duration is honest: floor(n_samples * 1000 / rate)
+        F.when(is_audio, F.floor(nsamp * F.lit(1000) / rate))
+        .otherwise(F.pmod(h, F.lit(600000)) + 1)
+        .cast("int")
+        .alias("duration_ms"),
         F.when(is_image, F.when(F.pmod(h, F.lit(2)) == 0, F.lit("ppm")).otherwise(F.lit("bmp")))
+        .when(is_audio, F.lit("wav"))
         .otherwise(F.lit("synthetic"))
         .alias("codec"),
         F.pmod(h, F.lit(256)).cast("int").alias("_s0"),
         F.pmod(h, F.lit(251)).cast("int").alias("_s1"),
         F.pmod(h, F.lit(241)).cast("int").alias("_s2"),
+        rate.alias("_rate"),
+        nsamp.alias("_nsamp"),
     )
 
     def batches(it):
-        from turtle_spark.functions import imaging
+        from turtle_spark.functions import audio, imaging
 
         for pdf in it:
             payloads = []
-            for ref, mt, codec, w, hgt, s0, s1, s2 in zip(
+            for ref, mt, codec, w, hgt, s0, s1, s2, sr, ns in zip(
                 pdf["media_ref"], pdf["media_type"], pdf["codec"],
                 pdf["width"], pdf["height"], pdf["_s0"], pdf["_s1"], pdf["_s2"],
+                pdf["_rate"], pdf["_nsamp"],
             ):
                 if mt == "image":
                     img = imaging.synth_pixels(
@@ -113,6 +134,9 @@ def synthesize_media_table(docs: DataFrame) -> DataFrame:
                         if codec == "ppm"
                         else imaging.encode_bmp(img)
                     )
+                elif mt == "audio":
+                    samples = audio.synth_pcm(int(ns), int(s0), int(s1))
+                    payloads.append(audio.encode_wav(samples, int(sr)))
                 else:
                     payloads.append(("payload:" + ref).encode())
             yield pd.DataFrame(
