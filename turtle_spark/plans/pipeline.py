@@ -169,10 +169,18 @@ def run_pipeline(
         lambda: dedup_triples(apply_canonical_map(triples, cmap)),
     )
 
-    # E: bucketed materialization
+    # E: bucketed materialization.  Repartition on the bucket key
+    # before the partitioned write: without it every upstream task
+    # writes a file into every bucket directory (tasks x buckets small
+    # files — at 1000 executors x 64 buckets that is 64k files per
+    # commit, and footer-based lineage degrades past its cap), with it
+    # each bucket is exactly one writer's output.  The added exchange
+    # replaces the write-side fan-out and scales with the cluster.
     final = stage(
         "materialize",
-        lambda: with_bucket(canonical, n_buckets),
+        lambda: with_bucket(canonical, n_buckets).repartition(
+            n_buckets, "bucket"
+        ),
         partition_by=["bucket"],
     )
 
