@@ -1939,6 +1939,54 @@ def _q_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subject")
 
 
+def _q_path_social(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 property path ``(foaf:knows|rel:enemyOf)+`` over the
+    KG: alternation unions two predicate-filtered scans, ``+``
+    delegates to path-doubling closure (O(log depth) shuffle
+    barriers — operators/paths.py), summarized per source as
+    (n_reachable, XOR fingerprint) so the full pair relation is
+    pinned compactly."""
+    from turtle_spark.operators.paths import path_query
+
+    pairs = path_query(
+        _corpus_triples(spark),
+        "(<http://xmlns.com/foaf/0.1/knows>"
+        "|<http://www.perceive.net/schemas/relationship/enemyOf>)+",
+    )
+    return (
+        pairs.groupBy("src")
+        .agg(
+            F.count("*").alias("n_reachable"),
+            F.expr("bit_xor(xxhash64(dst))").alias("dst_fp"),
+        )
+        .orderBy("src")
+    )
+
+
+def _q_path_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical SPARQL collection-membership path
+    ``rdf:rest*/rdf:first``: zero-or-more closes the list spine
+    (zero-length identity over every graph term per the spec), the
+    sequence step equi-joins onto the member cells — every collection
+    the Turtle parser desugared is recovered with its full member
+    set."""
+    from turtle_spark.operators.paths import path_query
+
+    pairs = path_query(
+        _corpus_triples(spark),
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>*"
+        "/<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>",
+    )
+    return (
+        pairs.groupBy("src")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.expr("bit_xor(xxhash64(dst))").alias("member_fp"),
+        )
+        .orderBy("src")
+    )
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-targeted training-corpus composition: water-fill the
     per-source budget (clamped buckets redistribute), then ONE
@@ -2175,6 +2223,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_pagerank_kg", "q_entity_ids", "q_kg_negative_samples",
         "q_bgp_typed_links", "q_bgp_note_chain", "q_kg_closure",
         "q_triangle_count", "q_kg_delta", "q_entity_cards",
+        "q_path_social", "q_path_members",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -2258,6 +2307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_cards": _q_entity_cards,
         "q_source_caps": _q_source_caps,
         "q_dup_spans": _q_dup_spans,
+        "q_path_social": _q_path_social,
+        "q_path_members": _q_path_members,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

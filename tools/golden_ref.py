@@ -1086,6 +1086,78 @@ def ref_q_entity_cards() -> tuple[list[str], list[tuple]]:
     )
 
 
+_FOAF_KNOWS = "http://xmlns.com/foaf/0.1/knows"
+_REL_ENEMY = "http://www.perceive.net/schemas/relationship/enemyOf"
+_RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+_RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def ref_q_path_social() -> tuple[list[str], list[tuple]]:
+    """SPARQL path ``(foaf:knows|rel:enemyOf)+`` — per-source BFS over
+    the union adjacency (an independent algorithm from the engine's
+    alternation-union + path-doubling closure), summarized per src as
+    (n_reachable, XOR of xxhash64(dst))."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    adj: dict[str, set] = {}
+    for r in rows:
+        if r[3] in (_FOAF_KNOWS, _REL_ENEMY):
+            adj.setdefault(r[2], set()).add(r[4])
+    out = []
+    for src in sorted(adj):
+        seen: set[str] = set()
+        stack = [src]
+        while stack:
+            for v in adj.get(stack.pop(), ()):
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        fp = 0
+        for d in seen:
+            fp ^= xxh64_str(d) & _U64
+        out.append((src, len(seen), _signed64(fp)))
+    return ["src", "n_reachable", "dst_fp"], out
+
+
+def ref_q_path_members() -> tuple[list[str], list[tuple]]:
+    """SPARQL path ``rdf:rest*/rdf:first`` (canonical collection
+    membership) — zero-length identity over every graph term, BFS
+    down the rest spine, union of first-values; vs the engine's
+    star-closure + equi-join."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    radj: dict[str, set] = {}
+    fmap: dict[str, set] = {}
+    terms: set[str] = set()
+    for r in rows:
+        terms.add(r[2])
+        terms.add(r[4])
+        if r[3] == _RDF_REST:
+            radj.setdefault(r[2], set()).add(r[4])
+        elif r[3] == _RDF_FIRST:
+            fmap.setdefault(r[2], set()).add(r[4])
+    out = []
+    for u in sorted(terms):
+        reach = {u}
+        stack = [u]
+        while stack:
+            for v in radj.get(stack.pop(), ()):
+                if v not in reach:
+                    reach.add(v)
+                    stack.append(v)
+        members: set[str] = set()
+        for v in reach:
+            members |= fmap.get(v, set())
+        if members:
+            fp = 0
+            for m in members:
+                fp ^= xxh64_str(m) & _U64
+            out.append((u, len(members), _signed64(fp)))
+    return ["src", "n_members", "member_fp"], out
+
+
 SF_QUERIES = {
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
@@ -1115,6 +1187,8 @@ CORPUS_QUERIES = {
     "q_kg_negative_samples": ref_q_kg_negative_samples,
     "q_kg_delta": ref_q_kg_delta,
     "q_entity_cards": ref_q_entity_cards,
+    "q_path_social": ref_q_path_social,
+    "q_path_members": ref_q_path_members,
 }
 
 # DuckDB column types per query — chosen to land in pandas with the
@@ -1160,4 +1234,6 @@ DUCK_TYPES = {
         "subject": "VARCHAR", "n_triples": "BIGINT", "n_predicates": "BIGINT",
         "n_literals": "BIGINT", "n_links": "BIGINT", "card_fp": "BIGINT",
     },
+    "q_path_social": {"src": "VARCHAR", "n_reachable": "BIGINT", "dst_fp": "BIGINT"},
+    "q_path_members": {"src": "VARCHAR", "n_members": "BIGINT", "member_fp": "BIGINT"},
 }
