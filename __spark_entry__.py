@@ -1987,6 +1987,29 @@ def _q_path_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rdfs_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS entailment delta under the data-derived cross-vocabulary
+    alignment schema (same-local-name predicates/classes subsumed
+    under the lexicographically smallest member): rdfs5/7/9/11 via
+    broadcast joins against the closed schema slice — the instance
+    stream never shuffles (operators/reasoning.py).  Summarized per
+    entailed predicate as (n_entailed, XOR pair fingerprint)."""
+    from turtle_spark.operators.reasoning import alignment_schema, rdfs_entail
+
+    triples = _corpus_triples(spark).persist()
+    delta = rdfs_entail(triples, alignment_schema(triples))
+    return (
+        delta.groupBy("predicate")
+        .agg(
+            F.count("*").alias("n_entailed"),
+            F.expr("bit_xor(xxhash64(concat_ws('|', subject, object)))").alias(
+                "pair_fp"
+            ),
+        )
+        .orderBy("predicate")
+    )
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-targeted training-corpus composition: water-fill the
     per-source budget (clamped buckets redistribute), then ONE
@@ -2223,7 +2246,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_pagerank_kg", "q_entity_ids", "q_kg_negative_samples",
         "q_bgp_typed_links", "q_bgp_note_chain", "q_kg_closure",
         "q_triangle_count", "q_kg_delta", "q_entity_cards",
-        "q_path_social", "q_path_members",
+        "q_path_social", "q_path_members", "q_rdfs_entail",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -2309,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": _q_dup_spans,
         "q_path_social": _q_path_social,
         "q_path_members": _q_path_members,
+        "q_rdfs_entail": _q_rdfs_entail,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

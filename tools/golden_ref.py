@@ -1158,6 +1158,62 @@ def ref_q_path_members() -> tuple[list[str], list[tuple]]:
     return ["src", "n_members", "member_fp"], out
 
 
+def ref_q_rdfs_entail() -> tuple[list[str], list[tuple]]:
+    """RDFS entailment delta under the local-name alignment schema —
+    dict/set rule application (rdfs5/7/9/11) vs the engine's broadcast
+    joins + path-doubling closures, summarized per entailed predicate."""
+    import re
+
+    rdf_ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rdf_type = rdf_ns + "type"
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+
+    def local(term: str) -> str:
+        m = re.search(r"([^/#]+)$", term)
+        return m.group(1) if m else ""
+
+    def align(terms: set) -> dict:
+        groups: dict[str, list] = {}
+        for t in terms:
+            groups.setdefault(local(t), []).append(t)
+        out = {}
+        for ms in groups.values():
+            canon = min(ms)
+            for m in ms:
+                if m != canon:
+                    out[m] = canon
+        return out
+
+    classes = {r[4] for r in rows if r[3] == rdf_type and r[7] == "iri"}
+    preds = {r[3] for r in rows if not r[3].startswith(rdf_ns)}
+    sub_prop, sub_cls = align(preds), align(classes)
+
+    base = {(r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows}
+    # rdfs7 (alignment hierarchies are depth 1, so closure == input)
+    ext = {
+        (s, sub_prop[p], o, lb, dt, ot)
+        for (s, p, o, lb, dt, ot) in base
+        if p in sub_prop
+    }
+    # rdfs9 over asserted + rdfs7-derived type statements
+    types = {
+        (s, o)
+        for (s, p, o, lb, dt, ot) in base | ext
+        if p == rdf_type and ot == "iri"
+    }
+    types |= {(s, sub_cls[c]) for (s, c) in types if c in sub_cls}
+    type_triples = {(s, rdf_type, c, "", "", "iri") for (s, c) in types}
+    delta = (ext | type_triples) - base
+
+    summary: dict[str, list] = {}
+    for s, p, o, lb, dt, ot in delta:
+        acc = summary.setdefault(p, [0, 0])
+        acc[0] += 1
+        acc[1] ^= xxh64_str(s + "|" + o) & _U64
+    out = [(p, n, _signed64(fp)) for p, (n, fp) in sorted(summary.items())]
+    return ["predicate", "n_entailed", "pair_fp"], out
+
+
 SF_QUERIES = {
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
@@ -1189,6 +1245,7 @@ CORPUS_QUERIES = {
     "q_entity_cards": ref_q_entity_cards,
     "q_path_social": ref_q_path_social,
     "q_path_members": ref_q_path_members,
+    "q_rdfs_entail": ref_q_rdfs_entail,
 }
 
 # DuckDB column types per query — chosen to land in pandas with the
@@ -1236,4 +1293,5 @@ DUCK_TYPES = {
     },
     "q_path_social": {"src": "VARCHAR", "n_reachable": "BIGINT", "dst_fp": "BIGINT"},
     "q_path_members": {"src": "VARCHAR", "n_members": "BIGINT", "member_fp": "BIGINT"},
+    "q_rdfs_entail": {"predicate": "VARCHAR", "n_entailed": "BIGINT", "pair_fp": "BIGINT"},
 }
