@@ -1695,6 +1695,46 @@ _SQL_DUP_SPANS = _sql_dup_spans()
 
 
 
+def _q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence with exact-integer lift (observed /
+    expected ratio — log of it is PMI, monotone so rankings agree):
+    top-100 ordered word pairs within a 3-token window.  The window
+    expansion is an in-array explode feeding ONE map-side-combined
+    (a, b) count shuffle; lift operands stay exact int64 so the DOUBLE
+    division hash-matches DuckDB bit-for-bit."""
+    from turtle_spark.operators.textstats import cooccurrence_lift
+
+    return cooccurrence_lift(_t(spark, sf_dir, "documents"), window=3, top_k=100)
+
+
+_SQL_COOCCUR = r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
+), w AS (
+  SELECT doc_id, i AS pos, ws[i] AS word
+  FROM d, UNNEST(range(1, len(ws) + 1)) AS t(i)
+), p AS (
+  SELECT a.word AS word_a, b.word AS word_b
+  FROM w a JOIN w b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+), c AS (
+  SELECT word_a, word_b, COUNT(*) AS n_pairs FROM p GROUP BY 1, 2
+), u AS (
+  SELECT word, COUNT(*) AS n FROM w GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS nt FROM w
+)
+SELECT word_a, word_b, n_pairs, ua.n AS n_a, ub.n AS n_b,
+       CAST(n_pairs * nt AS DOUBLE) / (ua.n * ub.n) AS lift
+FROM c
+JOIN u ua ON c.word_a = ua.word
+JOIN u ub ON c.word_b = ub.word
+CROSS JOIN tot
+ORDER BY n_pairs DESC, word_a, word_b
+LIMIT 100
+"""
+
+
 # -- non-SQL-expressible operators (rows-only driver check) ------------------
 
 def _q_kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2333,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_path_social": _q_path_social,
         "q_path_members": _q_path_members,
         "q_rdfs_entail": _q_rdfs_entail,
+        "q_cooccur": _q_cooccur,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -2401,6 +2442,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         for name in (*_CORPUS_GOLDENS, *_SF_GOLDENS)
     }
     return goldens | {
+        "q_cooccur": _SQL_COOCCUR,
         "q_lineitem_agg": _SQL_LINEITEM_AGG,
         "q_revenue_by_nation": _SQL_REVENUE_BY_NATION,
         "q_top_orders_per_customer": _SQL_TOP_ORDERS_PER_CUSTOMER,

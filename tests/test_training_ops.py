@@ -381,3 +381,39 @@ class TestNoveltyScreen:
         )
         assert got[10] == ("novel", None, None)
         assert got[11] == ("novel", None, None)
+
+
+def test_cooccurrence_lift_hand_computed(spark):
+    """Tiny corpus, hand-counted pairs within a 2-token window."""
+    from turtle_spark.operators.textstats import cooccurrence_lift
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat")], "doc_id long, text string"
+    )
+    out = {
+        (r["word_a"], r["word_b"]): (r["n_pairs"], r["n_a"], r["n_b"], r["lift"])
+        for r in cooccurrence_lift(docs, window=2, top_k=10).collect()
+    }
+    # tokens: the cat sat | the cat  -> N = 5
+    # pairs (window 2): the->cat x2, the->sat, cat->sat
+    assert out[("the", "cat")] == (2, 2, 2, 2 * 5 / (2 * 2))
+    assert out[("the", "sat")] == (1, 2, 1, 1 * 5 / (2 * 1))
+    assert out[("cat", "sat")] == (1, 2, 1, 2.5)
+    assert len(out) == 3
+
+
+def test_cooccurrence_lift_window_bound_and_determinism(spark):
+    from turtle_spark.operators.textstats import cooccurrence_lift
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    got = {
+        (r["word_a"], r["word_b"])
+        for r in cooccurrence_lift(docs, window=1, top_k=100).collect()
+    }
+    # window=1: only adjacent pairs
+    assert got == {("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")}
+    a = cooccurrence_lift(docs.repartition(7), window=1, top_k=100).collect()
+    b = cooccurrence_lift(docs.coalesce(1), window=1, top_k=100).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -277,3 +277,72 @@ def training_filter(
         & (F.col("score") >= min_score)
         & F.col("n_ws_tokens").between(min_tokens, max_tokens)
     ).select(id_col, "pred_lang", "score", "n_ws_tokens")
+
+
+def cooccurrence_lift(
+    docs: DataFrame,
+    window: int = 3,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Skip-gram co-occurrence statistics with exact-integer lift.
+
+    For every ordered word pair (a precedes b within ``window`` tokens
+    in the same document) returns the top-``top_k`` pairs by count
+    with ``lift = (n_pairs * N) / (n_a * n_b)`` — the observed/expected
+    co-occurrence ratio whose log is PMI.  The ratio is emitted instead
+    of the PMI itself so the value stays an IEEE division of exact
+    int64 operands: bit-identical across engines (a transcendental
+    ``log`` is monotone, so rankings are unchanged), which is what lets
+    the DuckDB oracle hash-match it.
+
+    Plan shape at scale: tokenization is one narrow ``regexp_extract_all``
+    pass; the window expansion multiplies the token stream by the
+    constant ``window`` (an in-array ``posexplode`` + offset explode,
+    no self-join subtree duplication); the (a, b) count is ONE
+    map-side-combined shuffle; unigram counts join back on the word
+    key.  Nothing driver-side, no cartesian, top-k is a TakeOrdered.
+
+    Int64 headroom: ``n_pairs * N`` overflows int64 only past ~10^18
+    token-pair products; at that corpus size switch the lift operands
+    to DECIMAL(38,0) (one-line cast) — documented rather than paid now,
+    since the DOUBLE result has only 53 bits anyway.
+    """
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+    w = docs.select(
+        F.col(id_col).alias("_doc"), F.posexplode(words).alias("pos", "word")
+    )
+    # (doc, pos + d, word_a) for d in 1..window: the "left end" stream,
+    # joined back to the token stream on an EQUI key (doc, pos) — the
+    # window expansion happens before the shuffle, never as a theta join
+    left = w.select(
+        "_doc",
+        F.col("word").alias("word_a"),
+        F.explode(
+            F.sequence(F.col("pos") + 1, F.col("pos") + window)
+        ).alias("pos"),
+    )
+    pairs = left.join(w, ["_doc", "pos"]).select(
+        "word_a", F.col("word").alias("word_b")
+    )
+    counts = pairs.groupBy("word_a", "word_b").agg(F.count("*").alias("n_pairs"))
+    uni = w.groupBy("word").agg(F.count("*").alias("n"))
+    total = w.select(F.count("*").alias("_nt"))
+    out = (
+        counts.join(uni.select(F.col("word").alias("word_a"), F.col("n").alias("n_a")), "word_a")
+        .join(uni.select(F.col("word").alias("word_b"), F.col("n").alias("n_b")), "word_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word_a",
+            "word_b",
+            "n_pairs",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_pairs") * F.col("_nt")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("n_pairs"), "word_a", "word_b").limit(top_k)
