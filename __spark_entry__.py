@@ -2027,6 +2027,17 @@ def _q_path_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph curation: the 2-core of the KG entity graph (every node
+    keeps >= 2 in-core neighbors) with in-core degrees — parallel
+    peeling, one degree agg + two semi-joins per round
+    (operators/graph.py::k_core).  Isolates densely-linked entity
+    neighborhoods from extraction noise."""
+    from turtle_spark.operators.graph import entity_edges, k_core
+
+    return k_core(entity_edges(_corpus_triples(spark)), k=2).orderBy("node")
+
+
 def _q_rdfs_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDFS entailment delta under the data-derived cross-vocabulary
     alignment schema (same-local-name predicates/classes subsumed
@@ -2286,7 +2297,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_pagerank_kg", "q_entity_ids", "q_kg_negative_samples",
         "q_bgp_typed_links", "q_bgp_note_chain", "q_kg_closure",
         "q_triangle_count", "q_kg_delta", "q_entity_cards",
-        "q_path_social", "q_path_members", "q_rdfs_entail",
+        "q_path_social", "q_path_members", "q_rdfs_entail", "q_kcore",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -2373,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_path_social": _q_path_social,
         "q_path_members": _q_path_members,
         "q_rdfs_entail": _q_rdfs_entail,
+        "q_kcore": _q_kcore,
         "q_cooccur": _q_cooccur,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,

@@ -202,3 +202,85 @@ def test_triangle_partitioning_independent(spark):
     r1 = {(r.node, r.n_triangles) for r in triangle_count(df1).collect()}
     r2 = {(r.node, r.n_triangles) for r in triangle_count(df2).collect()}
     assert r1 == r2 == {("a", 1), ("b", 1), ("c", 2), ("d", 1), ("e", 1)}
+
+
+class TestKCore:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def test_k4_is_its_own_3_core(self, spark):
+        from turtle_spark.operators.graph import k_core
+        import itertools
+
+        nodes = ["a", "b", "c", "d"]
+        e = self._edges(spark, list(itertools.combinations(nodes, 2)))
+        got = {(r["node"], r["degree"]) for r in k_core(e, 3).collect()}
+        assert got == {(n, 3) for n in nodes}
+
+    def test_pendant_chain_peels_off(self, spark):
+        from turtle_spark.operators.graph import k_core
+
+        # triangle with a 2-node tail: 2-core = the triangle only
+        e = self._edges(
+            spark,
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        )
+        got = {(r["node"], r["degree"]) for r in k_core(e, 2).collect()}
+        assert got == {("a", 2), ("b", 2), ("c", 2)}
+
+    def test_cascading_removal(self, spark):
+        from turtle_spark.operators.graph import k_core
+
+        # star: center has degree 4 but every leaf has 1 -> 2-core empty
+        e = self._edges(spark, [("hub", f"l{i}") for i in range(4)])
+        assert k_core(e, 2).count() == 0
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        from turtle_spark.operators.graph import k_core
+
+        e = self._edges(
+            spark,
+            [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"), ("c", "a")],
+        )
+        got = {(r["node"], r["degree"]) for r in k_core(e, 2).collect()}
+        assert got == {("a", 2), ("b", 2), ("c", 2)}
+
+    def test_parallelism_independence(self, spark):
+        from turtle_spark.operators.graph import k_core
+
+        pairs = [
+            (f"n{i}", f"n{(i * 5 + 3) % 23}")
+            for i in range(60)
+            if i != (i * 5 + 3) % 23
+        ]
+        a = sorted(map(tuple, k_core(self._edges(spark, pairs).repartition(9), 3).collect()))
+        b = sorted(map(tuple, k_core(self._edges(spark, pairs).coalesce(1), 3).collect()))
+        assert a == b
+
+    def test_matches_sequential_peeling(self, spark):
+        from turtle_spark.operators.graph import k_core
+
+        pairs = [
+            (f"n{i}", f"n{(i * 7 + 1) % 31}")
+            for i in range(80)
+            if i != (i * 7 + 1) % 31
+        ]
+        got = {(r["node"], r["degree"]) for r in k_core(self._edges(spark, pairs), 3).collect()}
+
+        # independent: ONE-node-at-a-time peeling (different order than
+        # the engine's all-at-once sweeps; k-core fixpoint is unique)
+        adj: dict[str, set] = {}
+        for s, d in pairs:
+            a, b = min(s, d), max(s, d)
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in sorted(adj):
+                if len(adj[n]) < 3:
+                    for m in adj.pop(n):
+                        adj[m].discard(n)
+                    changed = True
+                    break
+        assert got == {(n, len(ns)) for n, ns in adj.items()}

@@ -1214,6 +1214,30 @@ def ref_q_rdfs_entail() -> tuple[list[str], list[tuple]]:
     return ["predicate", "n_entailed", "pair_fp"], out
 
 
+def ref_q_kcore() -> tuple[list[str], list[tuple]]:
+    """2-core of the entity graph — ONE-node-at-a-time sequential
+    peeling (the k-core fixpoint is unique, so any removal order
+    agrees with the engine's all-at-once sweeps)."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    adj: dict[str, set] = {}
+    for r in rows:
+        if r[7] == "iri" and r[2] != r[4]:
+            a, b = min(r[2], r[4]), max(r[2], r[4])
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in sorted(adj):
+            if len(adj[n]) < 2:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+                break
+    out = [(n, len(ns)) for n, ns in sorted(adj.items())]
+    return ["node", "degree"], out
+
+
 SF_QUERIES = {
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
@@ -1246,6 +1270,7 @@ CORPUS_QUERIES = {
     "q_path_social": ref_q_path_social,
     "q_path_members": ref_q_path_members,
     "q_rdfs_entail": ref_q_rdfs_entail,
+    "q_kcore": ref_q_kcore,
 }
 
 # DuckDB column types per query — chosen to land in pandas with the
@@ -1294,4 +1319,5 @@ DUCK_TYPES = {
     "q_path_social": {"src": "VARCHAR", "n_reachable": "BIGINT", "dst_fp": "BIGINT"},
     "q_path_members": {"src": "VARCHAR", "n_members": "BIGINT", "member_fp": "BIGINT"},
     "q_rdfs_entail": {"predicate": "VARCHAR", "n_entailed": "BIGINT", "pair_fp": "BIGINT"},
+    "q_kcore": {"node": "VARCHAR", "degree": "BIGINT"},
 }

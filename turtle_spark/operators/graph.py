@@ -454,3 +454,62 @@ def entity_cards(triples: DataFrame) -> DataFrame:
             "card_fp"
         ),
     )
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
+    """Nodes of the k-core of the undirected graph (every node has
+    degree >= k within the core), with their in-core degree.
+
+    Parallel peeling: each round drops ALL nodes of degree < k at once
+    (one degree aggregation + two semi-joins, lineage truncated per
+    round).  Round count is the graph's peeling depth — O(log n) on
+    heavy-tailed web/KG graphs, where each sweep removes the whole
+    low-degree fringe; the adversarial worst case (a bare chain peels
+    two nodes per round) is bounded by ``max_rounds`` and raises
+    rather than silently looping.  Used for graph curation: the k-core
+    isolates densely-linked entity neighborhoods from extraction
+    noise, the same role it plays in public web-graph pipelines.
+
+    Deterministic at any parallelism: peeling has a unique fixpoint
+    (the k-core is the maximal subgraph, independent of removal
+    order).
+    """
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .dropDuplicates()
+    )
+    cur = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = cur.groupBy("src").agg(F.count("*").alias("degree"))
+        keep = deg.where(F.col("degree") >= k).select(F.col("src").alias("_keep"))
+        cur = (
+            cur.join(keep, cur["src"] == keep["_keep"], "left_semi")
+            .join(keep, cur["dst"] == keep["_keep"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_new = cur.count()
+        if n_new == n_edges:
+            return deg.where(F.col("degree") >= k).select(
+                F.col("src").alias("node"), "degree"
+            )
+        n_edges = n_new
+    if n_edges == 0:
+        # fully peeled: empty result with the input's key type preserved
+        return cur.groupBy("src").agg(F.count("*").alias("degree")).select(
+            F.col("src").alias("node"), "degree"
+        )
+    raise RuntimeError(
+        f"k_core: no fixpoint after {max_rounds} peeling rounds "
+        f"({n_edges} edges left); raise max_rounds for chain-like graphs"
+    )
