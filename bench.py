@@ -98,6 +98,10 @@ HEADLINE = [
     "q_dup_spans",
     "q_kg_delta",
     "q_entity_cards",
+    "q_path_members",
+    "q_rdfs_entail",
+    "q_cooccur",
+    "q_kcore",
 ]
 
 
