@@ -64,10 +64,25 @@ def test_stream_extract_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    streamed = spark.read.parquet(out_path)
+    streamed = spark.read.parquet(out_path).drop("batch_id")
     batch = extract_triples(spark.read.parquet(docs_path))
     key = lambda r: (r.doc_id, r.seq)
     assert sorted(streamed.collect(), key=key) == sorted(batch.collect(), key=key)
+
+    # idempotence: replaying a batch_id (what foreachBatch does after a
+    # mid-write failure) must replace its partition, not append dupes
+    from turtle_spark.operators.extract import extract_triples as _ex
+
+    replay = (
+        _ex(spark.read.parquet(docs_path))
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+    )
+    replay.parquet(out_path)
+    again = spark.read.parquet(out_path).drop("batch_id")
+    assert sorted(again.collect(), key=key) == sorted(batch.collect(), key=key)
 
 
 def test_stream_windowed_counts_matches_batch(spark, tmp_path, sf_dir):

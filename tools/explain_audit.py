@@ -60,6 +60,12 @@ AUDITED = [
     "q_triangle_count",
     "q_mixture_sample",
     "q_novelty_screen",
+    "q_source_caps",
+    "q_dup_spans",
+    "q_path_members",
+    "q_rdfs_entail",
+    "q_cooccur",
+    "q_kcore",
 ]
 
 

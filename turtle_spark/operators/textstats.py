@@ -309,9 +309,17 @@ def cooccurrence_lift(
     to DECIMAL(38,0) (one-line cast) — documented rather than paid now,
     since the DOUBLE result has only 53 bits anyway.
     """
+    from turtle_spark.operators.skew import pin
+
     words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
-    w = docs.select(
-        F.col(id_col).alias("_doc"), F.posexplode(words).alias("pos", "word")
+    # pinned: the token stream is referenced four times below (pair
+    # left end, pair right end, unigram counts, total) and Catalyst
+    # evaluates each join branch separately — without the pin that is
+    # four scans + four tokenization passes over the corpus
+    w = pin(
+        docs.select(
+            F.col(id_col).alias("_doc"), F.posexplode(words).alias("pos", "word")
+        )
     )
     # (doc, pos + d, word_a) for d in 1..window: the "left end" stream,
     # joined back to the token stream on an EQUI key (doc, pos) — the

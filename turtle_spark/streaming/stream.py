@@ -42,13 +42,25 @@ def stream_extract_triples(
 ):
     """Continuously extract triples from arriving documents.
 
-    ``foreachBatch`` reuses the batch extraction operator verbatim, and
-    the sink is append-only parquet with exactly-once semantics from
-    the streaming checkpoint.  Returns the started query.
+    ``foreachBatch`` reuses the batch extraction operator verbatim.
+    Delivery: ``foreachBatch`` alone is AT-LEAST-ONCE (a failed or
+    replayed micro-batch reruns with the SAME batch_id), so the sink is
+    made idempotent per batch_id — output is partitioned by
+    ``batch_id`` and written with dynamic partition overwrite, so a
+    replay replaces exactly its own partition instead of appending
+    duplicates.  Idempotent sink + replayable source + checkpoint =
+    effectively exactly-once results.  Returns the started query.
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        extract_triples(batch_df).write.mode("append").parquet(output_path)
+        (
+            extract_triples(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_path)
+        )
 
     writer = (
         docs_stream.writeStream.foreachBatch(process)
