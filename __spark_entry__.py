@@ -2061,6 +2061,92 @@ def _q_rdfs_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL + FILTER over the KG (operators/sparql.py):
+    every named entity with its mbox when one exists — OPTIONAL is a
+    left outer equi-join that PRESERVES unmatched rows, and the FILTER
+    ``BOUND(?mbox) || STRLEN(?name) >= 4`` can only be evaluated after
+    it (BOUND sees the join's NULLs).  Bag semantics surface as
+    ``n_bindings``."""
+    from turtle_spark.operators.sparql import sparql_select
+
+    foaf = "http://xmlns.com/foaf/0.1/"
+    sol = sparql_select(
+        _corpus_triples(spark),
+        patterns=[("?s", foaf + "name", "?name")],
+        optionals=[[("?s", foaf + "mbox", "?mbox")]],
+        filters=["BOUND(?mbox) || STRLEN(?name) >= 4"],
+    )
+    return (
+        sol.groupBy("s", "name", "mbox")
+        .agg(F.count("*").alias("n_bindings"))
+        .orderBy("s", "name", "mbox")
+    )
+
+
+def _q_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP BY aggregates: the class census of the KG —
+    ``SELECT ?t (COUNT(*) ...) (COUNT(DISTINCT ?s) ...) WHERE
+    { ?s rdf:type ?t . FILTER STRSTARTS(?t, "http") } GROUP BY ?t``.
+    One hash aggregation (map-side partial + single shuffle); the
+    STRSTARTS filter is a codegen'd Column predicate applied before
+    the shuffle."""
+    from turtle_spark.operators.sparql import sparql_select
+
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    return sparql_select(
+        _corpus_triples(spark),
+        patterns=[("?s", rdf_type, "?t")],
+        filters=['STRSTARTS(?t, "http")'],
+        group_by=["t"],
+        aggregates={
+            "n_rows": ("count", None),
+            "n_subjects": ("count_distinct", "s"),
+        },
+    ).orderBy("t")
+
+
+def _q_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION + VALUES: social links from two vocabularies —
+    the foaf:knows branch is VALUES-restricted to two heroes plus one
+    IRI that matches nothing (inner broadcast join semantics), the
+    rel:enemyOf branch additionally binds the entity's ?name, so the
+    union's branches carry DIFFERENT variable sets and the absent var
+    is NULL (unbound) — exactly SPARQL's union typing.  ``n_named``
+    counts only rows from the name-binding branch."""
+    from turtle_spark.operators.sparql import sparql_select, sparql_union
+
+    foaf = "http://xmlns.com/foaf/0.1/"
+    rel = "http://www.perceive.net/schemas/relationship/"
+    triples = _corpus_triples(spark).persist()
+    knows = sparql_select(
+        triples,
+        [("?a", foaf + "knows", "?b", "iri")],
+        values={
+            "a": [
+                "http://example.org/#spiderman",
+                "http://example.org/#green-goblin",
+                "http://example.org/nobody-links-me",
+            ]
+        },
+    )
+    enemies = sparql_select(
+        triples,
+        [("?a", rel + "enemyOf", "?b", "iri"), ("?a", foaf + "name", "?name")],
+    )
+    return (
+        sparql_union([knows, enemies])
+        .groupBy("a")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.count_distinct("b").alias("n_distinct"),
+            F.count("name").alias("n_named"),
+            F.expr("bit_xor(xxhash64(b))").alias("b_fp"),
+        )
+        .orderBy("a")
+    )
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-targeted training-corpus composition: water-fill the
     per-source budget (clamped buckets redistribute), then ONE
@@ -2298,6 +2384,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_bgp_typed_links", "q_bgp_note_chain", "q_kg_closure",
         "q_triangle_count", "q_kg_delta", "q_entity_cards",
         "q_path_social", "q_path_members", "q_rdfs_entail", "q_kcore",
+        "q_sparql_optional", "q_sparql_agg", "q_sparql_union",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -2386,6 +2473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rdfs_entail": _q_rdfs_entail,
         "q_kcore": _q_kcore,
         "q_cooccur": _q_cooccur,
+        "q_sparql_optional": _q_sparql_optional,
+        "q_sparql_agg": _q_sparql_agg,
+        "q_sparql_union": _q_sparql_union,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -1,0 +1,151 @@
+"""SPARQL SELECT algebra (operators/sparql.py): filter compiler
+semantics, OPTIONAL null preservation, UNION variable typing, VALUES
+restriction, and the error surface.  The three driver queries are
+pinned against independent goldens by test_oracle_parity; these tests
+pin the algebra on a tiny hand-written graph where every expected row
+is enumerable by eye."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from turtle_spark.operators.sparql import (
+    compile_filter,
+    sparql_select,
+    sparql_union,
+)
+
+_COLS = "subject string, predicate string, object string, label string, datatype string, objecttype string"
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        ("e/a", "p/name", "Alice", "", "", "literal"),
+        ("e/a", "p/mbox", "mailto:a@x", "", "", "iri"),
+        ("e/a", "p/knows", "e/b", "", "", "iri"),
+        ("e/b", "p/name", "Bo", "", "", "literal"),
+        ("e/b", "p/knows", "e/c", "", "", "iri"),
+        ("e/c", "p/name", "Carol", "", "", "literal"),
+        ("e/c", "p/age", "33", "", "", "literal"),
+        # duplicate triple: bag semantics must keep it
+        ("e/a", "p/knows", "e/b", "", "", "iri"),
+    ]
+    return spark.createDataFrame(rows, _COLS)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_optional_preserves_unmatched(tiny):
+    out = sparql_select(
+        tiny,
+        patterns=[("?s", "p/name", "?n")],
+        optionals=[[("?s", "p/mbox", "?m")]],
+    )
+    got = _rows(out)
+    assert ("e/a", "Alice", "mailto:a@x") in got
+    assert ("e/b", "Bo", None) in got  # left join kept the row
+    assert ("e/c", "Carol", None) in got
+
+
+def test_optional_disconnected_refused(tiny):
+    with pytest.raises(ValueError, match="shares no variable"):
+        sparql_select(
+            tiny,
+            patterns=[("?s", "p/name", "?n")],
+            optionals=[[("?x", "p/age", "?v")]],
+        )
+
+
+def test_filter_bound_after_optional(tiny):
+    out = sparql_select(
+        tiny,
+        patterns=[("?s", "p/name", "?n")],
+        optionals=[[("?s", "p/mbox", "?m")]],
+        filters=["BOUND(?m) || STRLEN(?n) >= 5"],
+    )
+    got = _rows(out)
+    assert ("e/a", "Alice", "mailto:a@x") in got
+    assert ("e/c", "Carol", None) in got
+    assert all(r[0] != "e/b" for r in got)  # "Bo" unbound + short
+
+
+def test_filter_operators(tiny):
+    names = sparql_select(tiny, [("?s", "p/name", "?n")])
+    keep = names.where(compile_filter('?n != "Bo" && !CONTAINS(?n, "ol")', {"s", "n"}))
+    assert _rows(keep.select("n")) == [("Alice",)]
+    # numeric comparison casts both sides to double
+    ages = sparql_select(tiny, [("?s", "p/age", "?v")])
+    assert ages.where(compile_filter("?v > 32.5", {"s", "v"})).count() == 1
+    assert ages.where(compile_filter("?v > 33", {"s", "v"})).count() == 0
+    # string functions
+    assert names.where(
+        compile_filter('STRSTARTS(?n, "Al") || STRENDS(?n, "rol")', {"n"})
+    ).count() == 2
+    assert names.where(compile_filter('REGEX(?n, "^[A-C]o")', {"n"})).count() == 1
+
+
+def test_filter_errors():
+    with pytest.raises(ValueError, match="unbound variable"):
+        compile_filter("?nope = 'x'", {"n"})
+    with pytest.raises(ValueError, match="bad FILTER syntax"):
+        compile_filter("?n = @", {"n"})
+    with pytest.raises(ValueError, match="non-boolean"):
+        compile_filter("?n", {"n"})
+    with pytest.raises(ValueError, match="string literal"):
+        compile_filter("CONTAINS(?n, ?n)", {"n"})
+
+
+def test_values_restricts(tiny):
+    out = sparql_select(
+        tiny,
+        patterns=[("?a", "p/knows", "?b")],
+        values={"a": ["e/a", "e/zzz"]},
+    )
+    # bag semantics: the duplicated knows triple stays duplicated
+    assert _rows(out) == [("e/a", "e/b"), ("e/a", "e/b")]
+    with pytest.raises(ValueError, match="never bound"):
+        sparql_select(tiny, [("?a", "p/knows", "?b")], values={"z": ["x"]})
+
+
+def test_union_nulls_missing_vars(tiny):
+    a = sparql_select(tiny, [("?x", "p/mbox", "?m")])
+    b = sparql_select(tiny, [("?x", "p/age", "?age")])
+    u = sparql_union([a, b])
+    got = _rows(u.select("x", "m", "age"))
+    assert ("e/a", "mailto:a@x", None) in got
+    assert ("e/c", None, "33") in got
+    assert len(got) == 2
+
+
+def test_group_by_aggregates(tiny):
+    out = sparql_select(
+        tiny,
+        patterns=[("?a", "p/knows", "?b")],
+        group_by=["a"],
+        aggregates={
+            "n": ("count", None),
+            "nd": ("count_distinct", "b"),
+            "first_b": ("min", "b"),
+        },
+    )
+    got = {r["a"]: (r["n"], r["nd"], r["first_b"]) for r in out.collect()}
+    assert got == {"e/a": (2, 1, "e/b"), "e/b": (1, 1, "e/c")}
+
+
+def test_distinct(tiny):
+    out = sparql_select(tiny, [("?a", "p/knows", "?b")], distinct=True)
+    assert _rows(out) == [("e/a", "e/b"), ("e/b", "e/c")]
+
+
+def test_optional_plan_is_left_hash_join(tiny):
+    plan = sparql_select(
+        tiny,
+        patterns=[("?s", "p/name", "?n")],
+        optionals=[[("?s", "p/mbox", "?m")]],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -66,6 +66,9 @@ AUDITED = [
     "q_rdfs_entail",
     "q_cooccur",
     "q_kcore",
+    "q_sparql_optional",
+    "q_sparql_agg",
+    "q_sparql_union",
 ]
 
 

@@ -1238,6 +1238,91 @@ def ref_q_kcore() -> tuple[list[str], list[tuple]]:
     return ["node", "degree"], out
 
 
+def ref_q_sparql_optional() -> tuple[list[str], list[tuple]]:
+    """SPARQL OPTIONAL + FILTER — hand-evaluated bag left join: each
+    name binding pairs with every mbox of its subject, or with one
+    None row when the subject has no mbox; the filter keeps rows
+    where mbox is bound OR the name has >= 4 characters."""
+    from collections import Counter
+
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    foaf = "http://xmlns.com/foaf/0.1/"
+    names = [(r[2], r[4]) for r in rows if r[3] == foaf + "name"]
+    mboxes: dict[str, list] = {}
+    for r in rows:
+        if r[3] == foaf + "mbox":
+            mboxes.setdefault(r[2], []).append(r[4])
+    out: Counter = Counter()
+    for s, name in names:
+        for m in mboxes.get(s) or [None]:
+            if m is not None or len(name) >= 4:
+                out[(s, name, m)] += 1
+    res = [
+        (s, name, m, n)
+        for (s, name, m), n in sorted(
+            out.items(), key=lambda kv: (kv[0][0], kv[0][1], kv[0][2] or "")
+        )
+    ]
+    return ["s", "name", "mbox", "n_bindings"], res
+
+
+def ref_q_sparql_agg() -> tuple[list[str], list[tuple]]:
+    """SPARQL GROUP BY — class census with an http-prefix filter."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    stats: dict[str, tuple[int, set]] = {}
+    for r in rows:
+        if r[3] == _RDF_TYPE and r[4].startswith("http"):
+            n, subs = stats.setdefault(r[4], (0, set()))
+            stats[r[4]] = (n + 1, subs)
+            subs.add(r[2])
+    out = [(t, n, len(subs)) for t, (n, subs) in sorted(stats.items())]
+    return ["t", "n_rows", "n_subjects"], out
+
+
+def ref_q_sparql_union() -> tuple[list[str], list[tuple]]:
+    """SPARQL UNION + VALUES — two link vocabularies with different
+    variable sets; the knows branch is VALUES-restricted, the enemyOf
+    branch bag-joins each link with every name of its source."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    foaf = "http://xmlns.com/foaf/0.1/"
+    allowed = {
+        "http://example.org/#spiderman",
+        "http://example.org/#green-goblin",
+        "http://example.org/nobody-links-me",
+    }
+    union_rows: list[tuple] = []
+    for r in rows:
+        if r[3] == _FOAF_KNOWS and r[7] == "iri" and r[2] in allowed:
+            union_rows.append((r[2], r[4], None))
+    names: dict[str, list] = {}
+    for r in rows:
+        if r[3] == foaf + "name":
+            names.setdefault(r[2], []).append(r[4])
+    for r in rows:
+        if r[3] == _REL_ENEMY and r[7] == "iri":
+            for nm in names.get(r[2], []):
+                union_rows.append((r[2], r[4], nm))
+    per_a: dict[str, list] = {}
+    for a, b, nm in union_rows:
+        per_a.setdefault(a, []).append((b, nm))
+    out = []
+    for a in sorted(per_a):
+        links = per_a[a]
+        fp = 0
+        for b, _nm in links:
+            fp ^= xxh64_str(b) & _U64
+        out.append(
+            (
+                a,
+                len(links),
+                len({b for b, _ in links}),
+                sum(1 for _, nm in links if nm is not None),
+                _signed64(fp),
+            )
+        )
+    return ["a", "n_links", "n_distinct", "n_named", "b_fp"], out
+
+
 SF_QUERIES = {
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
@@ -1270,6 +1355,9 @@ CORPUS_QUERIES = {
     "q_path_social": ref_q_path_social,
     "q_path_members": ref_q_path_members,
     "q_rdfs_entail": ref_q_rdfs_entail,
+    "q_sparql_optional": ref_q_sparql_optional,
+    "q_sparql_agg": ref_q_sparql_agg,
+    "q_sparql_union": ref_q_sparql_union,
     "q_kcore": ref_q_kcore,
 }
 
@@ -1320,4 +1408,7 @@ DUCK_TYPES = {
     "q_path_members": {"src": "VARCHAR", "n_members": "BIGINT", "member_fp": "BIGINT"},
     "q_rdfs_entail": {"predicate": "VARCHAR", "n_entailed": "BIGINT", "pair_fp": "BIGINT"},
     "q_kcore": {"node": "VARCHAR", "degree": "BIGINT"},
+    "q_sparql_optional": {"s": "VARCHAR", "name": "VARCHAR", "mbox": "VARCHAR", "n_bindings": "BIGINT"},
+    "q_sparql_agg": {"t": "VARCHAR", "n_rows": "BIGINT", "n_subjects": "BIGINT"},
+    "q_sparql_union": {"a": "VARCHAR", "n_links": "BIGINT", "n_distinct": "BIGINT", "n_named": "BIGINT", "b_fp": "BIGINT"},
 }

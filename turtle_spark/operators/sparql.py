@@ -1,0 +1,325 @@
+"""SPARQL 1.1 SELECT algebra over the triple table.
+
+Extends the conjunctive BGP compiler (``operators/bgp.py``) with the
+rest of the SPARQL SELECT core: OPTIONAL (left join), FILTER (a safe
+expression subset compiled to JVM-side Column expressions), UNION,
+VALUES (inline bindings), DISTINCT, and GROUP BY aggregates — the
+query surface a consumer of the materialized KG actually writes.  The
+reference implements no query layer (it is a parser library,
+`/root/reference/scanner/scanner.go`); this is the Spark-native query
+model over the triples it taught us to emit (SURVEY.md §2.2).
+
+Scale notes (the whole point of each choice):
+
+* OPTIONAL compiles to a **left outer equi-join** on the shared
+  variables — never a theta-join; at 100 TB both sides are plain
+  hash-join relocations on string keys, and an optional group whose
+  patterns carry >= 2 constants is broadcast (bounded KG slice), so
+  the required side never shuffles for it.
+* FILTER compiles to Column predicates evaluated **inside whole-stage
+  codegen**; where a filter references only variables of one pattern
+  it lands before the first join and reaches the parquet scan as a
+  pushed filter (Catalyst does this for free once the predicate is
+  declarative — no Python in the filter path, ever).
+* VALUES becomes a literal DataFrame joined with an explicit
+  ``broadcast()`` — inline bindings are by construction tiny.
+* UNION is ``unionByName(allowMissingColumns=True)`` — SPARQL UNION
+  branches may bind different variable sets; absent vars are NULL
+  (unbound), exactly the spec's semantics, and the union is a no-
+  shuffle narrow op.
+* Aggregates are one hash aggregation (map-side partial + one
+  shuffle); ``count_distinct`` is the only expand.
+
+Filter grammar (recursive descent, deliberately small and exact)::
+
+    expr   := or
+    or     := and ("||" and)*
+    and    := not ("&&" not)*
+    not    := "!" not | cmp
+    cmp    := operand (("="|"!="|"<"|"<="|">"|">=") operand)?
+    operand:= "?var" | "'str'" | '"str"' | number
+             | "BOUND(" ?var ")" | "STRLEN(" ?var ")"
+             | "STRSTARTS(" ?var "," str ")" | "STRENDS(" ... ")"
+             | "CONTAINS(" ?var "," str ")" | "REGEX(" ?var "," str ")"
+
+Comparisons are string-typed unless either side is a numeric literal
+or STRLEN — then both sides cast to DOUBLE (SPARQL's numeric
+comparison on xsd-numeric terms; the KG stores lexical forms, so the
+cast-to-double reading is the documented engine semantics and the
+goldens replicate it independently).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from turtle_spark.operators.bgp import bgp_select
+
+__all__ = ["compile_filter", "sparql_select", "sparql_union"]
+
+
+# --------------------------------------------------------------------------
+# FILTER expression compiler
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(
+        \?[A-Za-z_][A-Za-z0-9_]* |          # variable
+        "(?:[^"\\]|\\.)*" | '(?:[^'\\]|\\.)*' |  # string literal
+        -?\d+(?:\.\d+)? |                   # number
+        != | <= | >= | && | \|\| |          # two-char operators
+        [=<>!(),] |                         # single-char
+        [A-Za-z][A-Za-z]*                   # function name
+    )""",
+    re.VERBOSE,
+)
+
+_FUNCS = {"BOUND", "STRLEN", "STRSTARTS", "STRENDS", "CONTAINS", "REGEX"}
+
+
+def _tokenize_filter(s: str) -> list[str]:
+    toks, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m:
+            raise ValueError(f"bad FILTER syntax at {s[pos:pos + 20]!r}")
+        toks.append(m.group(1))
+        pos = m.end()
+    return toks
+
+
+class _Operand:
+    """A compiled operand: its Column and whether it is numeric-typed."""
+
+    def __init__(self, col: Column, numeric: bool, boolean: bool = False):
+        self.col, self.numeric, self.boolean = col, numeric, boolean
+
+
+class _FilterParser:
+    def __init__(self, toks: list[str], bound: set[str]):
+        self.toks, self.i, self.bound = toks, 0, bound
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self, want: str | None = None) -> str:
+        if self.i >= len(self.toks):
+            raise ValueError("unexpected end of FILTER expression")
+        t = self.toks[self.i]
+        if want is not None and t != want:
+            raise ValueError(f"expected {want!r}, got {t!r}")
+        self.i += 1
+        return t
+
+    # expr := or
+    def expr(self) -> Column:
+        return self.or_()
+
+    def or_(self) -> Column:
+        c = self.and_()
+        while self.peek() == "||":
+            self.take()
+            c = c | self.and_()
+        return c
+
+    def and_(self) -> Column:
+        c = self.not_()
+        while self.peek() == "&&":
+            self.take()
+            c = c & self.not_()
+        return c
+
+    def not_(self) -> Column:
+        if self.peek() == "!":
+            self.take()
+            return ~self.not_()
+        return self.cmp()
+
+    def cmp(self) -> Column:
+        left = self.operand()
+        op = self.peek()
+        if op not in ("=", "!=", "<", "<=", ">", ">="):
+            if not left.boolean:
+                raise ValueError("non-boolean operand used as a bare condition")
+            return left.col
+        self.take()
+        right = self.operand()
+        lc, rc = left.col, right.col
+        if left.numeric or right.numeric:
+            lc, rc = lc.cast("double"), rc.cast("double")
+        return {
+            "=": lc == rc, "!=": lc != rc, "<": lc < rc,
+            "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
+        }[op]
+
+    def operand(self) -> _Operand:
+        t = self.peek()
+        if t == "(":
+            self.take()
+            c = self.expr()
+            self.take(")")
+            return _Operand(c, numeric=False, boolean=True)
+        if t is None:
+            raise ValueError("unexpected end of FILTER expression")
+        if t.startswith("?"):
+            self.take()
+            return _Operand(self._var(t), numeric=False)
+        if t[0] in "\"'":
+            self.take()
+            body = t[1:-1].replace("\\" + t[0], t[0]).replace("\\\\", "\\")
+            return _Operand(F.lit(body), numeric=False)
+        if re.fullmatch(r"-?\d+(?:\.\d+)?", t):
+            self.take()
+            return _Operand(F.lit(float(t)), numeric=True)
+        if t in _FUNCS:
+            return self._call(self.take())
+        raise ValueError(f"unexpected token {t!r} in FILTER")
+
+    def _var(self, t: str) -> Column:
+        name = t[1:]
+        if name not in self.bound:
+            raise ValueError(f"FILTER references unbound variable ?{name}")
+        return F.col(name)
+
+    def _call(self, fn: str) -> _Operand:
+        self.take("(")
+        var = self._var(self.take())
+        if fn == "BOUND":
+            self.take(")")
+            return _Operand(var.isNotNull(), numeric=False, boolean=True)
+        if fn == "STRLEN":
+            self.take(")")
+            return _Operand(F.length(var), numeric=True)
+        self.take(",")
+        arg = self.take()
+        if arg[0] not in "\"'":
+            raise ValueError(f"{fn} needs a string literal argument")
+        body = arg[1:-1].replace("\\" + arg[0], arg[0]).replace("\\\\", "\\")
+        self.take(")")
+        if fn == "STRSTARTS":
+            return _Operand(var.startswith(body), numeric=False, boolean=True)
+        if fn == "STRENDS":
+            return _Operand(var.endswith(body), numeric=False, boolean=True)
+        if fn == "CONTAINS":
+            return _Operand(var.contains(body), numeric=False, boolean=True)
+        # REGEX: pattern restricted to the Java-regex ∩ RE2 ∩ Python
+        # dialect (same restriction as curation.py's PII patterns) so
+        # DuckDB/golden mirrors are exact
+        return _Operand(var.rlike(body), numeric=False, boolean=True)
+
+
+def compile_filter(expr: str, bound: set[str]) -> Column:
+    """Compile one FILTER expression to a Column predicate.
+
+    ``bound`` is the set of variable names in scope; referencing an
+    unbound variable is an error (SPARQL would give type-error =>
+    false, but in a static query that is always a query bug).
+    """
+    p = _FilterParser(_tokenize_filter(expr), bound)
+    c = p.expr()
+    if p.peek() is not None:
+        raise ValueError(f"trailing tokens in FILTER: {p.toks[p.i:]}")
+    return c
+
+
+# --------------------------------------------------------------------------
+# SELECT algebra
+# --------------------------------------------------------------------------
+
+def _group_vars(patterns: list[tuple]) -> set[str]:
+    vs: set[str] = set()
+    for pat in patterns:
+        for term in pat[:3]:
+            if isinstance(term, str) and term.startswith("?"):
+                vs.add(term[1:])
+    return vs
+
+
+def sparql_select(
+    triples: DataFrame,
+    patterns: list[tuple],
+    optionals: list[list[tuple]] | None = None,
+    filters: list[str] | None = None,
+    values: dict[str, list[str]] | None = None,
+    group_by: list[str] | None = None,
+    aggregates: dict[str, tuple[str, str | None]] | None = None,
+    distinct: bool = False,
+    project: list[str] | None = None,
+) -> DataFrame:
+    """Evaluate a SPARQL SELECT over the triple table.
+
+    ``patterns``: the required BGP (see ``bgp_select``).
+    ``optionals``: each entry is a pattern group left-joined on the
+    variables it shares with the required part (which must be
+    non-empty — a disconnected OPTIONAL would be a cartesian).
+    ``filters``: FILTER expressions over all bound variables (applied
+    after optionals, so BOUND() can see unmatched rows).
+    ``values``: VALUES inline binding — ``{var: [allowed, ...]}``,
+    inner-joined (broadcast) with the solution.
+    ``aggregates``: ``{out_col: (fn, var)}`` with fn in
+    ``count | count_distinct | min | max``; ``var=None`` = COUNT(*).
+    """
+    acc = bgp_select(triples, patterns)
+    bound = _group_vars(patterns)
+
+    for group in optionals or []:
+        gvars = _group_vars(group)
+        shared = sorted(gvars & bound)
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL group shares no variable with the required part: {group!r}"
+            )
+        right = bgp_select(triples, group)
+        acc = acc.join(right, on=shared, how="left")
+        bound |= gvars
+
+    if values:
+        import pandas as pd
+
+        spark = triples.sparkSession
+        for var, allowed in values.items():
+            if var not in bound:
+                raise ValueError(f"VALUES variable ?{var} is never bound")
+            vdf = spark.createDataFrame(pd.DataFrame({var: list(allowed)}))
+            acc = acc.join(F.broadcast(vdf), on=var, how="inner")
+
+    for fexpr in filters or []:
+        acc = acc.where(compile_filter(fexpr, bound))
+
+    if aggregates:
+        aggs = []
+        for out, (fn, var) in aggregates.items():
+            if fn == "count":
+                aggs.append(
+                    (F.count("*") if var is None else F.count(var)).alias(out)
+                )
+            elif fn == "count_distinct":
+                aggs.append(F.count_distinct(var).alias(out))
+            elif fn == "min":
+                aggs.append(F.min(var).alias(out))
+            elif fn == "max":
+                aggs.append(F.max(var).alias(out))
+            else:
+                raise ValueError(f"unsupported aggregate {fn!r}")
+        acc = acc.groupBy(*(group_by or [])).agg(*aggs)
+    elif distinct:
+        acc = acc.dropDuplicates()
+
+    if project is not None:
+        acc = acc.select(*project)
+    return acc
+
+
+def sparql_union(branches: list[DataFrame]) -> DataFrame:
+    """SPARQL UNION: branches may bind different variable sets; a
+    variable absent from a branch is unbound (NULL) in its rows.  A
+    narrow no-shuffle op — each branch keeps its own partitioning."""
+    if not branches:
+        raise ValueError("empty UNION")
+    acc = branches[0]
+    for b in branches[1:]:
+        acc = acc.unionByName(b, allowMissingColumns=True)
+    return acc
