@@ -2147,6 +2147,40 @@ def _q_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style graph-embedding training corpus: deterministic
+    random walks (hash-choice, no RNG — operators/walks.py) of length
+    8, two walks per start, over the undirected entity graph, starts
+    hash-sampled at 1/40.  Summarized per start as (n_visits,
+    n_distinct_nodes, XOR fingerprint over (walk_id, pos, node)) so
+    the golden pins every visited position exactly."""
+    from turtle_spark.operators.graph import entity_edges
+    from turtle_spark.operators.walks import random_walks
+
+    edges = entity_edges(_corpus_triples(spark))
+    nodes = (
+        edges.select(F.col("src").alias("e"))
+        .union(edges.select(F.col("dst").alias("e")))
+        .dropDuplicates()
+    )
+    starts = nodes.where(
+        F.pmod(F.xxhash64(F.concat(F.col("e"), F.lit("#walkstart"))), F.lit(40))
+        == 0
+    )
+    walks = random_walks(edges, walk_length=8, walks_per_node=2, starts=starts)
+    return (
+        walks.groupBy("start")
+        .agg(
+            F.count("*").alias("n_visits"),
+            F.count_distinct("node").alias("n_distinct_nodes"),
+            F.expr(
+                "bit_xor(xxhash64(concat_ws('|', walk_id, cast(pos as string), node)))"
+            ).alias("walk_fp"),
+        )
+        .orderBy("start")
+    )
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-targeted training-corpus composition: water-fill the
     per-source budget (clamped buckets redistribute), then ONE
@@ -2385,6 +2419,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_triangle_count", "q_kg_delta", "q_entity_cards",
         "q_path_social", "q_path_members", "q_rdfs_entail", "q_kcore",
         "q_sparql_optional", "q_sparql_agg", "q_sparql_union",
+        "q_kg_walks",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -2476,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_optional": _q_sparql_optional,
         "q_sparql_agg": _q_sparql_agg,
         "q_sparql_union": _q_sparql_union,
+        "q_kg_walks": _q_kg_walks,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

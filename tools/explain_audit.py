@@ -69,6 +69,7 @@ AUDITED = [
     "q_sparql_optional",
     "q_sparql_agg",
     "q_sparql_union",
+    "q_kg_walks",
 ]
 
 

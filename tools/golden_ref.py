@@ -1323,6 +1323,44 @@ def ref_q_sparql_union() -> tuple[list[str], list[tuple]]:
     return ["a", "n_links", "n_distinct", "n_named", "b_fp"], out
 
 
+def ref_q_kg_walks() -> tuple[list[str], list[tuple]]:
+    """Deterministic random walks — sequential dict-adjacency walker.
+    Same hash-choice rule as the engine (next = sorted-neighbors[
+    xxh64(walk_id|step|node) mod deg]) but a plain Python loop, no
+    DataFrames: what the comparison pins is the engine's indexed-edge
+    join mechanics, start sampling, and union/agg semantics."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    directed = set()
+    for r in rows:
+        if r[7] == "iri" and r[2] != r[4]:
+            directed.add((r[2], r[4]))
+    adj: dict[str, list] = {}
+    for a, b in directed | {(b, a) for a, b in directed}:
+        adj.setdefault(a, set()).add(b)
+    nbrs = {n: sorted(v) for n, v in adj.items()}
+    starts = sorted(
+        n for n in nbrs if pmod(xxh64_str(n + "#walkstart"), 40) == 0
+    )
+    per_start: dict[str, tuple[int, set, int]] = {}
+    for start in starts:
+        visits, distinct, fp = 0, set(), 0
+        for k in range(2):
+            walk_id = f"{start}#w{k}"
+            node = start
+            for pos in range(8):
+                if pos > 0:
+                    ns = nbrs[node]
+                    node = ns[pmod(xxh64_str(f"{walk_id}|{pos}|{node}"), len(ns))]
+                visits += 1
+                distinct.add(node)
+                fp ^= xxh64_str(f"{walk_id}|{pos}|{node}") & _U64
+        per_start[start] = (visits, distinct, fp)
+    out = [
+        (s, v, len(d), _signed64(fp)) for s, (v, d, fp) in sorted(per_start.items())
+    ]
+    return ["start", "n_visits", "n_distinct_nodes", "walk_fp"], out
+
+
 SF_QUERIES = {
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
@@ -1358,6 +1396,7 @@ CORPUS_QUERIES = {
     "q_sparql_optional": ref_q_sparql_optional,
     "q_sparql_agg": ref_q_sparql_agg,
     "q_sparql_union": ref_q_sparql_union,
+    "q_kg_walks": ref_q_kg_walks,
     "q_kcore": ref_q_kcore,
 }
 
@@ -1411,4 +1450,5 @@ DUCK_TYPES = {
     "q_sparql_optional": {"s": "VARCHAR", "name": "VARCHAR", "mbox": "VARCHAR", "n_bindings": "BIGINT"},
     "q_sparql_agg": {"t": "VARCHAR", "n_rows": "BIGINT", "n_subjects": "BIGINT"},
     "q_sparql_union": {"a": "VARCHAR", "n_links": "BIGINT", "n_distinct": "BIGINT", "n_named": "BIGINT", "b_fp": "BIGINT"},
+    "q_kg_walks": {"start": "VARCHAR", "n_visits": "BIGINT", "n_distinct_nodes": "BIGINT", "walk_fp": "BIGINT"},
 }
