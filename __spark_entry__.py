@@ -2181,6 +2181,43 @@ def _q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shacl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG publish gate: SHACL-lite validation (operators/shacl.py) of
+    six property shapes on foaf:Person — min/max cardinality, plain-
+    literal datatype, Latin-name pattern, and sh:class on enemyOf
+    links.  Violations summarized per (shape, constraint) with an XOR
+    fingerprint over (focus, value)."""
+    from turtle_spark.operators.shacl import Shape, validate
+
+    foaf = "http://xmlns.com/foaf/0.1/"
+    rel = "http://www.perceive.net/schemas/relationship/"
+    shapes = [
+        Shape("person-name-min", foaf + "Person", foaf + "name", min_count=1),
+        Shape("person-name-max3", foaf + "Person", foaf + "name", max_count=3),
+        Shape("person-mbox-min", foaf + "Person", foaf + "mbox", min_count=1),
+        Shape("person-name-plain", foaf + "Person", foaf + "name", datatype=""),
+        Shape(
+            "person-name-latin", foaf + "Person", foaf + "name",
+            pattern="^[A-Za-z]",
+        ),
+        Shape(
+            "person-enemy-person", foaf + "Person", rel + "enemyOf",
+            node_kind="iri", object_class=foaf + "Person",
+        ),
+    ]
+    report = validate(_corpus_triples(spark), shapes)
+    return (
+        report.groupBy("shape_id", "constraint")
+        .agg(
+            F.count("*").alias("n_violations"),
+            F.expr(
+                "bit_xor(xxhash64(concat_ws('|', focus, coalesce(value, ''))))"
+            ).alias("viol_fp"),
+        )
+        .orderBy("shape_id", "constraint")
+    )
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-targeted training-corpus composition: water-fill the
     per-source budget (clamped buckets redistribute), then ONE
@@ -2419,7 +2456,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_triangle_count", "q_kg_delta", "q_entity_cards",
         "q_path_social", "q_path_members", "q_rdfs_entail", "q_kcore",
         "q_sparql_optional", "q_sparql_agg", "q_sparql_union",
-        "q_kg_walks",
+        "q_kg_walks", "q_shacl_report",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -2512,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_agg": _q_sparql_agg,
         "q_sparql_union": _q_sparql_union,
         "q_kg_walks": _q_kg_walks,
+        "q_shacl_report": _q_shacl_report,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

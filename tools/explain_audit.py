@@ -70,6 +70,7 @@ AUDITED = [
     "q_sparql_agg",
     "q_sparql_union",
     "q_kg_walks",
+    "q_shacl_report",
 ]
 
 

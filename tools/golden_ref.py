@@ -1361,6 +1361,61 @@ def ref_q_kg_walks() -> tuple[list[str], list[tuple]]:
     return ["start", "n_visits", "n_distinct_nodes", "walk_fp"], out
 
 
+def ref_q_shacl_report() -> tuple[list[str], list[tuple]]:
+    """SHACL-lite validation — hand-evaluated per-focus loop over the
+    SET view of the graph (reference semantics: graph dedups on
+    insert).  Constraint kinds: minCount/maxCount over distinct value
+    nodes, nodeKind, plain-literal datatype, unanchored pattern
+    search, and sh:class membership."""
+    import re as _re
+
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    graph = {(r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows}
+    typed = {
+        (t[0], t[2]) for t in graph if t[1] == _RDF_TYPE
+    }
+    foaf = "http://xmlns.com/foaf/0.1/"
+    rel = "http://www.perceive.net/schemas/relationship/"
+    # (shape_id, target, pred, min, max, kind, req_dt, obj_cls, pattern)
+    shapes = [
+        ("person-name-min", foaf + "Person", foaf + "name", 1, None, None, None, None, None),
+        ("person-name-max3", foaf + "Person", foaf + "name", None, 3, None, None, None, None),
+        ("person-mbox-min", foaf + "Person", foaf + "mbox", 1, None, None, None, None, None),
+        ("person-name-plain", foaf + "Person", foaf + "name", None, None, None, "", None, None),
+        ("person-name-latin", foaf + "Person", foaf + "name", None, None, None, None, None, "^[A-Za-z]"),
+        ("person-enemy-person", foaf + "Person", rel + "enemyOf", None, None, "iri", None, foaf + "Person", None),
+    ]
+    viols: list[tuple] = []  # (shape_id, constraint, focus, value|None)
+    for sid, target, pred, mn, mx, kind, req_dt, obj_cls, pat in shapes:
+        for focus in sorted({n for n, c in typed if c == target}):
+            vals = [t for t in graph if t[0] == focus and t[1] == pred]
+            if mn is not None and len(vals) < mn:
+                viols.append((sid, "minCount", focus, None))
+            if mx is not None and len(vals) > mx:
+                viols.append((sid, "maxCount", focus, None))
+            for t in vals:
+                o, label, dt, ot = t[2], t[3], t[4], t[5]
+                if kind is not None and ot != kind:
+                    viols.append((sid, "nodeKind", focus, o))
+                if req_dt is not None and ot == "literal":
+                    bad = (dt != "" or label != "") if req_dt == "" else dt != req_dt
+                    if bad:
+                        viols.append((sid, "datatype", focus, o))
+                if pat is not None and not _re.search(pat, o):
+                    viols.append((sid, "pattern", focus, o))
+                if obj_cls is not None and (o, obj_cls) not in typed:
+                    viols.append((sid, "class", focus, o))
+    agg: dict[tuple, tuple[int, int]] = {}
+    for sid, con, focus, value in viols:
+        n, fp = agg.setdefault((sid, con), (0, 0))
+        agg[(sid, con)] = (n + 1, fp ^ (xxh64_str(f"{focus}|{value or ''}") & _U64))
+    out = [
+        (sid, con, n, _signed64(fp))
+        for (sid, con), (n, fp) in sorted(agg.items())
+    ]
+    return ["shape_id", "constraint", "n_violations", "viol_fp"], out
+
+
 SF_QUERIES = {
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
@@ -1397,6 +1452,7 @@ CORPUS_QUERIES = {
     "q_sparql_agg": ref_q_sparql_agg,
     "q_sparql_union": ref_q_sparql_union,
     "q_kg_walks": ref_q_kg_walks,
+    "q_shacl_report": ref_q_shacl_report,
     "q_kcore": ref_q_kcore,
 }
 
@@ -1451,4 +1507,5 @@ DUCK_TYPES = {
     "q_sparql_agg": {"t": "VARCHAR", "n_rows": "BIGINT", "n_subjects": "BIGINT"},
     "q_sparql_union": {"a": "VARCHAR", "n_links": "BIGINT", "n_distinct": "BIGINT", "n_named": "BIGINT", "b_fp": "BIGINT"},
     "q_kg_walks": {"start": "VARCHAR", "n_visits": "BIGINT", "n_distinct_nodes": "BIGINT", "walk_fp": "BIGINT"},
+    "q_shacl_report": {"shape_id": "VARCHAR", "constraint": "VARCHAR", "n_violations": "BIGINT", "viol_fp": "BIGINT"},
 }
