@@ -2218,6 +2218,20 @@ def _q_shacl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_verbalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KELM-style KG verbalization (operators/verbalize.py): one
+    deterministic factual sentence per triple, grouped per entity,
+    zero Python in the path.  Subjects hash-sampled at 1/50 so the
+    golden pins the EXACT generated text, not just a fingerprint."""
+    from turtle_spark.operators.verbalize import verbalize_entities
+
+    out = verbalize_entities(_corpus_triples(spark), max_facts=12)
+    return out.where(
+        F.pmod(F.xxhash64(F.concat(F.col("subject"), F.lit("#verb"))), F.lit(50))
+        == 0
+    ).orderBy("subject")
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-targeted training-corpus composition: water-fill the
     per-source budget (clamped buckets redistribute), then ONE
@@ -2456,7 +2470,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_triangle_count", "q_kg_delta", "q_entity_cards",
         "q_path_social", "q_path_members", "q_rdfs_entail", "q_kcore",
         "q_sparql_optional", "q_sparql_agg", "q_sparql_union",
-        "q_kg_walks", "q_shacl_report",
+        "q_kg_walks", "q_shacl_report", "q_kg_verbalize",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -2550,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_union": _q_sparql_union,
         "q_kg_walks": _q_kg_walks,
         "q_shacl_report": _q_shacl_report,
+        "q_kg_verbalize": _q_kg_verbalize,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

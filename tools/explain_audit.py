@@ -71,6 +71,7 @@ AUDITED = [
     "q_sparql_union",
     "q_kg_walks",
     "q_shacl_report",
+    "q_kg_verbalize",
 ]
 
 

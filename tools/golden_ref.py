@@ -1416,6 +1416,37 @@ def ref_q_shacl_report() -> tuple[list[str], list[tuple]]:
     return ["shape_id", "constraint", "n_violations", "viol_fp"], out
 
 
+def ref_q_kg_verbalize() -> tuple[list[str], list[tuple]]:
+    """KG verbalization — hand-assembled sentences over the set view:
+    local name = last /-or-# segment with '_' -> ' ', IRI objects as
+    local names, literals double-quoted, facts sorted by (predicate,
+    object, objecttype) capped at 12, ASCII-whitespace token count."""
+    import re as _re
+
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    facts: dict[str, set] = {}
+    for r in rows:
+        facts.setdefault(r[2], set()).add((r[3], r[4], r[7]))
+
+    def local(iri: str) -> str:
+        return _re.split(r"[/#]", iri)[-1].replace("_", " ")
+
+    out = []
+    for subj in sorted(facts):
+        if pmod(xxh64_str(subj + "#verb"), 50) != 0:
+            continue
+        fs = sorted(facts[subj])
+        kept = fs[:12]
+        parts = []
+        for p, o, ot in kept:
+            obj = local(o) if ot == "iri" else f'"{o}"'
+            parts.append(f"{local(subj)} {local(p)} {obj}.")
+        text = " ".join(parts)
+        n_tokens = len(_re.split(r"[ \t\n\r]+", text))
+        out.append((subj, len(kept), len(fs), n_tokens, text))
+    return ["subject", "n_facts", "n_total_facts", "n_tokens", "text"], out
+
+
 SF_QUERIES = {
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
@@ -1453,6 +1484,7 @@ CORPUS_QUERIES = {
     "q_sparql_union": ref_q_sparql_union,
     "q_kg_walks": ref_q_kg_walks,
     "q_shacl_report": ref_q_shacl_report,
+    "q_kg_verbalize": ref_q_kg_verbalize,
     "q_kcore": ref_q_kcore,
 }
 
@@ -1508,4 +1540,5 @@ DUCK_TYPES = {
     "q_sparql_union": {"a": "VARCHAR", "n_links": "BIGINT", "n_distinct": "BIGINT", "n_named": "BIGINT", "b_fp": "BIGINT"},
     "q_kg_walks": {"start": "VARCHAR", "n_visits": "BIGINT", "n_distinct_nodes": "BIGINT", "walk_fp": "BIGINT"},
     "q_shacl_report": {"shape_id": "VARCHAR", "constraint": "VARCHAR", "n_violations": "BIGINT", "viol_fp": "BIGINT"},
+    "q_kg_verbalize": {"subject": "VARCHAR", "n_facts": "INTEGER", "n_total_facts": "BIGINT", "n_tokens": "INTEGER", "text": "VARCHAR"},
 }
