@@ -2232,6 +2232,28 @@ def _q_kg_verbalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subject")
 
 
+def _q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity communities by deterministic synchronous label
+    propagation (operators/communities.py, 4 rounds, smallest-label
+    tie-break) over the undirected entity graph — finer-grained than
+    connected components, reproducible at any parallelism.
+    Summarized per community label: size + XOR member fingerprint,
+    communities of >= 2 members."""
+    from turtle_spark.operators.communities import label_propagation
+    from turtle_spark.operators.graph import entity_edges
+
+    labels = label_propagation(entity_edges(_corpus_triples(spark)), rounds=4)
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.expr("bit_xor(xxhash64(node))").alias("member_fp"),
+        )
+        .where(F.col("n_members") >= 2)
+        .orderBy("label")
+    )
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-targeted training-corpus composition: water-fill the
     per-source budget (clamped buckets redistribute), then ONE
@@ -2470,7 +2492,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_triangle_count", "q_kg_delta", "q_entity_cards",
         "q_path_social", "q_path_members", "q_rdfs_entail", "q_kcore",
         "q_sparql_optional", "q_sparql_agg", "q_sparql_union",
-        "q_kg_walks", "q_shacl_report", "q_kg_verbalize",
+        "q_kg_walks", "q_shacl_report", "q_kg_verbalize", "q_kg_communities",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -2565,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_walks": _q_kg_walks,
         "q_shacl_report": _q_shacl_report,
         "q_kg_verbalize": _q_kg_verbalize,
+        "q_kg_communities": _q_kg_communities,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

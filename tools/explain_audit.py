@@ -72,6 +72,7 @@ AUDITED = [
     "q_kg_walks",
     "q_shacl_report",
     "q_kg_verbalize",
+    "q_kg_communities",
 ]
 
 

@@ -1447,6 +1447,42 @@ def ref_q_kg_verbalize() -> tuple[list[str], list[tuple]]:
     return ["subject", "n_facts", "n_total_facts", "n_tokens", "text"], out
 
 
+def ref_q_kg_communities() -> tuple[list[str], list[tuple]]:
+    """Synchronous label propagation — plain dict loops: 4 rounds,
+    every node simultaneously adopts its neighbors' most frequent
+    previous-round label, ties to the smallest label."""
+    from collections import Counter
+
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    directed = {
+        (r[2], r[4]) for r in rows if r[7] == "iri" and r[2] != r[4]
+    }
+    adj: dict[str, set] = {}
+    for a, b in directed | {(b, a) for a, b in directed}:
+        adj.setdefault(a, set()).add(b)
+    labels = {n: n for n in adj}
+    for _ in range(4):
+        new = {}
+        for n, ns in adj.items():
+            c = Counter(labels[m] for m in ns)
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[n] = best
+        labels = new
+    comm: dict[str, list] = {}
+    for n, lb in labels.items():
+        comm.setdefault(lb, []).append(n)
+    out = []
+    for lb in sorted(comm):
+        members = comm[lb]
+        if len(members) < 2:
+            continue
+        fp = 0
+        for m in members:
+            fp ^= xxh64_str(m) & _U64
+        out.append((lb, len(members), _signed64(fp)))
+    return ["label", "n_members", "member_fp"], out
+
+
 SF_QUERIES = {
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
@@ -1485,6 +1521,7 @@ CORPUS_QUERIES = {
     "q_kg_walks": ref_q_kg_walks,
     "q_shacl_report": ref_q_shacl_report,
     "q_kg_verbalize": ref_q_kg_verbalize,
+    "q_kg_communities": ref_q_kg_communities,
     "q_kcore": ref_q_kcore,
 }
 
@@ -1541,4 +1578,5 @@ DUCK_TYPES = {
     "q_kg_walks": {"start": "VARCHAR", "n_visits": "BIGINT", "n_distinct_nodes": "BIGINT", "walk_fp": "BIGINT"},
     "q_shacl_report": {"shape_id": "VARCHAR", "constraint": "VARCHAR", "n_violations": "BIGINT", "viol_fp": "BIGINT"},
     "q_kg_verbalize": {"subject": "VARCHAR", "n_facts": "INTEGER", "n_total_facts": "BIGINT", "n_tokens": "INTEGER", "text": "VARCHAR"},
+    "q_kg_communities": {"label": "VARCHAR", "n_members": "BIGINT", "member_fp": "BIGINT"},
 }
