@@ -2254,6 +2254,61 @@ def _q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT as KG transformation: symmetrize rel:enemyOf,
+    type both ends as a derived Adversary class, and attach a constant
+    literal status — four template patterns instantiated per WHERE
+    solution, emitted as a GRAPH (set) in the engine's wide triple
+    schema.  Summarized per (predicate, objecttype)."""
+    from turtle_spark.operators.sparql import sparql_construct
+
+    rel = "http://www.perceive.net/schemas/relationship/"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    ex = "http://example.org/derived#"
+    out = sparql_construct(
+        _corpus_triples(spark),
+        patterns=[("?a", rel + "enemyOf", "?b", "iri")],
+        template=[
+            ("?b", rel + "enemyOf", "?a"),
+            ("?a", rdf_type, ex + "Adversary"),
+            ("?b", rdf_type, ex + "Adversary"),
+            ("?a", ex + "status", ("literal", "hostile")),
+        ],
+    )
+    return (
+        out.groupBy("predicate", "objecttype")
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.expr("bit_xor(xxhash64(concat_ws('|', subject, object)))").alias(
+                "pair_fp"
+            ),
+        )
+        .orderBy("predicate", "objecttype")
+    )
+
+
+def _q_ntriples_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk N-Triples export (sources/ntriples.py): canonical NT lines
+    rendered by pure column expressions (escape chain, md5-renamed
+    blank labels, lang/datatype suffixes).  Summarized per predicate
+    token with an XOR fingerprint over the EXACT line bytes, so the
+    golden pins every escape decision in the writer."""
+    from turtle_spark.sources.ntriples import to_ntriples
+
+    lines = to_ntriples(_corpus_triples(spark))
+    return (
+        lines.groupBy(
+            F.element_at(F.split(F.col("line"), " "), 2).alias("pred_token")
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.octet_length("line")).alias("total_bytes"),
+            F.expr("bit_xor(xxhash64(line))").alias("line_fp"),
+        )
+        .orderBy("pred_token")
+    )
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-targeted training-corpus composition: water-fill the
     per-source budget (clamped buckets redistribute), then ONE
@@ -2493,6 +2548,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_path_social", "q_path_members", "q_rdfs_entail", "q_kcore",
         "q_sparql_optional", "q_sparql_agg", "q_sparql_union",
         "q_kg_walks", "q_shacl_report", "q_kg_verbalize", "q_kg_communities",
+        "q_sparql_construct", "q_ntriples_export",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -2588,6 +2644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shacl_report": _q_shacl_report,
         "q_kg_verbalize": _q_kg_verbalize,
         "q_kg_communities": _q_kg_communities,
+        "q_sparql_construct": _q_sparql_construct,
+        "q_ntriples_export": _q_ntriples_export,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

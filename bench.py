@@ -102,6 +102,13 @@ HEADLINE = [
     "q_rdfs_entail",
     "q_cooccur",
     "q_kcore",
+    "q_sparql_optional",
+    "q_sparql_agg",
+    "q_sparql_union",
+    "q_kg_walks",
+    "q_shacl_report",
+    "q_kg_verbalize",
+    "q_kg_communities",
 ]
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from turtle_spark.operators.sparql import (
     compile_filter,
+    sparql_construct,
     sparql_select,
     sparql_union,
 )
@@ -139,6 +140,46 @@ def test_group_by_aggregates(tiny):
 def test_distinct(tiny):
     out = sparql_select(tiny, [("?a", "p/knows", "?b")], distinct=True)
     assert _rows(out) == [("e/a", "e/b"), ("e/b", "e/c")]
+
+
+def test_construct_template(tiny):
+    out = sparql_construct(
+        tiny,
+        patterns=[("?a", "p/knows", "?b", "iri")],
+        template=[
+            ("?b", "p/knownBy", "?a"),
+            ("?a", "p/status", ("literal", "social")),
+        ],
+    )
+    got = _rows(out)
+    # set semantics: the duplicated knows triple constructs once
+    assert got == sorted(
+        [
+            ("e/b", "p/knownBy", "e/a", "", "", "iri"),
+            ("e/c", "p/knownBy", "e/b", "", "", "iri"),
+            ("e/a", "p/status", "social", "", "", "literal"),
+            ("e/b", "p/status", "social", "", "", "literal"),
+        ]
+    )
+
+
+def test_construct_errors(tiny):
+    with pytest.raises(ValueError, match="not IRI-safe"):
+        sparql_construct(
+            tiny,
+            patterns=[("?s", "p/name", "?n")],  # ?n may bind literals
+            template=[("?s", "p/alias", "?n")],
+        )
+    with pytest.raises(ValueError, match="never bound"):
+        sparql_construct(
+            tiny, patterns=[("?s", "p/name", "?n")], template=[("?z", "p/x", "?s")]
+        )
+    with pytest.raises(ValueError, match="only valid in object"):
+        sparql_construct(
+            tiny,
+            patterns=[("?s", "p/name", "?n")],
+            template=[(("literal", "x"), "p/x", "?s")],
+        )
 
 
 def test_optional_plan_is_left_hash_join(tiny):

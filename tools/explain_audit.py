@@ -73,6 +73,8 @@ AUDITED = [
     "q_shacl_report",
     "q_kg_verbalize",
     "q_kg_communities",
+    "q_sparql_construct",
+    "q_ntriples_export",
 ]
 
 

@@ -1483,6 +1483,76 @@ def ref_q_kg_communities() -> tuple[list[str], list[tuple]]:
     return ["label", "n_members", "member_fp"], out
 
 
+def ref_q_sparql_construct() -> tuple[list[str], list[tuple]]:
+    """SPARQL CONSTRUCT — hand-instantiated template over enemyOf
+    pairs, set semantics, grouped per (predicate, objecttype)."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    rdf_type = _RDF_TYPE
+    ex = "http://example.org/derived#"
+    pairs = {(r[2], r[4]) for r in rows if r[3] == _REL_ENEMY and r[7] == "iri"}
+    graph: set = set()
+    for a, b in pairs:
+        graph.add((b, _REL_ENEMY, a, "iri"))
+        graph.add((a, rdf_type, ex + "Adversary", "iri"))
+        graph.add((b, rdf_type, ex + "Adversary", "iri"))
+        graph.add((a, ex + "status", "hostile", "literal"))
+    agg: dict[tuple, tuple[int, int]] = {}
+    for s, p, o, ot in graph:
+        n, fp = agg.setdefault((p, ot), (0, 0))
+        agg[(p, ot)] = (n + 1, fp ^ (xxh64_str(f"{s}|{o}") & _U64))
+    out = [
+        (p, ot, n, _signed64(fp)) for (p, ot), (n, fp) in sorted(agg.items())
+    ]
+    return ["predicate", "objecttype", "n_triples", "pair_fp"], out
+
+
+def ref_q_ntriples_export() -> tuple[list[str], list[tuple]]:
+    """N-Triples writer — hand-built lines: escape chain in the same
+    order (backslash first), md5-hex blank-label rename, lang before
+    datatype, grouped by the predicate token."""
+    import hashlib
+
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+
+    def esc(s: str) -> str:
+        return (
+            s.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\t", "\\t")
+        )
+
+    def node(s: str) -> str:
+        if s.startswith("_:"):
+            return "_:b" + hashlib.md5(s.encode("utf-8")).hexdigest()
+        return f"<{s}>"
+
+    agg: dict[str, tuple[int, int, int]] = {}
+    for r in rows:
+        s, p, o, label, dt, ot = r[2], r[3], r[4], r[5], r[6], r[7]
+        if ot == "literal":
+            obj = f'"{esc(o)}"'
+            if label:
+                obj += f"@{label}"
+            elif dt:
+                obj += f"^^<{dt}>"
+        else:
+            obj = node(o)
+        line = f"{node(s)} <{p}> {obj} ."
+        tok = f"<{p}>"
+        n, b, fp = agg.setdefault(tok, (0, 0, 0))
+        agg[tok] = (
+            n + 1,
+            b + len(line.encode("utf-8")),
+            fp ^ (xxh64_str(line) & _U64),
+        )
+    out = [
+        (tok, n, b, _signed64(fp)) for tok, (n, b, fp) in sorted(agg.items())
+    ]
+    return ["pred_token", "n_lines", "total_bytes", "line_fp"], out
+
+
 SF_QUERIES = {
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
@@ -1522,6 +1592,8 @@ CORPUS_QUERIES = {
     "q_shacl_report": ref_q_shacl_report,
     "q_kg_verbalize": ref_q_kg_verbalize,
     "q_kg_communities": ref_q_kg_communities,
+    "q_sparql_construct": ref_q_sparql_construct,
+    "q_ntriples_export": ref_q_ntriples_export,
     "q_kcore": ref_q_kcore,
 }
 
@@ -1579,4 +1651,6 @@ DUCK_TYPES = {
     "q_shacl_report": {"shape_id": "VARCHAR", "constraint": "VARCHAR", "n_violations": "BIGINT", "viol_fp": "BIGINT"},
     "q_kg_verbalize": {"subject": "VARCHAR", "n_facts": "INTEGER", "n_total_facts": "BIGINT", "n_tokens": "INTEGER", "text": "VARCHAR"},
     "q_kg_communities": {"label": "VARCHAR", "n_members": "BIGINT", "member_fp": "BIGINT"},
+    "q_sparql_construct": {"predicate": "VARCHAR", "objecttype": "VARCHAR", "n_triples": "BIGINT", "pair_fp": "BIGINT"},
+    "q_ntriples_export": {"pred_token": "VARCHAR", "n_lines": "BIGINT", "total_bytes": "BIGINT", "line_fp": "BIGINT"},
 }

@@ -58,7 +58,12 @@ from pyspark.sql import functions as F
 
 from turtle_spark.operators.bgp import bgp_select
 
-__all__ = ["compile_filter", "sparql_select", "sparql_union"]
+__all__ = [
+    "compile_filter",
+    "sparql_construct",
+    "sparql_select",
+    "sparql_union",
+]
 
 
 # --------------------------------------------------------------------------
@@ -311,6 +316,97 @@ def sparql_select(
     if project is not None:
         acc = acc.select(*project)
     return acc
+
+
+def _iri_safe_vars(patterns: list[tuple]) -> set[str]:
+    """Variables guaranteed to bind IRIs/blank nodes: bound in subject
+    or predicate position anywhere, or in the object slot of a pattern
+    whose objecttype is constrained to 'iri'."""
+    safe: set[str] = set()
+    for pat in patterns:
+        s, p, o = pat[0], pat[1], pat[2]
+        otype = pat[3] if len(pat) == 4 else None
+        for term in (s, p):
+            if isinstance(term, str) and term.startswith("?"):
+                safe.add(term[1:])
+        if otype == "iri" and isinstance(o, str) and o.startswith("?"):
+            safe.add(o[1:])
+    return safe
+
+
+def sparql_construct(
+    triples: DataFrame,
+    patterns: list[tuple],
+    template: list[tuple],
+    filters: list[str] | None = None,
+) -> DataFrame:
+    """SPARQL CONSTRUCT: instantiate ``template`` triple patterns once
+    per WHERE solution and return the constructed GRAPH (set — CONSTRUCT
+    outputs a graph, so duplicates collapse) in the engine's wide
+    triple schema.
+
+    Template terms: ``?var`` (must be bound by ``patterns``), a
+    constant IRI string, or ``("literal", value)`` for a constant
+    literal object.  An object-position template var must be IRI-SAFE
+    — bound in a subject/predicate slot or an ``objecttype="iri"``
+    pattern — because the solution mapping carries lexical values
+    only; constraining the WHERE pattern (add the 4th ``"iri"`` term)
+    is the fix the error message suggests.  This keeps every
+    constructed term's objecttype static per template row, so the
+    output unions K narrow projections — no shuffle beyond the WHERE
+    evaluation itself plus the final dedup.
+    """
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    sol = sparql_select(triples, patterns, filters=filters)
+    if len(template) > 1:
+        # each template pattern projects the SAME solution set; pin it
+        # or Catalyst re-evaluates the WHERE join tree per pattern
+        from turtle_spark.operators.skew import pin
+
+        sol = pin(sol)
+    bound = _group_vars(patterns)
+    safe = _iri_safe_vars(patterns)
+
+    def _term(term, position: str) -> tuple[Column, bool]:
+        """-> (value column, is_literal)."""
+        if isinstance(term, tuple):
+            if position != "object":
+                raise ValueError("literal terms are only valid in object position")
+            return F.lit(term[1]), True
+        if term.startswith("?"):
+            name = term[1:]
+            if name not in bound:
+                raise ValueError(f"template variable ?{name} is never bound")
+            if position == "object" and name not in safe:
+                raise ValueError(
+                    f"object-position template var ?{name} is not IRI-safe; "
+                    "constrain its WHERE pattern with objecttype 'iri'"
+                )
+            return F.col(name), False
+        return F.lit(term), False
+
+    parts = []
+    for tpat in template:
+        if len(tpat) != 3:
+            raise ValueError(f"template pattern must have 3 terms: {tpat!r}")
+        s_col, _ = _term(tpat[0], "subject")
+        p_col, _ = _term(tpat[1], "predicate")
+        o_col, is_lit = _term(tpat[2], "object")
+        parts.append(
+            sol.select(
+                s_col.alias("subject"),
+                p_col.alias("predicate"),
+                o_col.alias("object"),
+                F.lit("").alias("label"),
+                F.lit("").alias("datatype"),
+                F.lit("literal" if is_lit else "iri").alias("objecttype"),
+            )
+        )
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    return acc.dropDuplicates()
 
 
 def sparql_union(branches: list[DataFrame]) -> DataFrame:
