@@ -2309,6 +2309,90 @@ def _q_ntriples_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triple_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-support provenance: per distinct (s, p, o) fact, how many
+    documents assert it (the confidence/weighting signal a KG serving
+    layer ranks by) — multi-source facts only.  Blank-node endpoints
+    are excluded: globalized blank labels are doc-scoped by
+    construction, so their support is always 1.  One hash aggregation
+    on the fact key; doc fingerprint XORs DISTINCT doc hashes so
+    repeated mentions inside one doc don't cancel."""
+    t = _corpus_triples(spark)
+    facts = t.where(
+        ~F.col("subject").startswith("_:")
+        & ~((F.col("objecttype") == "iri") & F.col("object").startswith("_:"))
+    )
+    return (
+        facts.groupBy("subject", "predicate", "object")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_mentions"),
+            F.expr("bit_xor(DISTINCT xxhash64(doc_id))").alias("doc_fp"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("subject", "predicate", "object")
+    )
+
+
+def _q_schema_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema induction: the class-level summary graph — every
+    entity->entity link rolled up to one (subject_class, predicate,
+    object_class) edge; an endpoint with no rdf:type gets the bottom
+    class ``(untyped)`` so the summary is TOTAL over the instance
+    graph (the induction variant that actually drives shape authoring
+    — operators/shacl.py — and join planning).  Two left equi-joins
+    against the distinct type table; multi-typed nodes fan out per the
+    standard semantics.  Hash-sampled at 1/8 per class-pair row.
+    Triples pinned: the types and links branches would otherwise
+    re-run extraction once each."""
+    t = _corpus_triples(spark).persist()
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    types = (
+        t.where(F.col("predicate") == rdf_type)
+        .select(F.col("subject").alias("node"), F.col("object").alias("cls"))
+        .dropDuplicates()
+    )
+    links = (
+        t.where((F.col("objecttype") == "iri") & (F.col("predicate") != rdf_type))
+        .select("subject", "predicate", "object")
+        .dropDuplicates()
+    )
+    s_typed = types.select(
+        F.col("node").alias("subject"), F.col("cls").alias("s_cls")
+    )
+    o_typed = types.select(
+        F.col("node").alias("object"), F.col("cls").alias("o_cls")
+    )
+    return (
+        links.join(s_typed, "subject", "left")
+        .join(o_typed, "object", "left")
+        .select(
+            F.coalesce("s_cls", F.lit("(untyped)")).alias("s_cls"),
+            "predicate",
+            F.coalesce("o_cls", F.lit("(untyped)")).alias("o_cls"),
+            "subject",
+            "object",
+        )
+        .where(
+            F.pmod(
+                F.xxhash64(
+                    F.concat_ws("|", "s_cls", "predicate", F.col("o_cls"))
+                ),
+                F.lit(8),
+            )
+            == 0
+        )
+        .groupBy("s_cls", "predicate", "o_cls")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.expr(
+                "bit_xor(xxhash64(concat_ws('|', subject, object)))"
+            ).alias("link_fp"),
+        )
+        .orderBy("s_cls", "predicate", "o_cls")
+    )
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-targeted training-corpus composition: water-fill the
     per-source budget (clamped buckets redistribute), then ONE
@@ -2549,6 +2633,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_sparql_optional", "q_sparql_agg", "q_sparql_union",
         "q_kg_walks", "q_shacl_report", "q_kg_verbalize", "q_kg_communities",
         "q_sparql_construct", "q_ntriples_export",
+        "q_triple_provenance", "q_schema_graph",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -2646,6 +2731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_communities": _q_kg_communities,
         "q_sparql_construct": _q_sparql_construct,
         "q_ntriples_export": _q_ntriples_export,
+        "q_triple_provenance": _q_triple_provenance,
+        "q_schema_graph": _q_schema_graph,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -75,6 +75,8 @@ AUDITED = [
     "q_kg_communities",
     "q_sparql_construct",
     "q_ntriples_export",
+    "q_triple_provenance",
+    "q_schema_graph",
 ]
 
 

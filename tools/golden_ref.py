@@ -1553,6 +1553,62 @@ def ref_q_ntriples_export() -> tuple[list[str], list[tuple]]:
     return ["pred_token", "n_lines", "total_bytes", "line_fp"], out
 
 
+def ref_q_triple_provenance() -> tuple[list[str], list[tuple]]:
+    """Fact-support provenance — dict of fact -> (doc set, mention
+    count), multi-source facts only, blank endpoints excluded."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    support: dict[tuple, tuple[set, int]] = {}
+    for r in rows:
+        if r[2].startswith("_:") or (r[7] == "iri" and r[4].startswith("_:")):
+            continue
+        key = (r[2], r[3], r[4])
+        docs, n = support.setdefault(key, (set(), 0))
+        docs.add(r[0])
+        support[key] = (docs, n + 1)
+    out = []
+    for (s, p, o), (docs, n) in sorted(support.items()):
+        if len(docs) < 2:
+            continue
+        fp = 0
+        for d in docs:
+            fp ^= xxh64_str(d) & _U64
+        out.append((s, p, o, len(docs), n, _signed64(fp)))
+    return ["subject", "predicate", "object", "n_docs", "n_mentions", "doc_fp"], out
+
+
+def ref_q_schema_graph() -> tuple[list[str], list[tuple]]:
+    """Schema induction — distinct types x distinct links, TOTAL over
+    the instance graph (untyped endpoints -> '(untyped)'), class-pair
+    aggregation with an XOR fingerprint over endpoint pairs,
+    hash-sampled at 1/8 per class-pair."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    types: dict[str, set] = {}
+    for r in rows:
+        if r[3] == _RDF_TYPE:
+            types.setdefault(r[2], set()).add(r[4])
+    links = {
+        (r[2], r[3], r[4])
+        for r in rows
+        if r[7] == "iri" and r[3] != _RDF_TYPE
+    }
+    agg: dict[tuple, tuple[int, int]] = {}
+    for s, p, o in links:
+        for sc in types.get(s) or {"(untyped)"}:
+            for oc in types.get(o) or {"(untyped)"}:
+                if pmod(xxh64_str(f"{sc}|{p}|{oc}"), 8) != 0:
+                    continue
+                n, fp = agg.setdefault((sc, p, oc), (0, 0))
+                agg[(sc, p, oc)] = (
+                    n + 1,
+                    fp ^ (xxh64_str(f"{s}|{o}") & _U64),
+                )
+    out = [
+        (sc, p, oc, n, _signed64(fp))
+        for (sc, p, oc), (n, fp) in sorted(agg.items())
+    ]
+    return ["s_cls", "predicate", "o_cls", "n_links", "link_fp"], out
+
+
 SF_QUERIES = {
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
@@ -1594,6 +1650,8 @@ CORPUS_QUERIES = {
     "q_kg_communities": ref_q_kg_communities,
     "q_sparql_construct": ref_q_sparql_construct,
     "q_ntriples_export": ref_q_ntriples_export,
+    "q_triple_provenance": ref_q_triple_provenance,
+    "q_schema_graph": ref_q_schema_graph,
     "q_kcore": ref_q_kcore,
 }
 
@@ -1653,4 +1711,6 @@ DUCK_TYPES = {
     "q_kg_communities": {"label": "VARCHAR", "n_members": "BIGINT", "member_fp": "BIGINT"},
     "q_sparql_construct": {"predicate": "VARCHAR", "objecttype": "VARCHAR", "n_triples": "BIGINT", "pair_fp": "BIGINT"},
     "q_ntriples_export": {"pred_token": "VARCHAR", "n_lines": "BIGINT", "total_bytes": "BIGINT", "line_fp": "BIGINT"},
+    "q_triple_provenance": {"subject": "VARCHAR", "predicate": "VARCHAR", "object": "VARCHAR", "n_docs": "BIGINT", "n_mentions": "BIGINT", "doc_fp": "BIGINT"},
+    "q_schema_graph": {"s_cls": "VARCHAR", "predicate": "VARCHAR", "o_cls": "VARCHAR", "n_links": "BIGINT", "link_fp": "BIGINT"},
 }
