@@ -2393,6 +2393,36 @@ def _q_schema_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG neighborhood export: unweighted shortest-path levels (BFS,
+    min-level semantics) from a 1/200 hash-sampled seed set over the
+    undirected entity graph, depth <= 4 — linear in the reached
+    subgraph, the right tool for small-seed serving exports (vs the
+    all-pairs closure).  Summarized per level (22 seeds reach ~1,300
+    nodes across all 5 levels in this corpus)."""
+    from turtle_spark.operators.graph import bfs_levels, entity_edges
+
+    edges = entity_edges(_corpus_triples(spark)).persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    seeds = nodes.where(
+        F.pmod(F.xxhash64(F.concat(F.col("node"), F.lit("#bfs"))), F.lit(200))
+        == 0
+    )
+    levels = bfs_levels(edges, seeds, max_depth=4)
+    return (
+        levels.groupBy("level")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.expr("bit_xor(xxhash64(node))").alias("node_fp"),
+        )
+        .orderBy("level")
+    )
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-targeted training-corpus composition: water-fill the
     per-source budget (clamped buckets redistribute), then ONE
@@ -2633,7 +2663,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_sparql_optional", "q_sparql_agg", "q_sparql_union",
         "q_kg_walks", "q_shacl_report", "q_kg_verbalize", "q_kg_communities",
         "q_sparql_construct", "q_ntriples_export",
-        "q_triple_provenance", "q_schema_graph",
+        "q_triple_provenance", "q_schema_graph", "q_bfs_levels",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -2733,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ntriples_export": _q_ntriples_export,
         "q_triple_provenance": _q_triple_provenance,
         "q_schema_graph": _q_schema_graph,
+        "q_bfs_levels": _q_bfs_levels,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -284,3 +284,40 @@ class TestKCore:
                     changed = True
                     break
         assert got == {(n, len(ns)) for n, ns in adj.items()}
+
+
+class TestBfsLevels:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def test_levels_and_early_stop(self, spark):
+        from turtle_spark.operators.graph import bfs_levels
+
+        # chain a-b-c-d plus isolated pair x-y
+        edges = self._edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")])
+        seeds = spark.createDataFrame([("a",)], "node string")
+        got = {(r.node, r.level) for r in bfs_levels(edges, seeds, max_depth=6).collect()}
+        assert got == {("a", 0), ("b", 1), ("c", 2), ("d", 3)}  # x,y unreached
+
+    def test_min_level_semantics(self, spark):
+        from turtle_spark.operators.graph import bfs_levels
+
+        # two paths to d: a-d (1 hop) and a-b-c-d (3 hops) -> level 1
+        edges = self._edges(
+            spark, [("a", "d"), ("a", "b"), ("b", "c"), ("c", "d")]
+        )
+        seeds = spark.createDataFrame([("a",)], "node string")
+        levels = {r.node: r.level for r in bfs_levels(edges, seeds, max_depth=4).collect()}
+        assert levels["d"] == 1
+
+    def test_directed_and_depth_cap(self, spark):
+        from turtle_spark.operators.graph import bfs_levels
+
+        edges = self._edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("z", "a")])
+        seeds = spark.createDataFrame([("a",)], "node string")
+        got = {
+            (r.node, r.level)
+            for r in bfs_levels(edges, seeds, max_depth=1, undirected=False).collect()
+        }
+        # directed: z unreachable from a; depth cap stops at level 1
+        assert got == {("a", 0), ("b", 1)}

@@ -98,6 +98,45 @@ def test_roundtrip(spark, tmp_path):
     )
 
 
+def test_escape_roundtrip_hypothesis():
+    """Property: any literal value survives encode -> parse.  Pure
+    Python mirror of the column escape chain (same order), fuzzing
+    the parser's literal grammar with adversarial content."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def esc(s: str) -> str:
+        return (
+            s.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\t", "\\t")
+        )
+
+    # printable-ish unicode plus the escape-relevant controls
+    literal = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",),  # no lone surrogates
+        ),
+        max_size=80,
+    )
+
+    @given(literal)
+    @settings(max_examples=300, deadline=None)
+    def check(value: str) -> None:
+        line = f'<s:x> <p:y> "{esc(value)}" .'
+        parsed = parse_nt_line(line)
+        # values containing raw LF/CR would break the one-line format,
+        # but esc() removed them, so the parse must always succeed
+        assert parsed is not None or value.strip() == ""
+        if parsed is not None:
+            assert parsed[2] == value
+            assert parsed[5] == "literal"
+
+    check()
+
+
 def test_encode_has_no_python(spark):
     df = spark.createDataFrame(
         [("s", "p", "o", "", "", "iri")], _COLS

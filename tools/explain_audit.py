@@ -77,6 +77,7 @@ AUDITED = [
     "q_ntriples_export",
     "q_triple_provenance",
     "q_schema_graph",
+    "q_bfs_levels",
 ]
 
 

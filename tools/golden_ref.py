@@ -1609,6 +1609,39 @@ def ref_q_schema_graph() -> tuple[list[str], list[tuple]]:
     return ["s_cls", "predicate", "o_cls", "n_links", "link_fp"], out
 
 
+def ref_q_bfs_levels() -> tuple[list[str], list[tuple]]:
+    """BFS levels — queue-based sequential BFS from 1/200 hash-sampled
+    seeds over the undirected entity adjacency."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    directed = {
+        (r[2], r[4]) for r in rows if r[7] == "iri" and r[2] != r[4]
+    }
+    adj: dict[str, set] = {}
+    for a, b in directed | {(b, a) for a, b in directed}:
+        adj.setdefault(a, set()).add(b)
+    seeds = sorted(
+        n for n in adj if pmod(xxh64_str(n + "#bfs"), 200) == 0
+    )
+    level = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for depth in range(1, 5):
+        nxt = []
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in level:
+                    level[m] = depth
+                    nxt.append(m)
+        if not nxt:
+            break
+        frontier = nxt
+    per: dict[int, tuple[int, int]] = {}
+    for n, lv in level.items():
+        c, fp = per.setdefault(lv, (0, 0))
+        per[lv] = (c + 1, fp ^ (xxh64_str(n) & _U64))
+    out = [(lv, c, _signed64(fp)) for lv, (c, fp) in sorted(per.items())]
+    return ["level", "n_nodes", "node_fp"], out
+
+
 SF_QUERIES = {
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
@@ -1652,6 +1685,7 @@ CORPUS_QUERIES = {
     "q_ntriples_export": ref_q_ntriples_export,
     "q_triple_provenance": ref_q_triple_provenance,
     "q_schema_graph": ref_q_schema_graph,
+    "q_bfs_levels": ref_q_bfs_levels,
     "q_kcore": ref_q_kcore,
 }
 
@@ -1713,4 +1747,5 @@ DUCK_TYPES = {
     "q_ntriples_export": {"pred_token": "VARCHAR", "n_lines": "BIGINT", "total_bytes": "BIGINT", "line_fp": "BIGINT"},
     "q_triple_provenance": {"subject": "VARCHAR", "predicate": "VARCHAR", "object": "VARCHAR", "n_docs": "BIGINT", "n_mentions": "BIGINT", "doc_fp": "BIGINT"},
     "q_schema_graph": {"s_cls": "VARCHAR", "predicate": "VARCHAR", "o_cls": "VARCHAR", "n_links": "BIGINT", "link_fp": "BIGINT"},
+    "q_bfs_levels": {"level": "INTEGER", "n_nodes": "BIGINT", "node_fp": "BIGINT"},
 }

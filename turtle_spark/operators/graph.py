@@ -513,3 +513,63 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
         f"k_core: no fixpoint after {max_rounds} peeling rounds "
         f"({n_edges} edges left); raise max_rounds for chain-like graphs"
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 6,
+    undirected: bool = True,
+) -> DataFrame:
+    """Unweighted shortest-path levels from a seed set — deterministic
+    frontier BFS.
+
+    Returns ``(node, level)`` for every node within ``max_depth`` hops
+    of any source (level = min hop distance; sources are level 0).
+    The entity-serving use: "everything within K hops of these seed
+    entities" is the canonical KG neighborhood-export query, and
+    unlike ``transitive_closure`` (all-pairs, path-doubling) it is
+    linear in the reached subgraph — the right tool when the seed set
+    is small and the graph is web-scale.
+
+    Per level: one equi-join (frontier x edges) + one dedup + one
+    left-anti join against the visited set, lineage truncated every
+    level.  Min-level semantics are order-free (a node joins the
+    visited set the first level it appears), so the result is
+    partition- and retry-independent.  The only driver-side values are
+    one frontier count per level (early exit) — bounded by
+    ``max_depth`` scalars, same pattern as ``cc.py``'s convergence
+    check.
+    """
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    edges = edges.select("src", "dst")
+    if undirected:
+        edges = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    from turtle_spark.operators.skew import pin
+
+    edges = pin(edges.dropDuplicates())
+    src_col = sources.columns[0]
+    visited = (
+        sources.select(F.col(src_col).alias("node"))
+        .dropDuplicates()
+        .withColumn("level", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .dropDuplicates()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited
