@@ -2027,6 +2027,28 @@ def _q_path_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_path_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 negated property set inside a sequence:
+    ``foaf:knows/!(foaf:name|a)`` — everything a known entity links to
+    EXCEPT names and type assertions.  The NPS compiles to one
+    predicate-disequality scan (spec §9.1 split), never a vocabulary
+    enumeration.  Summarized per source."""
+    from turtle_spark.operators.paths import path_query
+
+    pairs = path_query(
+        _corpus_triples(spark),
+        "<http://xmlns.com/foaf/0.1/knows>/!(<http://xmlns.com/foaf/0.1/name>|a)",
+    )
+    return (
+        pairs.groupBy("src")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.expr("bit_xor(xxhash64(dst))").alias("dst_fp"),
+        )
+        .orderBy("src")
+    )
+
+
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph curation: the 2-core of the KG entity graph (every node
     keeps >= 2 in-core neighbors) with in-core degrees — parallel
@@ -2664,6 +2686,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_kg_walks", "q_shacl_report", "q_kg_verbalize", "q_kg_communities",
         "q_sparql_construct", "q_ntriples_export",
         "q_triple_provenance", "q_schema_graph", "q_bfs_levels",
+        "q_path_nps",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -2764,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triple_provenance": _q_triple_provenance,
         "q_schema_graph": _q_schema_graph,
         "q_bfs_levels": _q_bfs_levels,
+        "q_path_nps": _q_path_nps,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

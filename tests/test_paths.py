@@ -197,3 +197,31 @@ def test_brute_force_differential(spark):
                 stack.extend(comp.get(v, ()))
         expect |= {(src, d) for d in seen}
     assert got == expect
+
+
+def test_negated_property_set(spark):
+    from turtle_spark.operators.paths import NegatedSet
+
+    t = _triples_df(spark, GRAPH)
+    # forward: every edge whose predicate is not 'knows'
+    got = _pairs(path_query(t, "!<knows>"))
+    assert got == {("a", "d"), ("d", '"dee"'), ("b", "Person")}
+    # 'a' inside the set
+    assert _pairs(path_query(t, "!(<knows>|a)")) == {
+        ("a", "d"), ("d", '"dee"'),
+    }
+    # inverse-only member: reversed edges with predicate not 'name'
+    assert _pairs(path_query(t, "!(^<name>)")) == {
+        ("b", "a"), ("c", "b"), ("a", "c"), ("d", "a"), ("Person", "b"),
+    }
+    # mixed set = union of the two branches (spec split)
+    mixed = _pairs(path_query(t, "!(<knows>|<likes>|a|^<knows>|^<name>|^" + "<" + RDF_TYPE + ">)"))
+    assert mixed == {("d", '"dee"'), ("d", "a")}
+    # parse tree shape
+    assert parse_path("!(<p>|^<q>)") == NegatedSet(fwd=("p",), inv=("q",))
+    # within a sequence: friends' non-knows attributes
+    assert _pairs(path_query(t, "<knows>/!(<knows>|a)")) == {("c", "d")}
+    with pytest.raises(ValueError):
+        parse_path("!(<p>|<q)")
+    with pytest.raises(ValueError):
+        parse_path("!+")

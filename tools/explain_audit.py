@@ -78,6 +78,7 @@ AUDITED = [
     "q_triple_provenance",
     "q_schema_graph",
     "q_bfs_levels",
+    "q_path_nps",
 ]
 
 

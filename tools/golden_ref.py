@@ -1642,6 +1642,32 @@ def ref_q_bfs_levels() -> tuple[list[str], list[tuple]]:
     return ["level", "n_nodes", "node_fp"], out
 
 
+def ref_q_path_nps() -> tuple[list[str], list[tuple]]:
+    """knows/!(name|rdf:type) — nested dict loops with set semantics
+    at each step (distinct knows pairs, distinct non-name/type edges,
+    distinct composed pairs)."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    knows = {
+        (r[2], r[4])
+        for r in rows
+        if r[3] == "http://xmlns.com/foaf/0.1/knows"
+    }
+    banned = {"http://xmlns.com/foaf/0.1/name", _RDF_TYPE}
+    step2: dict[str, set] = {}
+    for r in rows:
+        if r[3] not in banned:
+            step2.setdefault(r[2], set()).add(r[4])
+    pairs = {
+        (a, o) for a, b in knows for o in step2.get(b, ())
+    }
+    per: dict[str, tuple[int, int]] = {}
+    for a, o in sorted(pairs):
+        n, fp = per.setdefault(a, (0, 0))
+        per[a] = (n + 1, fp ^ (xxh64_str(o) & _U64))
+    out = [(a, n, _signed64(fp)) for a, (n, fp) in sorted(per.items())]
+    return ["src", "n_pairs", "dst_fp"], out
+
+
 SF_QUERIES = {
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
@@ -1686,6 +1712,7 @@ CORPUS_QUERIES = {
     "q_triple_provenance": ref_q_triple_provenance,
     "q_schema_graph": ref_q_schema_graph,
     "q_bfs_levels": ref_q_bfs_levels,
+    "q_path_nps": ref_q_path_nps,
     "q_kcore": ref_q_kcore,
 }
 
@@ -1748,4 +1775,5 @@ DUCK_TYPES = {
     "q_triple_provenance": {"subject": "VARCHAR", "predicate": "VARCHAR", "object": "VARCHAR", "n_docs": "BIGINT", "n_mentions": "BIGINT", "doc_fp": "BIGINT"},
     "q_schema_graph": {"s_cls": "VARCHAR", "predicate": "VARCHAR", "o_cls": "VARCHAR", "n_links": "BIGINT", "link_fp": "BIGINT"},
     "q_bfs_levels": {"level": "INTEGER", "n_nodes": "BIGINT", "node_fp": "BIGINT"},
+    "q_path_nps": {"src": "VARCHAR", "n_pairs": "BIGINT", "dst_fp": "BIGINT"},
 }

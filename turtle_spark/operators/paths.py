@@ -20,7 +20,10 @@ predicates.  This module evaluates a path expression to its DISTINCT
                       (operators/graph.py::transitive_closure —
                       O(log depth) shuffle barriers, not O(depth)),
 * ``ZeroOrMore(p)`` — ``p*``: ``p+`` ∪ the zero-length identity,
-* ``ZeroOrOne(p)``  — ``p?``: one step ∪ the identity.
+* ``ZeroOrOne(p)``  — ``p?``: one step ∪ the identity,
+* ``NegatedSet``    — ``!(p|^q|…)``: per-direction predicate
+                      DISEQUALITY scans (spec §9.1 split) — no
+                      vocabulary enumeration.
 
 Zero-length semantics follow the spec: a zero-length path relates
 every term mentioned in the graph (any subject or object) to itself,
@@ -99,7 +102,23 @@ class ZeroOrOne:
     path: "PathExpr"
 
 
-PathExpr = P | Inv | Seq | Alt | OneOrMore | ZeroOrMore | ZeroOrOne
+@dataclass(frozen=True)
+class NegatedSet:
+    """``!(p1|…|^q1|…)`` — SPARQL 1.1 §9.1 negated property set.
+
+    Per the spec's algebra translation the set splits by direction:
+    a forward step whose predicate is NOT in ``fwd`` (branch present
+    only when forward members were written), unioned with an inverse
+    step whose predicate is NOT in ``inv`` (ditto).  A single
+    predicate-disequality scan per branch — still one pushable filter
+    at the storage layer, never an enumeration of the predicate
+    vocabulary."""
+
+    fwd: tuple = ()
+    inv: tuple = ()
+
+
+PathExpr = P | Inv | Seq | Alt | OneOrMore | ZeroOrMore | ZeroOrOne | NegatedSet
 
 
 def graph_terms(triples: DataFrame) -> DataFrame:
@@ -160,6 +179,26 @@ def path_pairs(triples: DataFrame, path: PathExpr) -> DataFrame:
     if isinstance(path, ZeroOrOne):
         one = path_pairs(triples, path.path)
         return one.union(_identity(triples)).dropDuplicates()
+    if isinstance(path, NegatedSet):
+        if not path.fwd and not path.inv:
+            raise ValueError("empty negated property set")
+        parts = []
+        if path.fwd:
+            parts.append(
+                triples.where(~F.col("predicate").isin(*path.fwd)).select(
+                    F.col("subject").alias("src"), F.col("object").alias("dst")
+                )
+            )
+        if path.inv:
+            parts.append(
+                triples.where(~F.col("predicate").isin(*path.inv)).select(
+                    F.col("object").alias("src"), F.col("subject").alias("dst")
+                )
+            )
+        cur = parts[0]
+        for p in parts[1:]:
+            cur = cur.union(p)
+        return cur.dropDuplicates()
     raise TypeError(f"not a path expression: {path!r}")
 
 
@@ -181,7 +220,7 @@ def _tokenize(s: str) -> list[str]:
             j = s.index(">", i)
             toks.append(s[i : j + 1])
             i = j + 1
-        elif c in "^/|+*?()":
+        elif c in "^/|+*?()!":
             toks.append(c)
             i += 1
         elif c == "a" and (i + 1 == len(s) or not s[i + 1].isalnum()):
@@ -245,7 +284,40 @@ class _Parser:
             return P(RDF_TYPE)
         if tok.startswith("<"):
             return P(self.take()[1:-1])
+        if tok == "!":
+            self.take()
+            members = []
+            if self.peek() == "(":
+                self.take()
+                members.append(self._nps_member())
+                while self.peek() == "|":
+                    self.take()
+                    members.append(self._nps_member())
+                if self.peek() != ")":
+                    raise ValueError("missing ')' in negated property set")
+                self.take()
+            else:
+                members.append(self._nps_member())
+            return NegatedSet(
+                fwd=tuple(iri for d, iri in members if d == "fwd"),
+                inv=tuple(iri for d, iri in members if d == "inv"),
+            )
         raise ValueError(f"unexpected token {tok!r}")
+
+    def _nps_member(self) -> tuple[str, str]:
+        direction = "fwd"
+        if self.peek() == "^":
+            self.take()
+            direction = "inv"
+        tok = self.peek()
+        if tok == "a":
+            self.take()
+            return direction, RDF_TYPE
+        if tok is not None and tok.startswith("<"):
+            return direction, self.take()[1:-1]
+        raise ValueError(
+            f"negated property set member must be an IRI or 'a', got {tok!r}"
+        )
 
 
 def parse_path(s: str) -> PathExpr:
