@@ -2049,6 +2049,42 @@ def _q_path_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE (concise bounded description) of 1/100
+    hash-sampled IRI subjects: each description includes the
+    resource's own triples plus everything reachable through
+    blank-node objects (property lists, collection spines) — the
+    standard per-entity export form.  Summarized per description
+    SUBJECT (seed and expanded blanks alike) with a triple
+    fingerprint."""
+    from turtle_spark.operators.sparql import sparql_describe
+
+    t = _corpus_triples(spark).persist()
+    seeds = (
+        t.where(~F.col("subject").startswith("_:"))
+        .select(F.col("subject").alias("node"))
+        .dropDuplicates()
+        .where(
+            F.pmod(
+                F.xxhash64(F.concat(F.col("node"), F.lit("#describe"))),
+                F.lit(100),
+            )
+            == 0
+        )
+    )
+    desc = sparql_describe(t, seeds)
+    return (
+        desc.groupBy("subject")
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.expr(
+                "bit_xor(xxhash64(concat_ws('|', predicate, object, label, datatype, objecttype)))"
+            ).alias("desc_fp"),
+        )
+        .orderBy("subject")
+    )
+
+
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph curation: the 2-core of the KG entity graph (every node
     keeps >= 2 in-core neighbors) with in-core degrees — parallel
@@ -2686,7 +2722,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_kg_walks", "q_shacl_report", "q_kg_verbalize", "q_kg_communities",
         "q_sparql_construct", "q_ntriples_export",
         "q_triple_provenance", "q_schema_graph", "q_bfs_levels",
-        "q_path_nps",
+        "q_path_nps", "q_describe",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -2788,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_schema_graph": _q_schema_graph,
         "q_bfs_levels": _q_bfs_levels,
         "q_path_nps": _q_path_nps,
+        "q_describe": _q_describe,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

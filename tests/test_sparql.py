@@ -182,6 +182,40 @@ def test_construct_errors(tiny):
         )
 
 
+def test_ask(tiny):
+    from turtle_spark.operators.sparql import sparql_ask
+
+    assert sparql_ask(tiny, [("?s", "p/knows", "e/b")])
+    assert not sparql_ask(tiny, [("?s", "p/knows", "e/nobody")])
+    assert sparql_ask(
+        tiny, [("?s", "p/name", "?n")], filters=['STRSTARTS(?n, "Car")']
+    )
+
+
+def test_describe_expands_blank_chain(spark):
+    from turtle_spark.operators.sparql import sparql_describe
+
+    rows = [
+        ("e/x", "p/a", "_:b0", "", "", "iri"),
+        ("e/x", "p/n", "seed lit", "", "", "literal"),
+        ("_:b0", "p/first", "one", "", "", "literal"),
+        ("_:b0", "p/rest", "_:b1", "", "", "iri"),
+        ("_:b1", "p/first", "two", "", "", "literal"),
+        ("e/y", "p/n", "other", "", "", "literal"),  # not described
+        ("e/x", "p/a", "_:b0", "", "", "iri"),  # duplicate: set view
+    ]
+    df = spark.createDataFrame(rows, _COLS)
+    desc = sparql_describe(df, ["e/x"])
+    got = _rows(desc)
+    assert ("e/y", "p/n", "other", "", "", "literal") not in got
+    assert len(got) == 5  # 2 seed triples + 2 b0 + 1 b1, deduped
+    assert ("_:b1", "p/first", "two", "", "", "literal") in got
+
+    # depth cap: 0 blank levels = only the seed's own triples
+    shallow = _rows(sparql_describe(df, ["e/x"], max_blank_depth=0))
+    assert len(shallow) == 2
+
+
 def test_optional_plan_is_left_hash_join(tiny):
     plan = sparql_select(
         tiny,

@@ -79,6 +79,7 @@ AUDITED = [
     "q_schema_graph",
     "q_bfs_levels",
     "q_path_nps",
+    "q_describe",
 ]
 
 

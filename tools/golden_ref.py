@@ -1668,6 +1668,47 @@ def ref_q_path_nps() -> tuple[list[str], list[tuple]]:
     return ["src", "n_pairs", "dst_fp"], out
 
 
+def ref_q_describe() -> tuple[list[str], list[tuple]]:
+    """DESCRIBE — recursive set walk: seed triples plus transitive
+    blank-object expansion (depth-capped at 4 like the engine),
+    grouped per description subject."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    graph = {(r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows}
+    by_subj: dict[str, set] = {}
+    for t in graph:
+        by_subj.setdefault(t[0], set()).add(t)
+    seeds = sorted(
+        s
+        for s in by_subj
+        if not s.startswith("_:")
+        and pmod(xxh64_str(s + "#describe"), 100) == 0
+    )
+    desc: set = set()
+    frontier = set(seeds)
+    for _ in range(5):  # seed level + 4 blank levels
+        level = set()
+        for s in frontier:
+            level |= by_subj.get(s, set())
+        desc |= level
+        frontier = {
+            t[2]
+            for t in level
+            if t[5] == "iri" and t[2].startswith("_:")
+        }
+        if not frontier:
+            break
+    per: dict[str, tuple[int, int]] = {}
+    for t in desc:
+        n, fp = per.setdefault(t[0], (0, 0))
+        per[t[0]] = (
+            n + 1,
+            fp
+            ^ (xxh64_str("|".join((t[1], t[2], t[3], t[4], t[5]))) & _U64),
+        )
+    out = [(s, n, _signed64(fp)) for s, (n, fp) in sorted(per.items())]
+    return ["subject", "n_triples", "desc_fp"], out
+
+
 SF_QUERIES = {
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
@@ -1713,6 +1754,7 @@ CORPUS_QUERIES = {
     "q_schema_graph": ref_q_schema_graph,
     "q_bfs_levels": ref_q_bfs_levels,
     "q_path_nps": ref_q_path_nps,
+    "q_describe": ref_q_describe,
     "q_kcore": ref_q_kcore,
 }
 
@@ -1776,4 +1818,5 @@ DUCK_TYPES = {
     "q_schema_graph": {"s_cls": "VARCHAR", "predicate": "VARCHAR", "o_cls": "VARCHAR", "n_links": "BIGINT", "link_fp": "BIGINT"},
     "q_bfs_levels": {"level": "INTEGER", "n_nodes": "BIGINT", "node_fp": "BIGINT"},
     "q_path_nps": {"src": "VARCHAR", "n_pairs": "BIGINT", "dst_fp": "BIGINT"},
+    "q_describe": {"subject": "VARCHAR", "n_triples": "BIGINT", "desc_fp": "BIGINT"},
 }

@@ -60,7 +60,9 @@ from turtle_spark.operators.bgp import bgp_select
 
 __all__ = [
     "compile_filter",
+    "sparql_ask",
     "sparql_construct",
+    "sparql_describe",
     "sparql_select",
     "sparql_union",
 ]
@@ -407,6 +409,70 @@ def sparql_construct(
     for p in parts[1:]:
         acc = acc.unionByName(p)
     return acc.dropDuplicates()
+
+
+def sparql_ask(
+    triples: DataFrame,
+    patterns: list[tuple],
+    filters: list[str] | None = None,
+) -> bool:
+    """SPARQL ASK: does at least one solution exist?  Evaluates the
+    WHERE with a LIMIT-1 short circuit — Spark's CollectLimit stops
+    the scan at the first matching row, so an ASK against a 100 TB
+    table touches only as much data as it takes to find one match."""
+    return (
+        sparql_select(triples, patterns, filters=filters).limit(1).count() > 0
+    )
+
+
+def sparql_describe(
+    triples: DataFrame,
+    resources: DataFrame | list[str],
+    max_blank_depth: int = 4,
+) -> DataFrame:
+    """SPARQL DESCRIBE (Concise Bounded Description): every triple
+    whose subject is a requested resource, expanded through blank-node
+    objects transitively — the standard "export this entity" form.
+
+    Each expansion level is one semi-join of the triple table against
+    the frontier (the previous level's blank objects), bounded by
+    ``max_blank_depth`` — blank-node chains in real graphs are
+    property-list/collection structures a few levels deep, and the
+    engine's own parser emits exactly such chains.  Returns the wide
+    triple schema, deduped (a description is a graph)."""
+    spark = triples.sparkSession
+    if isinstance(resources, list):
+        import pandas as pd
+
+        seeds = spark.createDataFrame(pd.DataFrame({"node": resources}))
+    else:
+        seeds = resources.select(F.col(resources.columns[0]).alias("node"))
+    from turtle_spark.operators.skew import pin
+
+    triples = pin(
+        triples.dropDuplicates(
+            ["subject", "predicate", "object", "label", "datatype", "objecttype"]
+        )
+    )
+    out = None
+    frontier = seeds.dropDuplicates()
+    for _ in range(max_blank_depth + 1):
+        level = triples.join(
+            F.broadcast(frontier),
+            triples["subject"] == frontier["node"],
+            "left_semi",
+        )
+        out = level if out is None else out.unionByName(level)
+        frontier = (
+            level.where(
+                (F.col("objecttype") == "iri") & F.col("object").startswith("_:")
+            )
+            .select(F.col("object").alias("node"))
+            .dropDuplicates()
+        )
+        if frontier.isEmpty():
+            break
+    return out.dropDuplicates()
 
 
 def sparql_union(branches: list[DataFrame]) -> DataFrame:
