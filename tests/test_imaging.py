@@ -177,3 +177,98 @@ def test_real_decode_features_partitioning_independent(spark):
         ).collect()
     }
     assert a == b
+
+
+class TestPng:
+    def test_roundtrip_and_cross_codec(self):
+        from turtle_spark.functions.imaging import (
+            decode_bmp, decode_png, decode_ppm,
+            encode_bmp, encode_png, encode_ppm, synth_pixels,
+        )
+
+        img = synth_pixels(37, 21, 5, 11, 19)
+        # same pixels through three independent codecs -> same array
+        a = decode_ppm(encode_ppm(img))
+        b = decode_bmp(encode_bmp(img))
+        c = decode_png(encode_png(img))
+        assert (a == img).all() and (b == img).all() and (c == img).all()
+
+    def test_all_filter_types_decode(self):
+        import struct as _struct
+        import zlib
+
+        import numpy as np
+
+        from turtle_spark.functions.imaging import decode_png, synth_pixels
+
+        img = synth_pixels(9, 7, 1, 2, 3)
+        h, w, _ = img.shape
+        stride = 3 * w
+
+        # independent reference FILTERER (test-side): apply each filter
+        # type per the PNG spec, then expect decode_png to invert it
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        raw = bytearray()
+        recon = img.reshape(h, stride).astype(int)
+        for y in range(h):
+            ftype = y % 5
+            raw.append(ftype)
+            for x in range(stride):
+                cur = recon[y][x]
+                left = recon[y][x - 3] if x >= 3 else 0
+                up = recon[y - 1][x] if y else 0
+                ul = recon[y - 1][x - 3] if y and x >= 3 else 0
+                if ftype == 0:
+                    v = cur
+                elif ftype == 1:
+                    v = cur - left
+                elif ftype == 2:
+                    v = cur - up
+                elif ftype == 3:
+                    v = cur - (left + up) // 2
+                else:
+                    v = cur - paeth(left, up, ul)
+                raw.append(v & 0xFF)
+
+        def chunk(tag, body):
+            return (
+                _struct.pack(">I", len(body)) + tag + body
+                + _struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        assert (decode_png(png) == img).all()
+
+    def test_crc_and_unsupported_rejected(self):
+        import pytest
+
+        from turtle_spark.functions.imaging import (
+            decode_png, encode_png, synth_pixels,
+        )
+
+        png = bytearray(encode_png(synth_pixels(5, 5, 1, 1, 1)))
+        png[40] ^= 0xFF  # corrupt a data byte inside IHDR/IDAT region
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(png))
+        with pytest.raises(ValueError, match="signature"):
+            decode_png(b"nope")
+
+    def test_seam_dispatch_and_resize(self):
+        from turtle_spark.functions.imaging import (
+            decode_png, encode_png, media_resizer, sniff_format, synth_pixels,
+        )
+
+        payload = encode_png(synth_pixels(16, 12, 2, 4, 8))
+        assert sniff_format(payload) == "png"
+        resized = media_resizer(payload, 8, 6)
+        out = decode_png(resized)
+        assert out.shape == (6, 8, 3)

@@ -173,6 +173,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "ppm"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
 
 
@@ -182,9 +184,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
+    if fmt == "png":
+        return decode_png(payload)
     raise NotImplementedError(
-        "only PPM/BMP decode in this environment (no image codec libraries); "
-        "payload magic = " + repr(payload[:2])
+        "only PPM/BMP/PNG(RGB8) decode in this environment (no image codec "
+        "libraries); payload magic = " + repr(payload[:2])
     )
 
 
@@ -222,4 +226,123 @@ def media_resizer(payload: bytes, new_w: int, new_h: int) -> bytes:
     if fmt is None:
         return payload
     img = resize_nearest(decode_image(payload), new_w, new_h)
-    return encode_ppm(img) if fmt == "ppm" else encode_bmp(img)
+    return {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}[fmt](img)
+
+
+# --- PNG (8-bit truecolor RGB, non-interlaced) ------------------------------
+#
+# Pure stdlib (zlib + struct): DEFLATE is the only compression PNG
+# uses, so a real PNG codec needs no external image library.  Scope:
+# the truecolor subset every synthetic/raster pipeline actually emits
+# — bit depth 8, color type 2 (RGB), no interlace — with ALL FIVE
+# scanline filters implemented on decode (encoders in the wild use
+# them all) and CRC verification per chunk.  Paletted/alpha/16-bit
+# stay at the NotImplementedError seam.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> PNG bytes (filter 0 scanlines, one IDAT)."""
+    import zlib
+
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_png expects (h, w, 3)")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    rows = np.ascontiguousarray(img, dtype=np.uint8)
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8.  Verifies chunk CRCs, handles all
+    five scanline filters; rejects non-RGB8/interlaced files at the
+    documented seam."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, w = 8, None
+    idat = b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG decodes here "
+                    f"(depth={depth} colortype={ctype} interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    raw = zlib.decompress(idat)
+    stride = 3 * w
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has wrong length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for x in range(3, stride):
+                cur[x] = (cur[x] + cur[x - 3]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - 3] if x >= 3 else 0
+                cur[x] = (cur[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - 3] if x >= 3 else 0
+                ul = prev[x - 3] if x >= 3 else 0
+                cur[x] = (cur[x] + _paeth(int(left), int(prev[x]), int(ul))) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, 3)
