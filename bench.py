@@ -109,6 +109,13 @@ HEADLINE = [
     "q_shacl_report",
     "q_kg_verbalize",
     "q_kg_communities",
+    "q_sparql_construct",
+    "q_ntriples_export",
+    "q_triple_provenance",
+    "q_schema_graph",
+    "q_bfs_levels",
+    "q_path_nps",
+    "q_describe",
 ]
 
 
