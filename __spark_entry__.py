@@ -2205,6 +2205,54 @@ def _q_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sparql_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 negation (operators/sparql.py): MINUS and FILTER
+    EXISTS over the KG.  The ``no_enemy`` branch is ``?s foaf:name
+    ?name MINUS { ?s rel:enemyOf ?e }`` — a left ANTI join that
+    removes every named entity with an enemyOf edge without ever
+    materializing the right side; the ``knows`` branch is the same
+    BGP with ``FILTER EXISTS { ?s foaf:knows ?o }`` — a left SEMI
+    join that keeps each name binding at most once no matter how
+    many knows-edges match (the filter reading of EXISTS, not a
+    join).  Both negation sides arrive at their join as deduped
+    subject lists (map-side partial agg), broadcastable at scale.
+    Bag multiplicities of the surviving name bindings surface as the
+    two counts; a full outer join aligns the branches."""
+    from turtle_spark.operators.sparql import sparql_select
+
+    foaf = "http://xmlns.com/foaf/0.1/"
+    rel = "http://www.perceive.net/schemas/relationship/"
+    triples = _corpus_triples(spark).persist()
+    no_enemy = (
+        sparql_select(
+            triples,
+            patterns=[("?s", foaf + "name", "?name")],
+            minus=[[("?s", rel + "enemyOf", "?e")]],
+        )
+        .groupBy("s", "name")
+        .agg(F.count("*").alias("n_no_enemy"))
+    )
+    knows = (
+        sparql_select(
+            triples,
+            patterns=[("?s", foaf + "name", "?name")],
+            exists=[[("?s", foaf + "knows", "?o")]],
+        )
+        .groupBy("s", "name")
+        .agg(F.count("*").alias("n_knows"))
+    )
+    return (
+        no_enemy.join(knows, on=["s", "name"], how="full_outer")
+        .select(
+            "s",
+            "name",
+            F.coalesce("n_no_enemy", F.lit(0)).alias("n_no_enemy"),
+            F.coalesce("n_knows", F.lit(0)).alias("n_knows"),
+        )
+        .orderBy("s", "name")
+    )
+
+
 def _q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeepWalk-style graph-embedding training corpus: deterministic
     random walks (hash-choice, no RNG — operators/walks.py) of length
@@ -2722,7 +2770,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_kg_walks", "q_shacl_report", "q_kg_verbalize", "q_kg_communities",
         "q_sparql_construct", "q_ntriples_export",
         "q_triple_provenance", "q_schema_graph", "q_bfs_levels",
-        "q_path_nps", "q_describe",
+        "q_path_nps", "q_describe", "q_sparql_minus",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -2825,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bfs_levels": _q_bfs_levels,
         "q_path_nps": _q_path_nps,
         "q_describe": _q_describe,
+        "q_sparql_minus": _q_sparql_minus,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

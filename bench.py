@@ -105,6 +105,7 @@ HEADLINE = [
     "q_sparql_optional",
     "q_sparql_agg",
     "q_sparql_union",
+    "q_sparql_minus",
     "q_kg_walks",
     "q_shacl_report",
     "q_kg_verbalize",

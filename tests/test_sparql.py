@@ -224,3 +224,76 @@ def test_optional_plan_is_left_hash_join(tiny):
     )._jdf.queryExecution().executedPlan().toString()
     assert "LeftOuter" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_minus_removes_compatible(tiny):
+    # a and b have knows-edges; only Carol's name survives MINUS
+    out = sparql_select(
+        tiny,
+        patterns=[("?s", "p/name", "?name")],
+        minus=[[("?s", "p/knows", "?o")]],
+    )
+    assert _rows(out.select("s", "name")) == [("e/c", "Carol")]
+
+
+def test_minus_disjoint_domain_is_noop(tiny):
+    # SPARQL spec: MINUS sharing no variable removes nothing
+    out = sparql_select(
+        tiny,
+        patterns=[("?s", "p/name", "?name")],
+        minus=[[("?x", "p/age", "?y")]],
+    )
+    assert len(_rows(out)) == 3
+
+
+def test_minus_null_shared_var_never_matches(tiny):
+    # OPTIONAL leaves ?m NULL for Bo/Carol; MINUS on ?m must remove
+    # only Alice (whose bound mbox equi-matches), never the NULLs
+    out = sparql_select(
+        tiny,
+        patterns=[("?s", "p/name", "?name")],
+        optionals=[[("?s", "p/mbox", "?m")]],
+        minus=[[("?x", "p/mbox", "?m")]],
+    )
+    assert _rows(out.select("s", "name")) == [("e/b", "Bo"), ("e/c", "Carol")]
+
+
+def test_exists_keeps_bag_multiplicity_once_per_row(tiny):
+    # base bag: (a,b) twice (duplicate triple), (b,c) once; EXISTS on
+    # mbox keeps only ?s=e/a rows — each left row once, duplicates
+    # preserved as left-side multiplicity, never multiplied by matches
+    out = sparql_select(
+        tiny,
+        patterns=[("?s", "p/knows", "?o")],
+        exists=[[("?s", "p/mbox", "?m")]],
+    )
+    assert _rows(out.select("s", "o")) == [("e/a", "e/b"), ("e/a", "e/b")]
+
+
+def test_not_exists_filters(tiny):
+    out = sparql_select(
+        tiny,
+        patterns=[("?s", "p/name", "?name")],
+        not_exists=[[("?s", "p/knows", "?o")]],
+    )
+    assert _rows(out.select("s", "name")) == [("e/c", "Carol")]
+
+
+def test_exists_disconnected_refused(tiny):
+    with pytest.raises(ValueError, match="EXISTS group shares no variable"):
+        sparql_select(
+            tiny,
+            patterns=[("?s", "p/name", "?name")],
+            exists=[[("?x", "p/age", "?y")]],
+        ).collect()
+
+
+def test_negation_plans_are_anti_semi_joins(tiny):
+    plan = sparql_select(
+        tiny,
+        patterns=[("?s", "p/name", "?name")],
+        minus=[[("?s", "p/knows", "?o")]],
+        exists=[[("?s", "p/mbox", "?m")]],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -1323,6 +1323,30 @@ def ref_q_sparql_union() -> tuple[list[str], list[tuple]]:
     return ["a", "n_links", "n_distinct", "n_named", "b_fp"], out
 
 
+def ref_q_sparql_minus() -> tuple[list[str], list[tuple]]:
+    """SPARQL MINUS + FILTER EXISTS — hand-evaluated set negation:
+    the no_enemy branch keeps name bindings whose subject has no
+    rel:enemyOf edge (MINUS on the shared ?s), the knows branch
+    keeps those whose subject has at least one foaf:knows edge
+    (EXISTS keeps each binding once, whatever the match count).
+    Counts are bag multiplicities of the surviving name bindings;
+    a subject in neither branch does not appear at all."""
+    from collections import Counter
+
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    foaf_name = "http://xmlns.com/foaf/0.1/name"
+    names = [(r[2], r[4]) for r in rows if r[3] == foaf_name]
+    enemies = {r[2] for r in rows if r[3] == _REL_ENEMY}
+    knows = {r[2] for r in rows if r[3] == _FOAF_KNOWS}
+    c_no_enemy = Counter(sn for sn in names if sn[0] not in enemies)
+    c_knows = Counter(sn for sn in names if sn[0] in knows)
+    out = [
+        (s, name, c_no_enemy.get((s, name), 0), c_knows.get((s, name), 0))
+        for s, name in sorted(set(c_no_enemy) | set(c_knows))
+    ]
+    return ["s", "name", "n_no_enemy", "n_knows"], out
+
+
 def ref_q_kg_walks() -> tuple[list[str], list[tuple]]:
     """Deterministic random walks — sequential dict-adjacency walker.
     Same hash-choice rule as the engine (next = sorted-neighbors[
@@ -1744,6 +1768,7 @@ CORPUS_QUERIES = {
     "q_sparql_optional": ref_q_sparql_optional,
     "q_sparql_agg": ref_q_sparql_agg,
     "q_sparql_union": ref_q_sparql_union,
+    "q_sparql_minus": ref_q_sparql_minus,
     "q_kg_walks": ref_q_kg_walks,
     "q_shacl_report": ref_q_shacl_report,
     "q_kg_verbalize": ref_q_kg_verbalize,
@@ -1808,6 +1833,7 @@ DUCK_TYPES = {
     "q_sparql_optional": {"s": "VARCHAR", "name": "VARCHAR", "mbox": "VARCHAR", "n_bindings": "BIGINT"},
     "q_sparql_agg": {"t": "VARCHAR", "n_rows": "BIGINT", "n_subjects": "BIGINT"},
     "q_sparql_union": {"a": "VARCHAR", "n_links": "BIGINT", "n_distinct": "BIGINT", "n_named": "BIGINT", "b_fp": "BIGINT"},
+    "q_sparql_minus": {"s": "VARCHAR", "name": "VARCHAR", "n_no_enemy": "BIGINT", "n_knows": "BIGINT"},
     "q_kg_walks": {"start": "VARCHAR", "n_visits": "BIGINT", "n_distinct_nodes": "BIGINT", "walk_fp": "BIGINT"},
     "q_shacl_report": {"shape_id": "VARCHAR", "constraint": "VARCHAR", "n_violations": "BIGINT", "viol_fp": "BIGINT"},
     "q_kg_verbalize": {"subject": "VARCHAR", "n_facts": "INTEGER", "n_total_facts": "BIGINT", "n_tokens": "INTEGER", "text": "VARCHAR"},

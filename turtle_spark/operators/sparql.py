@@ -1,8 +1,9 @@
 """SPARQL 1.1 SELECT algebra over the triple table.
 
 Extends the conjunctive BGP compiler (``operators/bgp.py``) with the
-rest of the SPARQL SELECT core: OPTIONAL (left join), FILTER (a safe
-expression subset compiled to JVM-side Column expressions), UNION,
+rest of the SPARQL SELECT core: OPTIONAL (left join), MINUS and
+FILTER (NOT) EXISTS (anti/semi joins), FILTER (a safe expression
+subset compiled to JVM-side Column expressions), UNION,
 VALUES (inline bindings), DISTINCT, and GROUP BY aggregates — the
 query surface a consumer of the materialized KG actually writes.  The
 reference implements no query layer (it is a parser library,
@@ -21,6 +22,11 @@ Scale notes (the whole point of each choice):
   it lands before the first join and reaches the parquet scan as a
   pushed filter (Catalyst does this for free once the predicate is
   declarative — no Python in the filter path, ever).
+* MINUS and FILTER (NOT) EXISTS compile to **left anti / semi
+  joins** on the shared variables — Spark's two join modes that
+  never materialize right-side columns.  The right side is projected
+  to the key tuple and deduped first, so a selective negation group
+  arrives at the join as a short distinct-key list AQE can broadcast.
 * VALUES becomes a literal DataFrame joined with an explicit
   ``broadcast()`` — inline bindings are by construction tiny.
 * UNION is ``unionByName(allowMissingColumns=True)`` — SPARQL UNION
@@ -249,6 +255,9 @@ def sparql_select(
     triples: DataFrame,
     patterns: list[tuple],
     optionals: list[list[tuple]] | None = None,
+    minus: list[list[tuple]] | None = None,
+    exists: list[list[tuple]] | None = None,
+    not_exists: list[list[tuple]] | None = None,
     filters: list[str] | None = None,
     values: dict[str, list[str]] | None = None,
     group_by: list[str] | None = None,
@@ -262,12 +271,35 @@ def sparql_select(
     ``optionals``: each entry is a pattern group left-joined on the
     variables it shares with the required part (which must be
     non-empty — a disconnected OPTIONAL would be a cartesian).
+    ``minus``: SPARQL 1.1 MINUS groups — solutions compatible with
+    any right-side solution on the shared variables are removed.
+    Compiles to a **left anti join**: the right side never
+    materializes into the result, kept rows keep their bag
+    multiplicity, and a NULL (unbound) shared variable never matches
+    — exactly the spec's "disjoint domains are compatible-but-
+    ignored" rule.  A group sharing NO variable removes nothing per
+    the spec, so it is skipped outright (no cartesian).
+    ``exists`` / ``not_exists``: FILTER (NOT) EXISTS groups —
+    compile to **left semi / left anti joins** on the shared
+    variables (required non-empty; a variable-free EXISTS is a
+    constant the caller should fold with ``sparql_ask``).  Semi join
+    keeps each left row at most once regardless of right-side match
+    count: the filter reading of EXISTS, not a join.  Shared
+    variables should come from the required BGP (not an OPTIONAL):
+    a NULL never equi-matches, which for an unbound var diverges
+    from the spec's substitution semantics.
     ``filters``: FILTER expressions over all bound variables (applied
     after optionals, so BOUND() can see unmatched rows).
     ``values``: VALUES inline binding — ``{var: [allowed, ...]}``,
     inner-joined (broadcast) with the solution.
     ``aggregates``: ``{out_col: (fn, var)}`` with fn in
     ``count | count_distinct | min | max``; ``var=None`` = COUNT(*).
+
+    MINUS / EXISTS right sides are projected to the shared variables
+    and deduped before the join — a map-side partial aggregate that
+    shrinks the probe input to distinct key tuples, which is what
+    lets AQE broadcast the anti/semi side for selective groups at
+    100 TB.  Their variables never escape into the solution scope.
     """
     acc = bgp_select(triples, patterns)
     bound = _group_vars(patterns)
@@ -282,6 +314,31 @@ def sparql_select(
         right = bgp_select(triples, group)
         acc = acc.join(right, on=shared, how="left")
         bound |= gvars
+
+    def _keyed_group(group: list[tuple], kind: str) -> tuple[DataFrame, list[str]]:
+        shared = sorted(_group_vars(group) & bound)
+        if not shared:
+            raise ValueError(
+                f"{kind} group shares no variable with the solution: {group!r}"
+            )
+        keys = bgp_select(triples, group).select(*shared).dropDuplicates()
+        return keys, shared
+
+    for group in minus or []:
+        if not (_group_vars(group) & bound):
+            # SPARQL spec: MINUS against a disjoint-domain pattern
+            # removes nothing — a deliberate no-op, not an error.
+            continue
+        keys, shared = _keyed_group(group, "MINUS")
+        acc = acc.join(keys, on=shared, how="left_anti")
+
+    for group in exists or []:
+        keys, shared = _keyed_group(group, "EXISTS")
+        acc = acc.join(keys, on=shared, how="left_semi")
+
+    for group in not_exists or []:
+        keys, shared = _keyed_group(group, "NOT EXISTS")
+        acc = acc.join(keys, on=shared, how="left_anti")
 
     if values:
         import pandas as pd
