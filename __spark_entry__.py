@@ -2253,6 +2253,70 @@ def _q_sparql_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sparql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 subselect + solution modifiers (operators/
+    sparql.py): rank subjects by foaf:knows out-degree (bag count)
+    with ``ORDER BY DESC(?deg) ?s OFFSET 1 LIMIT 3`` — a totally
+    ordered top-k page — then the OUTER query joins the 3 survivors
+    back to every knows-edge occurrence (bag semantics: duplicate
+    asserted triples yield duplicate solutions).  Plan shape: the
+    subselect collapses the graph to k rows BEFORE the join, so the
+    outer side probes a broadcastable key list; ORDER BY + LIMIT is
+    Spark's TakeOrderedAndProject, never a global sort."""
+    from turtle_spark.operators.sparql import sparql_select
+
+    foaf = "http://xmlns.com/foaf/0.1/"
+    triples = _corpus_triples(spark).persist()
+    top = sparql_select(
+        triples,
+        patterns=[("?s", foaf + "knows", "?x")],
+        group_by=["s"],
+        aggregates={"deg": ("count", None)},
+        order_by=["-?deg", "?s"],
+        offset=1,
+        limit=3,
+    )
+    return sparql_select(
+        triples,
+        patterns=[("?s", foaf + "knows", "?o")],
+        subqueries=[top],
+        project=["s", "o", "deg"],
+    ).orderBy("s", "o")
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (the RefinedWeb/CCNet rule,
+    operators/curation.py::line_dedup): a trimmed non-empty line
+    occurring in >= 5 distinct corpus documents is chrome and every
+    occurrence is dropped; the golden pins the md5 of each document's
+    reassembled cleaned text, so one wrong kept/dropped/reordered
+    line anywhere fails the hash."""
+    from turtle_spark.operators.curation import line_dedup
+    from turtle_spark.operators.extract import assembled_text_col
+    from turtle_spark.sources.corpus import fixture_docs, generate_docs
+
+    docs = (
+        generate_docs(spark, 200, seed=42)
+        .unionByName(fixture_docs(spark))
+        .select("doc_id", assembled_text_col().alias("text"))
+    )
+    return line_dedup(docs, min_docs=5).orderBy("doc_id")
+
+
+def _q_char_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011;
+    operators/graph.py::characteristic_sets): the structural summary
+    of the KG — subjects grouped by their exact distinct-predicate
+    set, with subject and distinct-triple counts per set, pruned at
+    min support 2.  THE statistics object for star-join cardinality
+    estimation and physical design over schemaless triples."""
+    from turtle_spark.operators.graph import characteristic_sets
+
+    return characteristic_sets(_corpus_triples(spark), min_support=2).orderBy(
+        F.desc("n_subjects"), "cs"
+    )
+
+
 def _q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeepWalk-style graph-embedding training corpus: deterministic
     random walks (hash-choice, no RNG — operators/walks.py) of length
@@ -2771,6 +2835,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_sparql_construct", "q_ntriples_export",
         "q_triple_provenance", "q_schema_graph", "q_bfs_levels",
         "q_path_nps", "q_describe", "q_sparql_minus",
+        "q_sparql_topk", "q_line_dedup", "q_char_sets",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -2874,6 +2939,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_path_nps": _q_path_nps,
         "q_describe": _q_describe,
         "q_sparql_minus": _q_sparql_minus,
+        "q_sparql_topk": _q_sparql_topk,
+        "q_line_dedup": _q_line_dedup,
+        "q_char_sets": _q_char_sets,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -147,3 +147,76 @@ class TestQueryPlans:
         # the mode-count aggregation is the only exchange producer;
         # the narrow array stats must not add shuffles of their own
         assert plan.count("Exchange") <= 3
+
+
+class TestLineDedup:
+    def test_boilerplate_removed_everywhere(self, spark):
+        import hashlib
+
+        rows = [
+            (1, "COOKIE BANNER\nreal content one\nCOOKIE BANNER"),
+            (2, "COOKIE BANNER\nreal content two"),
+            (3, "  COOKIE BANNER  \nunique line"),
+            (4, "nothing shared here\n\ntrailing empty kept"),
+        ]
+        from turtle_spark.operators.curation import line_dedup
+
+        out = {
+            r["doc_id"]: r
+            for r in line_dedup(_docs(spark, rows), min_docs=3).collect()
+        }
+        # the banner occurs in 3 distinct docs -> every occurrence
+        # (including the space-padded one) drops; order preserved
+        assert (out[1]["n_lines"], out[1]["n_removed"]) == (3, 2)
+        assert out[1]["clean_md5"] == hashlib.md5(b"real content one").hexdigest()
+        assert (out[2]["n_lines"], out[2]["n_removed"]) == (2, 1)
+        assert (out[3]["n_lines"], out[3]["n_removed"]) == (2, 1)
+        assert out[3]["clean_md5"] == hashlib.md5(b"unique line").hexdigest()
+        # empty lines are never boilerplate and survive in place
+        assert (out[4]["n_lines"], out[4]["n_removed"]) == (3, 0)
+        assert out[4]["clean_len"] == len("nothing shared here\n\ntrailing empty kept")
+
+    def test_all_lines_removed_yields_empty_md5(self, spark):
+        import hashlib
+
+        from turtle_spark.operators.curation import line_dedup
+
+        rows = [(1, "x"), (2, "x"), (3, "x")]
+        out = {
+            r["doc_id"]: r
+            for r in line_dedup(_docs(spark, rows), min_docs=3).collect()
+        }
+        assert out[1]["n_removed"] == 1 and out[1]["clean_len"] == 0
+        assert out[1]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+    def test_source_scope_limits_dictionary(self, spark):
+        from turtle_spark.operators.curation import line_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "promo\nkeep a", "siteA"),
+                (2, "promo\nkeep b", "siteA"),
+                (3, "promo\nkeep c", "siteB"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in line_dedup(docs, min_docs=2, source_col="source").collect()
+        }
+        # 'promo' clears min_docs only within siteA; siteB keeps it
+        assert out[1]["n_removed"] == 1 and out[2]["n_removed"] == 1
+        assert out[3]["n_removed"] == 0
+
+    def test_no_raw_line_broadcast_in_plan(self, spark):
+        from turtle_spark.operators.curation import line_dedup
+
+        docs = _docs(spark, [(1, "a\nb"), (2, "a\nc"), (3, "a")])
+        plan = (
+            line_dedup(docs, min_docs=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # removal joins on fixed-width md5 keys, never raw line text
+        assert "LeftAnti" in plan or "left_anti" in plan.lower()

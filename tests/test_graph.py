@@ -321,3 +321,55 @@ class TestBfsLevels:
         }
         # directed: z unreachable from a; depth cap stops at level 1
         assert got == {("a", 0), ("b", 1)}
+
+
+class TestCharacteristicSets:
+    def test_groups_by_exact_predicate_set(self, spark):
+        from turtle_spark.operators.graph import characteristic_sets
+
+        t = _triples(
+            spark,
+            [
+                # two subjects with {name, type}; one with {name}
+                ("e/a", "p/name", "A", "literal"),
+                ("e/a", "p/type", "T", "iri"),
+                ("e/b", "p/name", "B", "literal"),
+                ("e/b", "p/type", "T", "iri"),
+                ("e/b", "p/type", "U", "iri"),  # extra triple, same set
+                ("e/c", "p/name", "C", "literal"),
+                # duplicate assertion collapses in the SET view
+                ("e/c", "p/name", "C", "literal"),
+            ],
+        )
+        got = {
+            r["cs"]: (r["n_preds"], r["n_subjects"], r["n_triples"])
+            for r in characteristic_sets(t).collect()
+        }
+        assert got["p/name p/type"] == (2, 2, 5)
+        assert got["p/name"] == (1, 1, 1)
+
+    def test_min_support_prunes_singletons(self, spark):
+        from turtle_spark.operators.graph import characteristic_sets
+
+        t = _triples(
+            spark,
+            [
+                ("e/a", "p/x", "1", "literal"),
+                ("e/b", "p/x", "2", "literal"),
+                ("e/c", "p/y", "3", "literal"),
+            ],
+        )
+        got = [r["cs"] for r in characteristic_sets(t, min_support=2).collect()]
+        assert got == ["p/x"]
+
+    def test_plan_has_no_join(self, spark):
+        from turtle_spark.operators.graph import characteristic_sets
+
+        t = _triples(spark, [("e/a", "p/x", "1", "literal")])
+        plan = (
+            characteristic_sets(t)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan

@@ -297,3 +297,72 @@ def test_negation_plans_are_anti_semi_joins(tiny):
     )._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan and "LeftSemi" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_subquery_topk_joins_back(tiny):
+    # subselect: knows out-degree per subject (bag: e/a has 2 via the
+    # duplicate triple, e/b has 1), ORDER BY deg DESC, s ASC LIMIT 1
+    # -> {e/a: 2}; outer joins every knows occurrence of e/a back
+    top = sparql_select(
+        tiny,
+        patterns=[("?s", "p/knows", "?x")],
+        group_by=["s"],
+        aggregates={"deg": ("count", None)},
+        order_by=["-?deg", "?s"],
+        limit=1,
+    )
+    out = sparql_select(
+        tiny,
+        patterns=[("?s", "p/knows", "?o")],
+        subqueries=[top],
+        project=["s", "o", "deg"],
+    )
+    assert _rows(out) == [("e/a", "e/b", 2), ("e/a", "e/b", 2)]
+
+
+def test_subquery_disconnected_refused(tiny):
+    sub = sparql_select(
+        tiny, patterns=[("?x", "p/age", "?v")], project=["v"]
+    )
+    with pytest.raises(ValueError, match="subquery shares no variable"):
+        sparql_select(
+            tiny, patterns=[("?s", "p/name", "?n")], subqueries=[sub]
+        )
+
+
+def test_order_limit_offset_page(tiny):
+    out = sparql_select(
+        tiny,
+        patterns=[("?s", "p/name", "?n")],
+        order_by=["?n"],
+        offset=1,
+        limit=1,
+    )
+    assert _rows(out) == [("e/b", "Bo")]
+
+
+def test_order_by_desc(tiny):
+    out = sparql_select(
+        tiny, patterns=[("?s", "p/name", "?n")], order_by=["-?n"], limit=1
+    )
+    assert _rows(out) == [("e/c", "Carol")]
+
+
+def test_limit_without_order_refused(tiny):
+    with pytest.raises(ValueError, match="nondeterministic"):
+        sparql_select(tiny, patterns=[("?s", "p/name", "?n")], limit=2)
+
+
+def test_order_limit_is_take_ordered_not_global_sort(tiny):
+    plan = (
+        sparql_select(
+            tiny,
+            patterns=[("?s", "p/name", "?n")],
+            order_by=["?n"],
+            limit=2,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -1347,6 +1347,81 @@ def ref_q_sparql_minus() -> tuple[list[str], list[tuple]]:
     return ["s", "name", "n_no_enemy", "n_knows"], out
 
 
+def ref_q_sparql_topk() -> tuple[list[str], list[tuple]]:
+    """SPARQL subselect + solution modifiers — hand evaluation: rank
+    subjects by knows-out-degree (bag count) descending with subject
+    ascending as the total-order tie-break, take ranks 2-4 (OFFSET 1
+    LIMIT 3), then inner-join back to every knows-edge occurrence of
+    those subjects (bag semantics: duplicate asserted triples yield
+    duplicate solutions)."""
+    from collections import Counter
+
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    knows = [(r[2], r[4]) for r in rows if r[3] == _FOAF_KNOWS]
+    deg = Counter(s for s, _ in knows)
+    ranked = sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[1:4]
+    top = dict(ranked)
+    out = sorted((s, o, top[s]) for s, o in knows if s in top)
+    return ["s", "o", "deg"], out
+
+
+def ref_q_line_dedup() -> tuple[list[str], list[tuple]]:
+    """Line-level boilerplate dedup — hand evaluation with a Counter:
+    a space-trimmed non-empty line appearing in >= 5 distinct docs is
+    boilerplate; every occurrence is removed, remaining lines keep
+    their order; per-doc counts plus md5 of the reassembled text."""
+    import hashlib
+    from collections import Counter
+
+    docs = [(d, _assemble(s)) for d, s in _corpus_docs(200) + _fixture_docs()]
+    seen: Counter = Counter()
+    for _d, text in docs:
+        seen.update({ln.strip(" ") for ln in text.split("\n") if ln.strip(" ")})
+    boiler = {k for k, n in seen.items() if n >= 5}
+    out = []
+    for d, text in docs:
+        lines = text.split("\n")
+        kept = [ln for ln in lines if ln.strip(" ") not in boiler]
+        clean = "\n".join(kept)
+        out.append(
+            (
+                d,
+                len(lines),
+                len(lines) - len(kept),
+                len(clean),
+                hashlib.md5(clean.encode("utf-8")).hexdigest(),
+            )
+        )
+    return ["doc_id", "n_lines", "n_removed", "clean_len", "clean_md5"], sorted(out)
+
+
+def ref_q_char_sets() -> tuple[list[str], list[tuple]]:
+    """Characteristic sets (Neumann & Moerkotte) — hand evaluation
+    over the SET view of the graph: per subject the sorted distinct
+    predicate set; per set the subject count and total distinct
+    triples; sets with a single subject are pruned (min support 2,
+    the planner's usual cut)."""
+    from collections import Counter
+
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    trip = {(r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows}
+    preds: dict[str, set] = {}
+    ntrip: Counter = Counter()
+    for t in trip:
+        preds.setdefault(t[0], set()).add(t[1])
+        ntrip[t[0]] += 1
+    subs: dict[tuple, list] = {}
+    for s, ps in preds.items():
+        subs.setdefault(tuple(sorted(ps)), []).append(s)
+    out = [
+        (" ".join(ps), len(ps), len(ss), sum(ntrip[s] for s in ss))
+        for ps, ss in subs.items()
+        if len(ss) >= 2
+    ]
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return ["cs", "n_preds", "n_subjects", "n_triples"], out
+
+
 def ref_q_kg_walks() -> tuple[list[str], list[tuple]]:
     """Deterministic random walks — sequential dict-adjacency walker.
     Same hash-choice rule as the engine (next = sorted-neighbors[
@@ -1769,6 +1844,9 @@ CORPUS_QUERIES = {
     "q_sparql_agg": ref_q_sparql_agg,
     "q_sparql_union": ref_q_sparql_union,
     "q_sparql_minus": ref_q_sparql_minus,
+    "q_sparql_topk": ref_q_sparql_topk,
+    "q_line_dedup": ref_q_line_dedup,
+    "q_char_sets": ref_q_char_sets,
     "q_kg_walks": ref_q_kg_walks,
     "q_shacl_report": ref_q_shacl_report,
     "q_kg_verbalize": ref_q_kg_verbalize,
@@ -1834,6 +1912,9 @@ DUCK_TYPES = {
     "q_sparql_agg": {"t": "VARCHAR", "n_rows": "BIGINT", "n_subjects": "BIGINT"},
     "q_sparql_union": {"a": "VARCHAR", "n_links": "BIGINT", "n_distinct": "BIGINT", "n_named": "BIGINT", "b_fp": "BIGINT"},
     "q_sparql_minus": {"s": "VARCHAR", "name": "VARCHAR", "n_no_enemy": "BIGINT", "n_knows": "BIGINT"},
+    "q_sparql_topk": {"s": "VARCHAR", "o": "VARCHAR", "deg": "BIGINT"},
+    "q_line_dedup": {"doc_id": "VARCHAR", "n_lines": "BIGINT", "n_removed": "BIGINT", "clean_len": "BIGINT", "clean_md5": "VARCHAR"},
+    "q_char_sets": {"cs": "VARCHAR", "n_preds": "INTEGER", "n_subjects": "BIGINT", "n_triples": "BIGINT"},
     "q_kg_walks": {"start": "VARCHAR", "n_visits": "BIGINT", "n_distinct_nodes": "BIGINT", "walk_fp": "BIGINT"},
     "q_shacl_report": {"shape_id": "VARCHAR", "constraint": "VARCHAR", "n_violations": "BIGINT", "viol_fp": "BIGINT"},
     "q_kg_verbalize": {"subject": "VARCHAR", "n_facts": "INTEGER", "n_total_facts": "BIGINT", "n_tokens": "INTEGER", "text": "VARCHAR"},

@@ -271,6 +271,75 @@ def cap_per_source(
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str | None = None,
+) -> DataFrame:
+    """Line-level boilerplate removal (the RefinedWeb/CCNet rule): a
+    trimmed non-empty line occurring in at least ``min_docs`` DISTINCT
+    documents (within one ``source_col`` scope, or corpus-wide when
+    None) is boilerplate — navigation chrome, cookie banners, repeated
+    headers — and every occurrence is dropped; all other lines keep
+    their original text and order.
+
+    Returns one row per input document: ``n_lines`` / ``n_removed``
+    counts plus the length and md5 of the cleaned text, so an oracle
+    can verify the full reassembled string without hauling it around.
+
+    Scale shape: one narrow line explode, then the boilerplate
+    dictionary is a (scope, line-hash) count-distinct aggregate —
+    map-side combine collapses the per-doc repeats before the
+    exchange, and the surviving dictionary holds only lines that
+    clear ``min_docs``, tiny next to the corpus.  Removal is a LEFT
+    ANTI equi-join keyed by the same (scope, hash) tuple (never a
+    broadcast of raw strings — md5 keys are fixed-width), and
+    reassembly re-aggregates by ``id_col`` only.  Nothing in the plan
+    sorts or shuffles whole documents except the per-doc regroup,
+    which is keyed by the id the scan is already clustered by.
+    """
+    scope = [source_col] if source_col else []
+    lines = docs.select(
+        F.col(id_col),
+        *scope,
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("idx", "line"),
+    ).withColumn("line_h", F.md5(F.trim(F.col("line"))))
+    boiler = (
+        lines.where(F.length(F.trim(F.col("line"))) > 0)
+        .groupBy(*scope, "line_h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .where(F.col("nd") >= int(min_docs))
+        .select(*scope, "line_h")
+    )
+    kept = lines.join(boiler, [*scope, "line_h"], "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n", -1)).cast("long").alias("n_lines"),
+    )
+    clean_text = F.coalesce(F.col("clean_text"), F.lit(""))
+    return base.join(clean, id_col, "left").select(
+        id_col,
+        "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.length(clean_text).cast("long").alias("clean_len"),
+        F.md5(clean_text).alias("clean_md5"),
+    )
+
+
 def split_corpus(
     docs: DataFrame,
     eval_fraction: float,

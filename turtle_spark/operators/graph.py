@@ -456,6 +456,60 @@ def entity_cards(triples: DataFrame) -> DataFrame:
     )
 
 
+def characteristic_sets(triples: DataFrame, min_support: int = 1) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011): group
+    subjects by their exact set of distinct predicates and profile each
+    set — THE structural summary of an RDF graph, used for cardinality
+    estimation of star joins, for physical design (which predicate
+    groups deserve a co-located table), and as a schema-discovery
+    report over schemaless triples.
+
+    Operates on the SET view of the graph (duplicate assertions of one
+    logical triple collapse first — a characteristic set describes the
+    graph, not the provenance stream).  Returns one row per distinct
+    predicate set: its space-joined signature, predicate count, the
+    number of subjects exhibiting exactly that set, and the total
+    distinct triples those subjects carry (so n_triples / n_subjects
+    is the star-join multiplicity estimate the planner wants).
+
+    ``min_support`` prunes sets exhibited by fewer subjects (a
+    planner keeps only sets worth a statistics entry; singletons are
+    noise at web scale).
+
+    Scale shape: two hash aggregations, both map-side combinable —
+    one pass over the deduped triple set builds each subject's sorted
+    predicate set AND its distinct-triple count together (keyed by
+    the subject the bucketed triple table already clusters by, so at
+    rest this is exchange-free), then set-signature → counts, whose
+    key domain is the number of DISTINCT structures in the graph
+    (real web KGs: a few thousand), so the second shuffle is
+    trivially small.  No joins, no windows, no Python.
+    """
+    per_subject = (
+        triples.select(*_TRIPLE_KEY)
+        .dropDuplicates(_TRIPLE_KEY)
+        .groupBy("subject")
+        .agg(
+            F.sort_array(F.collect_set("predicate")).alias("pset"),
+            F.count("*").alias("n_t"),
+        )
+    )
+    return (
+        per_subject.groupBy("pset")
+        .agg(
+            F.count("*").alias("n_subjects"),
+            F.sum("n_t").alias("n_triples"),
+        )
+        .where(F.col("n_subjects") >= int(min_support))
+        .select(
+            F.concat_ws(" ", "pset").alias("cs"),
+            F.size("pset").cast("int").alias("n_preds"),
+            F.col("n_subjects").cast("long").alias("n_subjects"),
+            F.col("n_triples").cast("long").alias("n_triples"),
+        )
+    )
+
+
 def k_core(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
     """Nodes of the k-core of the undirected graph (every node has
     degree >= k within the core), with their in-core degree.

@@ -4,7 +4,8 @@ Extends the conjunctive BGP compiler (``operators/bgp.py``) with the
 rest of the SPARQL SELECT core: OPTIONAL (left join), MINUS and
 FILTER (NOT) EXISTS (anti/semi joins), FILTER (a safe expression
 subset compiled to JVM-side Column expressions), UNION,
-VALUES (inline bindings), DISTINCT, and GROUP BY aggregates — the
+VALUES (inline bindings), DISTINCT, GROUP BY aggregates, subselects,
+and the ORDER BY / LIMIT / OFFSET solution modifiers — the
 query surface a consumer of the materialized KG actually writes.  The
 reference implements no query layer (it is a parser library,
 `/root/reference/scanner/scanner.go`); this is the Spark-native query
@@ -264,6 +265,10 @@ def sparql_select(
     aggregates: dict[str, tuple[str, str | None]] | None = None,
     distinct: bool = False,
     project: list[str] | None = None,
+    subqueries: list[DataFrame] | None = None,
+    order_by: list[str] | None = None,
+    limit: int | None = None,
+    offset: int | None = None,
 ) -> DataFrame:
     """Evaluate a SPARQL SELECT over the triple table.
 
@@ -300,6 +305,27 @@ def sparql_select(
     shrinks the probe input to distinct key tuples, which is what
     lets AQE broadcast the anti/semi side for selective groups at
     100 TB.  Their variables never escape into the solution scope.
+
+    ``subqueries``: SPARQL 1.1 subselects — each a DataFrame produced
+    by an inner ``sparql_select`` call (bottom-up evaluation, exactly
+    the spec), inner-joined on the variables it shares with the outer
+    solution (required non-empty — a disconnected subquery would be a
+    cartesian).  The inner query's new variables join the outer
+    scope.  The canonical use is "top-k by an aggregate, then fetch
+    attributes": the subquery collapses to k rows before the join, so
+    the outer side sees a broadcastable key list — never a re-
+    aggregation of the full graph per outer row.
+
+    ``order_by`` / ``limit`` / ``offset``: solution modifiers over the
+    FINAL projected columns; entries are ``"?var"`` (ascending) or
+    ``"-?var"`` (descending).  ``limit`` and ``offset`` REQUIRE an
+    ``order_by`` that totally orders the result (include a tie-break
+    variable) — an unordered LIMIT is nondeterministic across
+    partitionings, which this engine refuses by construction.  Plan
+    shape: ORDER BY + LIMIT compiles to Spark's TakeOrderedAndProject
+    — a per-partition top-k plus a driver-side merge of k-row heaps,
+    NO global sort; OFFSET pagination ships offset+limit rows, so it
+    is for result-page windows, not deep scans.
     """
     acc = bgp_select(triples, patterns)
     bound = _group_vars(patterns)
@@ -314,6 +340,16 @@ def sparql_select(
         right = bgp_select(triples, group)
         acc = acc.join(right, on=shared, how="left")
         bound |= gvars
+
+    for sub in subqueries or []:
+        shared = sorted(set(sub.columns) & bound)
+        if not shared:
+            raise ValueError(
+                "subquery shares no variable with the outer solution: "
+                f"{sub.columns!r}"
+            )
+        acc = acc.join(sub, on=shared, how="inner")
+        bound |= set(sub.columns)
 
     def _keyed_group(group: list[tuple], kind: str) -> tuple[DataFrame, list[str]]:
         shared = sorted(_group_vars(group) & bound)
@@ -374,6 +410,25 @@ def sparql_select(
 
     if project is not None:
         acc = acc.select(*project)
+
+    if (limit is not None or offset is not None) and not order_by:
+        raise ValueError(
+            "LIMIT/OFFSET without ORDER BY is nondeterministic; pass an "
+            "order_by that totally orders the result"
+        )
+    if order_by:
+        sort_cols = []
+        for spec in order_by:
+            desc = spec.startswith("-")
+            name = spec.lstrip("-")
+            name = name[1:] if name.startswith("?") else name
+            col = F.col(name)
+            sort_cols.append(col.desc() if desc else col.asc())
+        acc = acc.orderBy(*sort_cols)
+    if offset is not None:
+        acc = acc.offset(int(offset))
+    if limit is not None:
+        acc = acc.limit(int(limit))
     return acc
 
 
