@@ -117,6 +117,9 @@ HEADLINE = [
     "q_bfs_levels",
     "q_path_nps",
     "q_describe",
+    "q_sparql_topk",
+    "q_line_dedup",
+    "q_char_sets",
 ]
 
 
