@@ -337,15 +337,27 @@ def verify_pairs(
     # Profiles are O(|terms|) id+sketch rows, the pinnable projection.
     profiles = pin(shingle_profiles(terms, shingle_k))
     # Join the SKINNY pair table (16 bytes/row) against the profiles
-    # twice on 8-byte ids.  The shingle arrays never enter a shuffle:
-    # each join only moves pair ids, and AQE broadcasts the profile
-    # side outright when it fits.  The profile-UDF subtree is
-    # evaluated once per join (O(2*corpus) Python) — cheap next to the
-    # alternative this replaces: melting pairs into a
-    # collect_list-groupBy shuffled the full arrays of BOTH members
-    # per candidate (O(candidates * |shs|) shuffle bytes), which blew
-    # up superlinearly with corpus size once LSH emitted ~40
-    # candidates/doc (5.5 s -> ~110 s from sf0.01 to sf0.1).
+    # twice on 8-byte ids, as SHUFFLE_HASH joins with the profile side
+    # as build.  Not broadcast, deliberately: the profile table carries
+    # the shingle arrays, so it is the BYTE-heavy side even though the
+    # pair table has more rows — left to AQE, both joins became
+    # driver-built broadcasts (pairs once, profiles once), and the two
+    # single-threaded collect+serialize passes were a fixed ~20 s that
+    # capped the edges stage at 2.1x on 4x cores (event-log measured).
+    # At cluster scale the same shape is wrong twice over: a 1000-
+    # executor broadcast ships the array table to every executor.
+    # Shuffle-hash moves each profile row once, hash-partitioned on
+    # the 8-byte id, and the pairs side reuses the groupBy(src)
+    # exchange (same key) for the first join.  Not sort-merge: the
+    # build side fits per-partition and sorting rows that drag 1 KB
+    # arrays through a sort buffer is pure memory traffic.
+    # The profile-UDF subtree is evaluated once per join (O(2*corpus)
+    # Python) — cheap next to the alternative this replaces: melting
+    # pairs into a collect_list-groupBy shuffled the full arrays of
+    # BOTH members per candidate (O(candidates * |shs|) shuffle
+    # bytes), which blew up superlinearly with corpus size once LSH
+    # emitted ~40 candidates/doc (5.5 s -> ~110 s from sf0.01 to
+    # sf0.1).
     a = profiles.select(
         F.col("term_id").alias("src"),
         F.col("shs").alias("_ashs"),
@@ -358,7 +370,9 @@ def verify_pairs(
     )
     # inner joins drop pairs with a missing profile, matching the
     # previous size(ms)==2 guard
-    joined = pairs.join(a, "src").join(b, "dst")
+    joined = pairs.join(a.hint("shuffle_hash"), "src").join(
+        b.hint("shuffle_hash"), "dst"
+    )
     inter = F.size(F.array_intersect("_ashs", "_bshs"))
     union = F.col("_anw") + F.col("_bnw") - inter
     jaccard = F.when(union == 0, F.lit(1.0)).otherwise(
