@@ -2805,6 +2805,111 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sameas_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs-style identity resolution over the KG: alias-form
+    IRIs (same stem, trailing numeric suffix) become one canonical
+    entity — stem groupBy emits STAR identity edges (never a pair
+    quadratic), connected components closes them transitively, and
+    every triple is rewritten through the collision-guarded canonical
+    map, then deduplicated to SET semantics
+    (operators/canonicalize.py::sameas_canonicalize — the same
+    rewrite stage the KG-construction pipeline runs after entity
+    linking).  Output: per canonical entity, how many alias forms it
+    absorbed and its rewritten subject-triple count + fingerprint."""
+    from turtle_spark.operators.canonicalize import (
+        alias_sameas_edges,
+        sameas_canonicalize,
+    )
+
+    t = _corpus_triples(spark).persist()
+    sameas = alias_sameas_edges(t).persist()
+    rewritten = sameas_canonicalize(t, sameas)
+    canon = (
+        sameas.select(F.col("dst").alias("subject"))
+        .groupBy("subject")
+        .agg(F.count("*").alias("n_aliases"))
+    )
+    subj_agg = rewritten.groupBy("subject").agg(
+        F.count("*").alias("_nt"),
+        F.expr(
+            "bit_xor(xxhash64(concat_ws('|', predicate, object, label, datatype, objecttype)))"
+        ).alias("_fp"),
+    )
+    return (
+        canon.join(subj_agg, "subject", "left")
+        .select(
+            "subject",
+            "n_aliases",
+            F.coalesce("_nt", F.lit(0)).alias("n_triples"),
+            F.coalesce("_fp", F.lit(0)).alias("triple_fp"),
+        )
+        .orderBy("subject")
+    )
+
+
+def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal dedup made first-class: every synthesized image gets
+    a deterministic near-duplicate variant (brightness-jittered,
+    2x-rescaled, re-encoded in the OTHER codec), and the perceptual-
+    hash tier must pair each original with its variant — decode is
+    REAL (PPM/BMP codecs both directions), the 64-bit sampled-grid
+    phash is integer-exact, and the pair join is the same Hamming
+    band-blocked aggregation as the SimHash text tier (payload bytes
+    never enter a shuffle)."""
+    from turtle_spark.operators.multimodal import (
+        image_near_duplicates,
+        image_variants,
+        synthesize_media_table,
+    )
+    from turtle_spark.sources.corpus import generate_docs
+
+    media = synthesize_media_table(generate_docs(spark, 200, seed=42))
+    images = media.where(F.col("media_type") == "image").persist()
+    pool = images.unionByName(image_variants(images))
+    return image_near_duplicates(pool, max_hamming=3).orderBy("id1", "id2")
+
+
+def _q_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blank-node-invariant structural dedup key: per-document WL
+    color refinement canonicalizes blank nodes, the fingerprint is the
+    XOR of color-substituted triple hashes
+    (operators/fingerprint.py) — two serializations of the same graph
+    with different blank labels fingerprint identically.  The query
+    PROVES the invariance in-plan: it recomputes every fingerprint on
+    a blank-RENAMED copy of the corpus (labels reversed — an arbitrary
+    bijection) and emits the equality as a column the oracle checks
+    row by row."""
+    from turtle_spark.operators.fingerprint import graph_fingerprints
+
+    t = _corpus_triples(spark).persist()
+    ren = lambda c: F.when(  # noqa: E731
+        F.col(c).startswith("_:"),
+        F.concat(F.lit("_:"), F.reverse(F.expr(f"substring({c}, 3)"))),
+    ).otherwise(F.col(c))
+    renamed = t.withColumn("subject", ren("subject")).withColumn(
+        "object",
+        F.when(F.col("objecttype") == "iri", ren("object")).otherwise(
+            F.col("object")
+        ),
+    )
+    fp1 = graph_fingerprints(t)
+    fp2 = graph_fingerprints(renamed).select(
+        F.col("doc_id").alias("_d2"), F.col("graph_fp").alias("_fp2")
+    )
+    return (
+        fp1.where(F.col("n_blanks") > 0)
+        .join(fp2, fp1["doc_id"] == F.col("_d2"), "left")
+        .select(
+            "doc_id",
+            "graph_fp",
+            "n_triples",
+            "n_blanks",
+            (F.col("graph_fp") == F.col("_fp2")).alias("invariant"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # golden oracles for the non-SQL-expressible queries
 #
@@ -2836,6 +2941,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_triple_provenance", "q_schema_graph", "q_bfs_levels",
         "q_path_nps", "q_describe", "q_sparql_minus",
         "q_sparql_topk", "q_line_dedup", "q_char_sets",
+        "q_sameas_canonical", "q_image_phash", "q_graph_fingerprint",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -2942,6 +3048,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_topk": _q_sparql_topk,
         "q_line_dedup": _q_line_dedup,
         "q_char_sets": _q_char_sets,
+        "q_sameas_canonical": _q_sameas_canonical,
+        "q_image_phash": _q_image_phash,
+        "q_graph_fingerprint": _q_graph_fingerprint,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -111,6 +111,9 @@ HEADLINE = [
     "q_kg_verbalize",
     "q_kg_communities",
     "q_sparql_construct",
+    "q_sameas_canonical",
+    "q_image_phash",
+    "q_graph_fingerprint",
     "q_ntriples_export",
     "q_triple_provenance",
     "q_schema_graph",

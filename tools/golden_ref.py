@@ -1808,6 +1808,179 @@ def ref_q_describe() -> tuple[list[str], list[tuple]]:
     return ["subject", "n_triples", "desc_fp"], out
 
 
+def ref_q_sameas_canonical() -> tuple[list[str], list[tuple]]:
+    """Alias-stem owl:sameAs closure + canonical triple rewrite —
+    stem groups via a dict, rewrite via plain loops, SET semantics via
+    a Python set; vs the engine's groupBy-star-edges -> CC ->
+    collision-guarded map joins -> dropDuplicates."""
+    import re
+
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    entities = set()
+    for r in rows:
+        if not r[2].startswith("_:"):
+            entities.add(r[2])
+        if r[7] == "iri" and not r[4].startswith("_:"):
+            entities.add(r[4])
+    groups: dict[str, list[str]] = {}
+    for e in entities:
+        stem = re.sub(r"_?[0-9]+$", "", e)
+        if stem and stem[-1] not in "/:#":
+            groups.setdefault(stem, []).append(e)
+    cmap: dict[str, str] = {}
+    for members in groups.values():
+        if len(members) < 2:
+            continue
+        canon = min(members)
+        for e in members:
+            if e != canon:
+                cmap[e] = canon
+    triple_set = set()
+    for r in rows:
+        s = cmap.get(r[2], r[2])
+        o = cmap.get(r[4], r[4]) if r[7] == "iri" else r[4]
+        triple_set.add((s, r[3], o, r[5], r[6], r[7]))
+    n_aliases: dict[str, int] = {}
+    for canon in cmap.values():
+        n_aliases[canon] = n_aliases.get(canon, 0) + 1
+    agg: dict[str, list[int]] = {}
+    for s, p, o, lab, dt, ot in triple_set:
+        a = agg.setdefault(s, [0, 0])
+        a[0] += 1
+        a[1] ^= xxh64_str("|".join((p, o, lab, dt, ot))) & _U64
+    out = [
+        (
+            canon,
+            n_aliases[canon],
+            agg.get(canon, [0, 0])[0],
+            _signed64(agg.get(canon, [0, 0])[1]),
+        )
+        for canon in sorted(n_aliases)
+    ]
+    return ["subject", "n_aliases", "n_triples", "triple_fp"], out
+
+
+def _wl_fingerprint(doc_rows: list[tuple], rounds: int = 3) -> tuple[int, int, int]:
+    """(graph_fp signed, n_triples, n_blanks) for one document's
+    triples — plain-dict Weisfeiler-Leman refinement vs the engine's
+    join/agg rounds.  ``doc_rows`` are (s, p, o, label, dt, ot)."""
+    incident: dict[str, list[tuple[str, str, int | None]]] = {}
+    for s, p, o, label, dt, ot in doc_rows:
+        if s.startswith("_:"):
+            static = (
+                None
+                if ot == "iri" and o.startswith("_:")
+                else _signed64(xxh64_str("|".join((o, label, dt, ot))))
+            )
+            incident.setdefault(s, []).append((f"s|{p}", o, static))
+        if ot == "iri" and o.startswith("_:"):
+            static = (
+                None
+                if s.startswith("_:")
+                else _signed64(xxh64_str(s + "|||iri"))
+            )
+            incident.setdefault(o, []).append((f"o|{p}", s, static))
+    colors = {b: 0 for b in incident}
+    for _ in range(rounds):
+        nxt = {}
+        for b, edges in incident.items():
+            msgs = sorted(
+                f"{edge}|{colors[other] if static is None else static}"
+                for edge, other, static in edges
+            )
+            nxt[b] = _signed64(xxh64_str(",".join(msgs)))
+        colors = nxt
+    fp = 0
+    for s, p, o, label, dt, ot in doc_rows:
+        scode = colors.get(s)
+        if scode is None:
+            scode = _signed64(xxh64_str(s + "|||iri"))
+        ocode = colors.get(o) if ot == "iri" else None
+        if ocode is None:
+            ocode = _signed64(xxh64_str("|".join((o, label, dt, ot))))
+        fp ^= xxh64_str(f"{scode}|{p}|{ocode}|{ot}") & _U64
+    return _signed64(fp), len(doc_rows), len(colors)
+
+
+def ref_q_graph_fingerprint() -> tuple[list[str], list[tuple]]:
+    """Blank-invariant per-document graph fingerprints + the in-query
+    invariance proof (fingerprint of a blank-RENAMED copy must be
+    identical)."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    docs: dict[str, list[tuple]] = {}
+    for r in rows:
+        docs.setdefault(r[0], []).append((r[2], r[3], r[4], r[5], r[6], r[7]))
+
+    def rename(t):
+        s, p, o, label, dt, ot = t
+        if s.startswith("_:"):
+            s = "_:" + s[2:][::-1]
+        if ot == "iri" and o.startswith("_:"):
+            o = "_:" + o[2:][::-1]
+        return (s, p, o, label, dt, ot)
+
+    out = []
+    for doc_id in sorted(docs):
+        fp, n_t, n_b = _wl_fingerprint(docs[doc_id])
+        if n_b == 0:
+            continue
+        fp2, _, _ = _wl_fingerprint([rename(t) for t in docs[doc_id]])
+        out.append((doc_id, fp, n_t, n_b, fp == fp2))
+    return ["doc_id", "graph_fp", "n_triples", "n_blanks", "invariant"], out
+
+
+def _grid_phash_py(img) -> int:
+    """Independent sampled-grid perceptual hash: plain Python loops
+    (vs the engine's vectorized numpy) — integer ITU-R 601 luma at
+    the 8x8 nearest-sample grid, thresholded at the grid mean."""
+    h = len(img)
+    w = len(img[0])
+    samples = []
+    for i in range(8):
+        for j in range(8):
+            px = img[(i * h) // 8][(j * w) // 8]
+            samples.append(
+                (299 * int(px[0]) + 587 * int(px[1]) + 114 * int(px[2])) // 1000
+            )
+    mean = sum(samples) / 64.0
+    out = 0
+    for s in samples:
+        out = (out << 1) | (1 if s > mean else 0)
+    return out
+
+
+def ref_q_image_phash() -> tuple[list[str], list[tuple]]:
+    """Perceptual-hash image near-dup pairs over originals + perturbed
+    (brightness+16 clipped, 2x-upscaled, codec-flipped) variants.
+    The brute-force all-pairs loop vs the engine's band-blocked join:
+    with 4 bands and max_hamming 3 the pigeonhole guarantees every
+    qualifying pair shares a band, so discovered == all pairs with
+    Hamming <= 3."""
+    hashes: dict[str, int] = {}
+    for ref, _doc, mtype, _plen, _dur, img, _audio in _corpus_media(200):
+        if mtype != "image":
+            continue
+        hashes[ref] = _grid_phash_py(img)
+        h = len(img)
+        w = len(img[0])
+        var = [
+            [
+                [min(int(c) + 16, 255) for c in img[r // 2][x // 2]]
+                for x in range(2 * w)
+            ]
+            for r in range(2 * h)
+        ]
+        hashes[ref + "#v"] = _grid_phash_py(var)
+    refs = sorted(hashes)
+    out = []
+    for i, r1 in enumerate(refs):
+        for r2 in refs[i + 1:]:
+            d = bin(hashes[r1] ^ hashes[r2]).count("1")
+            if d <= 3:
+                out.append((r1, r2, d))
+    return ["id1", "id2", "hamming"], out
+
+
 SF_QUERIES = {
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
@@ -1859,11 +2032,17 @@ CORPUS_QUERIES = {
     "q_path_nps": ref_q_path_nps,
     "q_describe": ref_q_describe,
     "q_kcore": ref_q_kcore,
+    "q_sameas_canonical": ref_q_sameas_canonical,
+    "q_image_phash": ref_q_image_phash,
+    "q_graph_fingerprint": ref_q_graph_fingerprint,
 }
 
 # DuckDB column types per query — chosen to land in pandas with the
 # exact dtype the Spark query produces (the driver's hash sees dtypes)
 DUCK_TYPES = {
+    "q_sameas_canonical": {"subject": "VARCHAR", "n_aliases": "BIGINT", "n_triples": "BIGINT", "triple_fp": "BIGINT"},
+    "q_image_phash": {"id1": "VARCHAR", "id2": "VARCHAR", "hamming": "INTEGER"},
+    "q_graph_fingerprint": {"doc_id": "VARCHAR", "graph_fp": "BIGINT", "n_triples": "BIGINT", "n_blanks": "BIGINT", "invariant": "BOOLEAN"},
     "q_mixture_sample": {"source": "VARCHAR", "n_docs": "BIGINT", "doc_fp": "BIGINT", "sum_chars": "BIGINT"},
     "q_novelty_screen": {"doc_id": "BIGINT", "status": "VARCHAR", "matched_id": "BIGINT", "jaccard": "DOUBLE"},
     "q_triangle_count": {"node": "VARCHAR", "n_triangles": "BIGINT"},

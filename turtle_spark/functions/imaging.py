@@ -346,3 +346,55 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
     return out.reshape(h, w, 3)
+
+
+# --- perceptual hash (sampled-grid aHash) -----------------------------------
+#
+# 64-bit resolution-invariant content hash for image dedup.  The grid
+# SAMPLES pixels (nearest-neighbor at rows (i*h)//8, cols (j*w)//8)
+# instead of block-averaging: nested floor division gives
+# ((i*k*h)//8 * h)//(k*h) == (i*h)//8 for any integer scale k, so the
+# hash is EXACTLY invariant under integer-factor nearest-neighbor
+# rescales and under lossless cross-codec re-encodes (PPM/BMP/PNG) —
+# the two transforms a crawl pipeline actually meets at volume.
+# Brightness shifts move every sample and the mean together, flipping
+# only samples pinned at the clip boundary, so jittered variants land
+# within a small Hamming radius.  All arithmetic is exact-integer up
+# to one IEEE division by 64 — bit-identical on any partitioning and
+# in the Spark-free golden reimplementation.
+
+
+def luminance_int(img: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 -> (h, w) int64 ITU-R 601 luma via exact
+    integer arithmetic: (299*R + 587*G + 114*B) // 1000."""
+    f = img.astype(np.int64)
+    return (299 * f[:, :, 0] + 587 * f[:, :, 1] + 114 * f[:, :, 2]) // 1000
+
+
+def grid_phash(img: np.ndarray) -> int:
+    """64-bit sampled-grid perceptual hash (unsigned int).
+
+    Bit (8*i + j), MSB first, is 1 iff the luma sample at grid cell
+    (i, j) exceeds the mean of the 64 samples.  Mean = exact integer
+    sum / 64.0 (one IEEE division; deterministic everywhere).
+    """
+    g = luminance_int(img)
+    h, w = g.shape
+    rows = (np.arange(8, dtype=np.int64) * h) // 8
+    cols = (np.arange(8, dtype=np.int64) * w) // 8
+    s = g[rows][:, cols]
+    mean = int(s.sum()) / 64.0
+    bits = (s > mean).ravel()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def perturb_image(img: np.ndarray, brightness: int = 16) -> np.ndarray:
+    """Deterministic near-duplicate variant: clip-add ``brightness``
+    to every channel, then 2x nearest-neighbor upscale — the
+    re-encode/rescale perturbation the phash is designed to absorb."""
+    h, w, _ = img.shape
+    lifted = np.minimum(img.astype(np.int64) + brightness, 255).astype(np.uint8)
+    return resize_nearest(lifted, w * 2, h * 2)

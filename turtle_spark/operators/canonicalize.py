@@ -120,3 +120,73 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
     return triples.dropDuplicates(
         ["subject", "predicate", "object", "label", "datatype", "objecttype"]
     )
+
+
+def alias_sameas_edges(triples: DataFrame) -> DataFrame:
+    """Instance-level identity links from alias-form IRIs.
+
+    The entity-resolution counterpart of
+    ``reasoning.alignment_schema`` (which canonicalizes the SCHEMA):
+    IRI entities whose names differ only by a trailing numeric alias
+    suffix (optionally underscore-separated) — ``.../graph_4``,
+    ``.../graph17`` — are declared owl:sameAs one another, keyed by
+    the shared stem; an entity whose full IRI equals a stem joins
+    that group as the base form.  Namespace-only stems (ending in
+    ``/ : #``) are excluded: ``.../thing/123`` is an instance path,
+    not an alias form.  Because the equivalence is defined by KEY
+    EQUALITY, the edge set is one groupBy(stem) producing STAR edges
+    to the group minimum — never a quadratic pair expansion, and the
+    downstream CC converges in one round.  Output: (src, dst) entity-
+    string pairs, src != dst.
+    """
+    ent = F.col("entity")
+    subjects = triples.select(F.col("subject").alias("entity"))
+    objects = triples.where(F.col("objecttype") == "iri").select(
+        F.col("object").alias("entity")
+    )
+    entities = (
+        subjects.unionByName(objects)
+        .where(~ent.startswith("_:"))
+        .dropDuplicates()
+    )
+    stem = F.regexp_replace(ent, r"_?[0-9]+$", "")
+    keyed = entities.select(ent, stem.alias("stem")).where(
+        (F.col("stem") != "") & ~F.col("stem").rlike(r"[/:#]$")
+    )
+    reps = keyed.groupBy("stem").agg(
+        F.min("entity").alias("dst"), F.count("*").alias("_n")
+    )
+    return (
+        keyed.join(reps.where(F.col("_n") >= 2), "stem")
+        .where(ent != F.col("dst"))
+        .select(ent.alias("src"), "dst")
+    )
+
+
+def sameas_canonicalize(triples: DataFrame, sameas: DataFrame) -> DataFrame:
+    """owl:sameAs closure -> canonical triple SET.
+
+    ``sameas`` is any (src, dst) entity-string pair relation —
+    declared owl:sameAs statements, alias links, or entity-linking
+    output.  Identity is transitive, so the pairs are closed with
+    distributed connected components over 8-byte xxhash64 node ids;
+    each component's lexicographically smallest entity becomes the
+    canonical IRI (partitioning-independent), every triple is
+    rewritten through the collision-guarded canonical map, and the
+    rewritten graph is deduplicated to SET semantics (merging aliases
+    collapses formerly-distinct triples).
+    """
+    from turtle_spark.operators.cc import connected_components
+
+    terms = (
+        sameas.select(F.col("src").alias("term"))
+        .unionByName(sameas.select(F.col("dst").alias("term")))
+        .dropDuplicates()
+        .select(F.xxhash64("term").alias("term_id"), "term")
+    )
+    edges = sameas.select(
+        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+    )
+    assignments = connected_components(edges)
+    cmap = canonical_map(terms, assignments)
+    return dedup_triples(apply_canonical_map(triples, cmap))

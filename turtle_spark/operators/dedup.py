@@ -291,68 +291,66 @@ def minhash_near_duplicates(
     )
 
 
-def simhash_near_duplicates(
-    docs: DataFrame,
+def hamming_band_pairs(
+    sketches: DataFrame,
     max_hamming: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    id_col: str = "id",
+    hash_col: str = "sketch",
     n_bands: int = 4,
     bucket_cap: int = 1024,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit sketch into ``n_bands``
-    16-bit chunks; pairs within ``max_hamming`` must collide on at
-    least one chunk (pigeonhole), so the self-join is band-blocked
-    rather than quadratic.
+    """(id, 64-bit sketch) -> near-dup pairs within ``max_hamming``.
+
+    Band the sketch into ``n_bands`` chunks; pairs within
+    ``max_hamming`` (< n_bands) must collide on at least one chunk
+    (pigeonhole), so the self-join is band-blocked rather than
+    quadratic.  Shared by the SimHash text tier and the perceptual-
+    hash image tier — any 64-bit content sketch dedups through this
+    one blocked join.
 
     ``bucket_cap`` bounds each (band, chunk) bucket to its smallest
     ids — the same stop-key skew bound as the MinHash/ngram tiers
-    (boilerplate-heavy corpora concentrate SimHash chunks).  The cap
+    (boilerplate-heavy corpora concentrate sketch chunks).  The cap
     is a row_number window, not slice(collect_list(...)), so reducer
     memory stays bounded for a hot chunk at web scale; dropped
     candidates only cost recall, never the correctness of retained
     pairs."""
-    from turtle_spark.functions.hashing import simhash64_batch
-
-    @pandas_udf(T.LongType())
-    def sh_udf(texts: pd.Series) -> pd.Series:
-        return pd.Series(simhash64_batch([(t or "") for t in texts]))
-
     width = 64 // n_bands
-    # spread: one SimHash UDF task per core even on a tiny corpus
-    sh = skew.spread(
-        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")), "id"
-    ).select("id", sh_udf("_t").alias("simhash"))
-    banded = sh.select(
+    sk = sketches.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("sketch")
+    )
+    banded = sk.select(
         "id",
-        "simhash",
+        "sketch",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    F.shiftrightunsigned(F.col("sketch"), i * width)
                     .bitwiseAND(F.lit((1 << width) - 1))
                     .alias("chunk"),
                 )
                 for i in range(n_bands)
             ])
         ).alias("bk"),
-    ).select("id", "simhash", "bk.band", "bk.chunk")
+    ).select("id", "sketch", "bk.band", "bk.chunk")
     # pairs expand in-array per bucket (one aggregation) — a self-join
-    # would run the SimHash UDF twice, once per differently-aliased
-    # branch, since exchange reuse does not fire across them
+    # would duplicate the whole sketch-producing subtree (usually a
+    # Python UDF), once per differently-aliased branch, since exchange
+    # reuse does not fire across them
     w_cap = Window.partitionBy("band", "chunk").orderBy("id")
     members = (
         banded.withColumn("_rn", F.row_number().over(w_cap))
         .where(F.col("_rn") <= bucket_cap)
         .groupBy("band", "chunk")
-        .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
+        .agg(F.sort_array(F.collect_list(F.struct("id", "sketch"))).alias("ms"))
         .where(F.size("ms") >= 2)
     )
     pair_expr = F.expr(
         """
         flatten(transform(ms, (x, i) ->
           transform(slice(ms, i + 2, size(ms) - i - 1), y ->
-            struct(x.id AS id1, x.simhash AS h1, y.id AS id2, y.simhash AS h2))))
+            struct(x.id AS id1, x.sketch AS h1, y.id AS id2, y.sketch AS h2))))
         """
     )
     pairs = (
@@ -365,6 +363,36 @@ def simhash_near_duplicates(
         pairs.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    bucket_cap: int = 1024,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit text sketch per document, then
+    the shared Hamming band-blocked pair join (hamming_band_pairs)."""
+    from turtle_spark.functions.hashing import simhash64_batch
+
+    @pandas_udf(T.LongType())
+    def sh_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(simhash64_batch([(t or "") for t in texts]))
+
+    # spread: one SimHash UDF task per core even on a tiny corpus
+    sh = skew.spread(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")), "id"
+    ).select("id", sh_udf("_t").alias("simhash"))
+    return hamming_band_pairs(
+        sh,
+        max_hamming=max_hamming,
+        id_col="id",
+        hash_col="simhash",
+        n_bands=n_bands,
+        bucket_cap=bucket_cap,
     )
 
 

@@ -296,3 +296,123 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, stub: bool = True) -> 
         "doc_id",
         F.posexplode(ts).alias("frame_index", "ts_ms"),
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Image rows -> 64-bit sampled-grid perceptual hash
+    (functions/imaging.py::grid_phash), Arrow-batched.
+
+    The hash is exactly invariant under integer-factor nearest
+    rescales and lossless cross-codec re-encodes, and Hamming-close
+    under small clipped brightness shifts — so re-crawled variants of
+    one image land within a tiny Hamming radius while distinct images
+    stay tens of bits apart.  Emitted as a signed long (two's
+    complement), the JVM-side key every downstream band join uses."""
+    from turtle_spark.functions.imaging import decode_image, grid_phash
+
+    def batches(it):
+        for pdf in it:
+            hashes = []
+            for p in pdf["payload"]:
+                h = grid_phash(decode_image(bytes(p)))
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "doc_id": pdf["doc_id"],
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    from turtle_spark.operators import skew
+
+    images = skew.spread(
+        media.where(F.col("media_type") == "image").select(
+            "media_ref", "doc_id", "payload"
+        ),
+        "media_ref",
+    )
+    return images.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def image_variants(
+    media: DataFrame, brightness: int = 16, suffix: str = "#v"
+) -> DataFrame:
+    """Deterministic near-duplicate image variants: clip-add
+    ``brightness``, 2x nearest upscale, re-encode in the FLIPPED codec
+    (ppm<->bmp) — the rescale/re-encode perturbations a crawl actually
+    produces, exercising both codec paths end-to-end.  Output rows keep
+    the media schema with ``media_ref`` suffixed; non-image rows are
+    dropped."""
+    from turtle_spark.functions.imaging import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+        perturb_image,
+        sniff_format,
+    )
+
+    images = media.where(F.col("media_type") == "image")
+
+    def batches(it):
+        for pdf in it:
+            payloads, widths, heights = [], [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                img = perturb_image(decode_image(bytes(p)), brightness)
+                enc = encode_bmp if sniff_format(bytes(p)) == "ppm" else encode_ppm
+                payloads.append(enc(img))
+                h, w, _ = img.shape
+                widths.append(w)
+                heights.append(h)
+            meta = [
+                {
+                    "width": w,
+                    "height": h,
+                    "duration_ms": m["duration_ms"],
+                    "codec": "bmp" if m["codec"] == "ppm" else "ppm",
+                }
+                for w, h, m in zip(widths, heights, pdf["meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"] + suffix,
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                    "meta": meta,
+                }
+            )
+
+    return images.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def image_near_duplicates(
+    media: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bucket_cap: int = 1024,
+) -> DataFrame:
+    """Perceptual-hash image dedup: decode -> 64-bit grid phash ->
+    Hamming band-blocked pair join (the shared
+    dedup.hamming_band_pairs used by the SimHash text tier).  At
+    10^12 documents the pair stage moves only (ref, 8-byte sketch)
+    rows — payload bytes never enter a shuffle."""
+    from turtle_spark.operators.dedup import hamming_band_pairs
+
+    return hamming_band_pairs(
+        image_phash(media),
+        max_hamming=max_hamming,
+        id_col="media_ref",
+        hash_col="phash",
+        n_bands=n_bands,
+        bucket_cap=bucket_cap,
+    )
