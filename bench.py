@@ -451,6 +451,12 @@ def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
     try:
         qs = entrymod.queries()
         for name in HEADLINE:
+            # drop the previous query's pinned DataFrames: 50+ queries
+            # sharing one block manager evict each other's persisted
+            # subtrees mid-timing (measured: the novelty screen's
+            # PREBUILT index got evicted by later pins and rebuilt
+            # inside the timed region, 2.5 s -> 8.3 s)
+            spark.catalog.clearCache()
             if name == "q_novelty_screen":
                 thunk = _novelty_screen_only(spark, sf_dir)
             else:
