@@ -2910,6 +2910,52 @@ def _q_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal KG maintenance end-to-end: a deterministic version
+    history over the corpus triples (hash-derived validity intervals,
+    ~half overlapping) is temporally NORMALIZED by distributed
+    interval coalescing (islands via two same-partition windows — no
+    overlaps self-join), then queried AS OF two ticks and diffed with
+    the same anti-join compare the incremental pipeline uses
+    (operators/temporal_kg.py).  Output per predicate: raw version
+    rows, coalesced intervals, live counts at both ticks, and the
+    added/removed delta with XOR member fingerprints."""
+    from turtle_spark.operators.temporal_kg import (
+        as_of,
+        coalesce_intervals,
+        synth_history,
+        temporal_delta,
+    )
+
+    t1, t2 = 800, 2500
+    raw = synth_history(_corpus_triples(spark)).persist()
+    hist = coalesce_intervals(raw).persist()
+    n_raw = raw.groupBy("predicate").agg(F.count("*").alias("n_raw"))
+    n_coal = hist.groupBy("predicate").agg(F.count("*").alias("n_intervals"))
+    c1 = as_of(hist, t1).groupBy("predicate").agg(F.count("*").alias("n_t1"))
+    c2 = as_of(hist, t2).groupBy("predicate").agg(F.count("*").alias("n_t2"))
+    delta = temporal_delta(hist, t1, t2)
+    z = F.lit(0)
+    return (
+        n_raw.join(n_coal, "predicate", "left")
+        .join(c1, "predicate", "left")
+        .join(c2, "predicate", "left")
+        .join(delta, "predicate", "left")
+        .select(
+            "predicate",
+            "n_raw",
+            F.coalesce("n_intervals", z).alias("n_intervals"),
+            F.coalesce("n_t1", z).alias("n_t1"),
+            F.coalesce("n_t2", z).alias("n_t2"),
+            F.coalesce("n_added", z).alias("n_added"),
+            F.coalesce("n_removed", z).alias("n_removed"),
+            F.coalesce("added_fp", z).alias("added_fp"),
+            F.coalesce("removed_fp", z).alias("removed_fp"),
+        )
+        .orderBy("predicate")
+    )
+
+
 # --------------------------------------------------------------------------
 # golden oracles for the non-SQL-expressible queries
 #
@@ -2942,6 +2988,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_path_nps", "q_describe", "q_sparql_minus",
         "q_sparql_topk", "q_line_dedup", "q_char_sets",
         "q_sameas_canonical", "q_image_phash", "q_graph_fingerprint",
+        "q_kg_temporal",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -3051,6 +3098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sameas_canonical": _q_sameas_canonical,
         "q_image_phash": _q_image_phash,
         "q_graph_fingerprint": _q_graph_fingerprint,
+        "q_kg_temporal": _q_kg_temporal,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

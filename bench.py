@@ -114,6 +114,7 @@ HEADLINE = [
     "q_sameas_canonical",
     "q_image_phash",
     "q_graph_fingerprint",
+    "q_kg_temporal",
     "q_ntriples_export",
     "q_triple_provenance",
     "q_schema_graph",

@@ -1929,6 +1929,78 @@ def ref_q_graph_fingerprint() -> tuple[list[str], list[tuple]]:
     return ["doc_id", "graph_fp", "n_triples", "n_blanks", "invariant"], out
 
 
+def ref_q_kg_temporal() -> tuple[list[str], list[tuple]]:
+    """Bitemporal layer: synthesized version history, interval
+    coalescing, as-of snapshots, per-predicate delta — all as plain
+    loops vs the engine's window islands + anti-joins."""
+    t1, t2 = 800, 2500
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    triples = sorted({(r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows})
+
+    hist: dict[tuple, list[tuple[int, int]]] = {}
+    for t in triples:
+        a = abs(_signed64(xxh64_str("|".join(t))))
+        nv, off, ln = a % 3, a % 400, a % 1400
+        ivs = [
+            (i * 1000 + off, i * 1000 + off + 300 + ln) for i in range(nv + 1)
+        ]
+        # coalesce: merge when next start <= running max end (half-open
+        # adjacency merges)
+        merged = []
+        for s, e in sorted(ivs):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        hist[t] = merged
+
+    stats: dict[str, list] = {}
+    live1, live2 = set(), set()
+    for t, ivs in hist.items():
+        st = stats.setdefault(t[1], [0, 0, 0, 0])
+        a = abs(_signed64(xxh64_str("|".join(t))))
+        st[0] += (a % 3) + 1  # raw version rows
+        st[1] += len(ivs)
+        if any(s <= t1 < e for s, e in ivs):
+            st[2] += 1
+            live1.add(t)
+        if any(s <= t2 < e for s, e in ivs):
+            st[3] += 1
+            live2.add(t)
+
+    def member_fp(ts) -> int:
+        fp = 0
+        for t in ts:
+            fp ^= xxh64_str("|".join((t[0], t[2], t[3], t[4], t[5]))) & _U64
+        return _signed64(fp)
+
+    out = []
+    for pred in sorted(stats):
+        added = [t for t in live2 - live1 if t[1] == pred]
+        removed = [t for t in live1 - live2 if t[1] == pred]
+        st = stats[pred]
+        out.append(
+            (
+                pred,
+                st[0],
+                st[1],
+                st[2],
+                st[3],
+                len(added),
+                len(removed),
+                member_fp(added),
+                member_fp(removed),
+            )
+        )
+    return (
+        [
+            "predicate", "n_raw", "n_intervals", "n_t1", "n_t2",
+            "n_added", "n_removed", "added_fp", "removed_fp",
+        ],
+        out,
+    )
+
+
 def _grid_phash_py(img) -> int:
     """Independent sampled-grid perceptual hash: plain Python loops
     (vs the engine's vectorized numpy) — integer ITU-R 601 luma at
@@ -2035,6 +2107,7 @@ CORPUS_QUERIES = {
     "q_sameas_canonical": ref_q_sameas_canonical,
     "q_image_phash": ref_q_image_phash,
     "q_graph_fingerprint": ref_q_graph_fingerprint,
+    "q_kg_temporal": ref_q_kg_temporal,
 }
 
 # DuckDB column types per query — chosen to land in pandas with the
@@ -2043,6 +2116,7 @@ DUCK_TYPES = {
     "q_sameas_canonical": {"subject": "VARCHAR", "n_aliases": "BIGINT", "n_triples": "BIGINT", "triple_fp": "BIGINT"},
     "q_image_phash": {"id1": "VARCHAR", "id2": "VARCHAR", "hamming": "INTEGER"},
     "q_graph_fingerprint": {"doc_id": "VARCHAR", "graph_fp": "BIGINT", "n_triples": "BIGINT", "n_blanks": "BIGINT", "invariant": "BOOLEAN"},
+    "q_kg_temporal": {"predicate": "VARCHAR", "n_raw": "BIGINT", "n_intervals": "BIGINT", "n_t1": "BIGINT", "n_t2": "BIGINT", "n_added": "BIGINT", "n_removed": "BIGINT", "added_fp": "BIGINT", "removed_fp": "BIGINT"},
     "q_mixture_sample": {"source": "VARCHAR", "n_docs": "BIGINT", "doc_fp": "BIGINT", "sum_chars": "BIGINT"},
     "q_novelty_screen": {"doc_id": "BIGINT", "status": "VARCHAR", "matched_id": "BIGINT", "jaccard": "DOUBLE"},
     "q_triangle_count": {"node": "VARCHAR", "n_triangles": "BIGINT"},
