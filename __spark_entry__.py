@@ -3029,6 +3029,15 @@ def _golden_sql(name: str, sf_tag: str) -> str:
     return f"SELECT {select} FROM (VALUES\n{values}\n) AS t({slots})"
 
 
+# Queries that still need their FIRST driver correctness row but do
+# not fit the driver's 50-entry grading window this round.  They
+# rotate to the front of the next round's registry.  The guard test
+# (tests/test_registry_window.py) fails on any ungraded query past the
+# window that is NOT declared here — overflow must be deliberate and
+# golden-backed, never silent.
+WINDOW_OVERFLOW = frozenset({"q_frame_sample"})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -3064,7 +3073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_topk": _q_lsh_topk,
         "q_ivf_topk": _q_ivf_topk,
         "q_media_features": _q_media_features,
-        "q_frame_sample": _q_frame_sample,
+        # q_frame_sample rotated to the round-4 window (WINDOW_OVERFLOW)
         "q_dedup_clusters": _q_dedup_clusters,
         # --- new in round 3 ---
         "q_audio_stats": _q_audio_stats,
@@ -3099,6 +3108,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_phash": _q_image_phash,
         "q_graph_fingerprint": _q_graph_fingerprint,
         "q_kg_temporal": _q_kg_temporal,
+        # --- deliberate window overflow: 51 queries still need their
+        # first driver row but the driver grades exactly 50; the one
+        # below rotates to the FRONT of the round-4 registry.  Kept
+        # non-silent by WINDOW_OVERFLOW + tests/test_registry_window.py.
+        "q_frame_sample": _q_frame_sample,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

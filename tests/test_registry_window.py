@@ -42,12 +42,42 @@ def test_every_query_graded_or_inside_window():
     hidden = [
         name
         for pos, name in enumerate(names)
-        if pos >= DRIVER_WINDOW and name not in green
+        if pos >= DRIVER_WINDOW
+        and name not in green
+        and name not in entrymod.WINDOW_OVERFLOW
     ]
     assert not hidden, (
         f"queries past the driver's {DRIVER_WINDOW}-entry window with no "
-        f"prior green CORRECTNESS row (reorder them to the front): {hidden}"
+        f"prior green CORRECTNESS row (reorder them to the front, or — if "
+        f"the window is genuinely full of ungraded queries — declare the "
+        f"rotation in WINDOW_OVERFLOW): {hidden}"
     )
+
+
+def test_window_overflow_is_minimal_and_golden_backed():
+    """WINDOW_OVERFLOW is a rotation queue, not an exemption list: it
+    may only be as large as the genuine overflow (ungraded queries
+    minus window size), every member must be locally golden-backed,
+    and members must actually sit past the window."""
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    green = _green_anywhere()
+    ungraded = [n for n in names if n not in green]
+    allowed = max(0, len(ungraded) - DRIVER_WINDOW)
+    assert len(entrymod.WINDOW_OVERFLOW) <= allowed, (
+        f"WINDOW_OVERFLOW has {len(entrymod.WINDOW_OVERFLOW)} entries but "
+        f"only {allowed} queries genuinely overflow the window"
+    )
+    for name in entrymod.WINDOW_OVERFLOW:
+        assert name in names[DRIVER_WINDOW:], (
+            f"{name} is declared overflow but sits inside the window"
+        )
+        golden = REPO / "tests" / "goldens" / "corpus" / f"{name}.json"
+        golden_sf = REPO / "tests" / "goldens" / "sf0.01" / f"{name}.json"
+        assert golden.exists() or golden_sf.exists(), (
+            f"{name} overflows the window without a local golden oracle"
+        )
 
 
 def test_every_query_has_oracle_entry():
