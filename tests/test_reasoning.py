@@ -207,3 +207,72 @@ def test_semi_naive_differential(spark):
         for s, p, o in facts - {(s, p, o) for s, p, o in rows}
     }
     assert got == expect
+
+
+# --- OWL 2 RL property rules (owl_property_entail) --------------------------
+
+
+def _owl():
+    from turtle_spark.operators.reasoning import (
+        OWL_INVERSE,
+        OWL_SYMMETRIC,
+        OWL_TRANSITIVE,
+        owl_property_entail,
+    )
+
+    return OWL_INVERSE, OWL_SYMMETRIC, OWL_TRANSITIVE, owl_property_entail
+
+
+def _owl_set(df):
+    return {
+        (r["rule"], r["subject"], r["predicate"], r["object"]) for r in df.collect()
+    }
+
+
+def test_owl_inverse_both_directions(spark):
+    OWL_INVERSE, _, _, owl_property_entail = _owl()
+    triples = _df(spark, [("x", "hasPart", "y"), ("a", "partOf", "b")])
+    schema = _df(spark, [("hasPart", OWL_INVERSE, "partOf")])
+    got = _owl_set(owl_property_entail(triples, schema))
+    assert got == {
+        ("prp-inv1", "y", "partOf", "x"),
+        ("prp-inv2", "b", "hasPart", "a"),
+    }
+
+
+def test_owl_symmetric_flip(spark):
+    _, OWL_SYMMETRIC, _, owl_property_entail = _owl()
+    triples = _df(spark, [("x", "marriedTo", "y")])
+    schema = _df(spark, [("marriedTo", RDF_TYPE, OWL_SYMMETRIC)])
+    got = _owl_set(owl_property_entail(triples, schema))
+    assert got == {("prp-symp", "y", "marriedTo", "x")}
+
+
+def test_owl_transitive_chain(spark):
+    _, _, OWL_TRANSITIVE, owl_property_entail = _owl()
+    triples = _df(
+        spark,
+        [("a", "within", "b"), ("b", "within", "c"), ("c", "within", "d")],
+    )
+    schema = _df(spark, [("within", RDF_TYPE, OWL_TRANSITIVE)])
+    got = _owl_set(owl_property_entail(triples, schema))
+    # closure minus the asserted chain edges
+    assert got == {
+        ("prp-trp", "a", "within", "c"),
+        ("prp-trp", "a", "within", "d"),
+        ("prp-trp", "b", "within", "d"),
+    }
+
+
+def test_owl_asserted_triples_subtracted(spark):
+    _, OWL_SYMMETRIC, _, owl_property_entail = _owl()
+    triples = _df(spark, [("x", "knows", "y"), ("y", "knows", "x")])
+    schema = _df(spark, [("knows", RDF_TYPE, OWL_SYMMETRIC)])
+    assert _owl_set(owl_property_entail(triples, schema)) == set()
+
+
+def test_owl_literal_objects_never_flip(spark):
+    _, OWL_SYMMETRIC, _, owl_property_entail = _owl()
+    triples = _df(spark, [("x", "note", '"hello"')])
+    schema = _df(spark, [("note", RDF_TYPE, OWL_SYMMETRIC)])
+    assert _owl_set(owl_property_entail(triples, schema)) == set()

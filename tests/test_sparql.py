@@ -366,3 +366,78 @@ def test_order_limit_is_take_ordered_not_global_sort(tiny):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# --- SPARQL 1.1 UPDATE (DELETE/INSERT WHERE) --------------------------------
+
+
+def _graph(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_update_delete_insert_rewrites_edge(tiny):
+    from turtle_spark.operators.sparql import sparql_update
+
+    out = sparql_update(
+        tiny,
+        where=[("?a", "p/knows", "?b", "iri")],
+        delete=[("?a", "p/knows", "?b")],
+        insert=[("?b", "p/knownBy", "?a")],
+    )
+    got = _graph(out)
+    assert ("e/a", "p/knows", "e/b", "", "", "iri") not in got
+    assert ("e/b", "p/knows", "e/c", "", "", "iri") not in got
+    assert ("e/b", "p/knownBy", "e/a", "", "", "iri") in got
+    assert ("e/c", "p/knownBy", "e/b", "", "", "iri") in got
+    # untouched triples survive; output is a SET (dup knows collapsed
+    # into the deleted edge anyway)
+    assert ("e/a", "p/name", "Alice", "", "", "literal") in got
+
+
+def test_update_delete_only(tiny):
+    from turtle_spark.operators.sparql import sparql_update
+
+    out = sparql_update(
+        tiny,
+        where=[("?s", "p/age", "?v")],
+        delete=[("?s", "p/age", "?v")],
+    )
+    got = _graph(out)
+    assert not any(t[1] == "p/age" for t in got)
+    # set semantics: base had 8 rows incl. one duplicate -> 7 distinct,
+    # minus the one deleted
+    assert len(got) == 6
+
+
+def test_update_insert_only_is_union(tiny):
+    from turtle_spark.operators.sparql import sparql_update
+
+    out = sparql_update(
+        tiny,
+        where=[("?s", "p/mbox", "?m", "iri")],
+        insert=[("?s", "rdf/type", "ex/Contactable")],
+    )
+    got = _graph(out)
+    assert ("e/a", "rdf/type", "ex/Contactable", "", "", "iri") in got
+    assert len(got) == 8  # 7 distinct base + 1 inserted
+
+
+def test_update_delete_then_reinsert_survives(tiny):
+    """Spec §3.1.3: deletes apply before inserts, so a triple both
+    deleted and re-inserted stays in the store."""
+    from turtle_spark.operators.sparql import sparql_update
+
+    out = sparql_update(
+        tiny,
+        where=[("?a", "p/knows", "?b", "iri")],
+        delete=[("?a", "p/knows", "?b")],
+        insert=[("?a", "p/knows", "?b")],
+    )
+    assert ("e/a", "p/knows", "e/b", "", "", "iri") in _graph(out)
+
+
+def test_update_requires_a_template(tiny):
+    from turtle_spark.operators.sparql import sparql_update
+
+    with pytest.raises(ValueError, match="at least one"):
+        sparql_update(tiny, where=[("?s", "p/name", "?n")])

@@ -2053,6 +2053,155 @@ def ref_q_image_phash() -> tuple[list[str], list[tuple]]:
     return ["id1", "id2", "hamming"], out
 
 
+def ref_q_sparql_update() -> tuple[list[str], list[tuple]]:
+    """SPARQL UPDATE (DELETE/INSERT WHERE) — hand-applied set rewrite:
+    drop every (d hasMedia m), add (m attachedTo d) + (m a Media),
+    grouped per predicate with the full-term XOR fingerprint."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    ns = "http://turtle-spark.dev/ns#"
+    base = {(r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows}
+    sols = {(r[2], r[4]) for r in rows if r[3] == HAS_MEDIA and r[7] == "iri"}
+    deleted = {(d, HAS_MEDIA, m) for d, m in sols}
+    graph = {t for t in base if (t[0], t[1], t[2]) not in deleted}
+    for d, m in sols:
+        graph.add((m, ns + "attachedTo", d, "", "", "iri"))
+        graph.add((m, _RDF_TYPE, ns + "Media", "", "", "iri"))
+    agg: dict[str, tuple[int, int]] = {}
+    for s, p, o, label, dt, ot in graph:
+        n, fp = agg.setdefault(p, (0, 0))
+        agg[p] = (
+            n + 1,
+            fp ^ (xxh64_str(f"{s}|{o}|{label}|{dt}|{ot}") & _U64),
+        )
+    out = [(p, n, _signed64(fp)) for p, (n, fp) in sorted(agg.items())]
+    return ["predicate", "n_triples", "triple_fp"], out
+
+
+def ref_q_void_stats() -> tuple[list[str], list[tuple]]:
+    """VoID statistics — dict/set recount of dataset totals, property
+    partitions, and class partitions over the deduped triple set."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    g = {(r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows}
+
+    ds_fp = 0
+    ds_subs: set[str] = set()
+    props: dict[str, tuple[int, set, int]] = {}
+    classes: dict[str, tuple[int, set, int]] = {}
+    for s, p, o, label, dt, ot in g:
+        ds_fp ^= xxh64_str(f"{s}|{p}|{o}") & _U64
+        ds_subs.add(s)
+        n, subs, fp = props.setdefault(p, (0, set(), 0))
+        subs.add(s)
+        props[p] = (n + 1, subs, fp ^ (xxh64_str(f"{s}|{o}") & _U64))
+        if p == _RDF_TYPE and ot == "iri":
+            n, subs, fp = classes.setdefault(o, (0, set(), 0))
+            subs.add(s)
+            classes[o] = (n + 1, subs, fp ^ (xxh64_str(s) & _U64))
+
+    out = [("dataset", "(all)", len(g), len(ds_subs), _signed64(ds_fp))]
+    for key, (n, subs, fp) in props.items():
+        out.append(("propertyPartition", key, n, len(subs), _signed64(fp)))
+    for key, (n, subs, fp) in classes.items():
+        out.append(("classPartition", key, n, len(subs), _signed64(fp)))
+    out.sort(key=lambda r: (r[0], r[1]))
+    return ["part", "key", "n_triples", "n_entities", "member_fp"], out
+
+
+def ref_q_owl_entail() -> tuple[list[str], list[tuple]]:
+    """OWL 2 RL property-rule delta — loop/BFS recount: derive the
+    same data-driven 4-predicate ontology (edge count desc, name asc,
+    rdf: excluded), apply prp-inv1/2, prp-symp, prp-trp by hand,
+    subtract asserted triples, group per (rule, predicate)."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    rdf_ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+    counts: dict[str, int] = {}
+    for r in rows:
+        if r[7] == "iri" and not r[3].startswith(rdf_ns):
+            counts[r[3]] = counts.get(r[3], 0) + 1
+    top = [p for p, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:4]]
+
+    base = {(r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows}
+    edges = {(r[2], r[3], r[4]) for r in rows if r[7] == "iri"}
+
+    derived: set[tuple] = set()
+    for s, p, o in edges:
+        if p == top[0]:
+            derived.add(("prp-inv1", o, top[1], s))
+        if p == top[1]:
+            derived.add(("prp-inv2", o, top[0], s))
+        if p == top[2]:
+            derived.add(("prp-symp", o, top[2], s))
+    adj: dict[str, set] = {}
+    for s, p, o in edges:
+        if p == top[3]:
+            adj.setdefault(s, set()).add(o)
+    for src in adj:
+        seen: set[str] = set()
+        stack = list(adj[src])
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            stack.extend(adj.get(v, ()))
+        for dst in seen:
+            derived.add(("prp-trp", src, top[3], dst))
+
+    agg: dict[tuple, tuple[int, int]] = {}
+    for rule, s, p, o in derived:
+        if (s, p, o, "", "", "iri") in base:
+            continue
+        n, fp = agg.setdefault((rule, p), (0, 0))
+        agg[(rule, p)] = (n + 1, fp ^ (xxh64_str(f"{s}|{o}") & _U64))
+    out = [
+        (rule, p, n, _signed64(fp))
+        for (rule, p), (n, fp) in sorted(agg.items())
+    ]
+    return ["rule", "predicate", "n_new", "new_fp"], out
+
+
+def ref_q_bnode_canonical() -> tuple[list[str], list[tuple]]:
+    """WL color refinement on the blank-node subgraph — dict-loop
+    mirror of operators/canonicalize.canonical_blank_labels (4 rounds,
+    edge MULTIPLICITY preserved: the engine's collect_list is a
+    multiset), grouped per canonical label."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    # (bnode, dir, predicate, neighbor-or-None, ground-term-or-None)
+    edges: list[tuple] = []
+    for r in rows:
+        s, p, o, label, dt, ot = r[2], r[3], r[4], r[5], r[6], r[7]
+        bn_obj = ot == "iri" and o.startswith("_:")
+        if s.startswith("_:"):
+            if bn_obj:
+                edges.append((s, "out", p, o, None))
+            else:
+                edges.append((s, "out", p, None, f"{o}\x1e{label}\x1e{dt}\x1e{ot}"))
+        if bn_obj:
+            if s.startswith("_:"):
+                edges.append((o, "in", p, s, None))
+            else:
+                edges.append((o, "in", p, None, s))
+
+    h0 = xxh64_str("bn")
+    colors = {e[0]: h0 for e in edges}
+    for _ in range(4):
+        sigs: dict[str, list[str]] = {}
+        for bn, d, p, neigh, term in edges:
+            val = str(colors[neigh]) if neigh is not None else term
+            sigs.setdefault(bn, []).append(f"{d}\x1f{p}\x1f{val}")
+        colors = {
+            bn: xxh64_str("\x1d".join(sorted(sl))) for bn, sl in sigs.items()
+        }
+
+    agg: dict[int, tuple[int, int]] = {}
+    for bn, canon in colors.items():
+        n, fp = agg.setdefault(canon, (0, 0))
+        agg[canon] = (n + 1, fp ^ (xxh64_str(bn) & _U64))
+    out = [(c, n, _signed64(fp)) for c, (n, fp) in sorted(agg.items())]
+    return ["canon", "n_bnodes", "bnode_fp"], out
+
+
 SF_QUERIES = {
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
@@ -2108,11 +2257,19 @@ CORPUS_QUERIES = {
     "q_image_phash": ref_q_image_phash,
     "q_graph_fingerprint": ref_q_graph_fingerprint,
     "q_kg_temporal": ref_q_kg_temporal,
+    "q_sparql_update": ref_q_sparql_update,
+    "q_void_stats": ref_q_void_stats,
+    "q_owl_entail": ref_q_owl_entail,
+    "q_bnode_canonical": ref_q_bnode_canonical,
 }
 
 # DuckDB column types per query — chosen to land in pandas with the
 # exact dtype the Spark query produces (the driver's hash sees dtypes)
 DUCK_TYPES = {
+    "q_sparql_update": {"predicate": "VARCHAR", "n_triples": "BIGINT", "triple_fp": "BIGINT"},
+    "q_void_stats": {"part": "VARCHAR", "key": "VARCHAR", "n_triples": "BIGINT", "n_entities": "BIGINT", "member_fp": "BIGINT"},
+    "q_owl_entail": {"rule": "VARCHAR", "predicate": "VARCHAR", "n_new": "BIGINT", "new_fp": "BIGINT"},
+    "q_bnode_canonical": {"canon": "BIGINT", "n_bnodes": "BIGINT", "bnode_fp": "BIGINT"},
     "q_sameas_canonical": {"subject": "VARCHAR", "n_aliases": "BIGINT", "n_triples": "BIGINT", "triple_fp": "BIGINT"},
     "q_image_phash": {"id1": "VARCHAR", "id2": "VARCHAR", "hamming": "INTEGER"},
     "q_graph_fingerprint": {"doc_id": "VARCHAR", "graph_fp": "BIGINT", "n_triples": "BIGINT", "n_blanks": "BIGINT", "invariant": "BOOLEAN"},

@@ -186,3 +186,101 @@ def rdfs_entail(triples: DataFrame, schema: DataFrame) -> DataFrame:
 
     derived = ext.unionByName(type_triples).dropDuplicates(list(_TRIPLE_COLS))
     return derived.join(base, on=list(_TRIPLE_COLS), how="left_anti")
+
+
+OWL_INVERSE = "http://www.w3.org/2002/07/owl#inverseOf"
+OWL_SYMMETRIC = "http://www.w3.org/2002/07/owl#SymmetricProperty"
+OWL_TRANSITIVE = "http://www.w3.org/2002/07/owl#TransitiveProperty"
+
+
+def owl_property_entail(triples: DataFrame, schema: DataFrame) -> DataFrame:
+    """OWL 2 RL property-rule delta (public rule names from the W3C
+    OWL 2 Profiles spec, table "The Semantics of Property Axioms"):
+
+    * prp-inv1/2 — ``(p owl:inverseOf q), (x p y) ⟹ (y q x)`` and the
+      mirror ``(x q y) ⟹ (y p x)``;
+    * prp-symp  — ``(p a owl:SymmetricProperty), (x p y) ⟹ (y p x)``;
+    * prp-trp   — ``(p a owl:TransitiveProperty)`` ⟹ the transitive
+      closure of p's edge set.
+
+    ``schema``: schema-triple rows asserting those axioms.  Returns
+    one row per (rule, derived triple) NOT already asserted — per-rule
+    deltas may overlap when two rules derive the same triple (callers
+    materializing the graph should dedup on the triple key after
+    dropping ``rule``).
+
+    Spark shape mirrors ``rdfs_entail``: instance-side joins broadcast
+    the closed schema slice, so the corpus never shuffles for the
+    inverse/symmetric rules (they are projections of a broadcast-
+    filtered scan).  Only prp-trp shuffles: the closure runs per
+    transitive predicate on that predicate's edge slice via the
+    path-doubling ``transitive_closure`` (O(log depth) rounds).  The
+    transitive predicate list is schema-sized and collected to the
+    driver — bounded by the ontology, not the corpus.
+    """
+    inv = F.broadcast(
+        schema.where(F.col("predicate") == OWL_INVERSE).select(
+            F.col("subject").alias("p"), F.col("object").alias("q")
+        )
+    )
+    sym = F.broadcast(
+        schema.where(
+            (F.col("predicate") == RDF_TYPE) & (F.col("object") == OWL_SYMMETRIC)
+        ).select(F.col("subject").alias("p"))
+    )
+    trans_preds = [
+        r["subject"]
+        for r in schema.where(
+            (F.col("predicate") == RDF_TYPE) & (F.col("object") == OWL_TRANSITIVE)
+        )
+        .select("subject")
+        .distinct()
+        .collect()
+    ]
+
+    base = triples.select(*_TRIPLE_COLS)
+    # only IRI-object statements participate: a literal cannot be the
+    # subject of the flipped/inverted triple
+    edges = base.where(F.col("objecttype") == "iri").select(
+        "subject", "predicate", "object"
+    )
+
+    def flipped(bound: DataFrame, rule: str, out_pred) -> DataFrame:
+        return bound.select(
+            F.lit(rule).alias("rule"),
+            F.col("object").alias("subject"),
+            out_pred.alias("predicate"),
+            F.col("subject").alias("object"),
+            F.lit("").alias("label"),
+            F.lit("").alias("datatype"),
+            F.lit("iri").alias("objecttype"),
+        )
+
+    parts = [
+        flipped(
+            edges.join(inv, edges["predicate"] == inv["p"]), "prp-inv1", F.col("q")
+        ),
+        flipped(
+            edges.join(inv, edges["predicate"] == inv["q"]), "prp-inv2", F.col("p")
+        ),
+        flipped(
+            edges.join(sym, edges["predicate"] == sym["p"]),
+            "prp-symp",
+            edges["predicate"],
+        ),
+    ]
+    for pred in sorted(trans_preds):
+        closure = transitive_closure(
+            edges.where(F.col("predicate") == pred).select(
+                F.col("subject").alias("src"), F.col("object").alias("dst")
+            )
+        )
+        parts.append(
+            _as_triples(closure, pred).select(F.lit("prp-trp").alias("rule"), "*")
+        )
+
+    derived = parts[0]
+    for p in parts[1:]:
+        derived = derived.unionByName(p)
+    derived = derived.dropDuplicates(["rule", *_TRIPLE_COLS])
+    return derived.join(base, on=list(_TRIPLE_COLS), how="left_anti")

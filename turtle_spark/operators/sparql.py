@@ -479,8 +479,18 @@ def sparql_construct(
         from turtle_spark.operators.skew import pin
 
         sol = pin(sol)
-    bound = _group_vars(patterns)
-    safe = _iri_safe_vars(patterns)
+    return _instantiate_templates(
+        sol, _group_vars(patterns), _iri_safe_vars(patterns), template
+    )
+
+
+def _instantiate_templates(
+    sol: DataFrame, bound: set, safe: set, template: list[tuple]
+) -> DataFrame:
+    """Project the solution set through each template pattern and
+    union into one graph (set semantics).  Shared by CONSTRUCT and
+    the INSERT half of UPDATE — object-position vars must be IRI-safe
+    because the output triple's objecttype is static per pattern."""
 
     def _term(term, position: str) -> tuple[Column, bool]:
         """-> (value column, is_literal)."""
@@ -597,3 +607,86 @@ def sparql_union(branches: list[DataFrame]) -> DataFrame:
     for b in branches[1:]:
         acc = acc.unionByName(b, allowMissingColumns=True)
     return acc
+
+
+def sparql_update(
+    triples: DataFrame,
+    where: list[tuple],
+    delete: list[tuple] | None = None,
+    insert: list[tuple] | None = None,
+    filters: list[str] | None = None,
+) -> DataFrame:
+    """SPARQL 1.1 Update ``DELETE/INSERT ... WHERE`` as a batch graph
+    rewrite: instantiate both template groups once per WHERE solution
+    (via ``sparql_construct``), remove the delete set, add the insert
+    set, return the new graph.
+
+    Semantics (per the public SPARQL 1.1 Update spec, §3.1.3): the
+    store is a *graph* (set), deletes are applied before inserts, and
+    a triple both deleted and re-inserted survives.  Deletion matches
+    on the lexical ``(subject, predicate, object)`` triple — the
+    solution mapping carries lexical values only, so a delete template
+    removes every stored triple with that lexical identity regardless
+    of label/datatype decoration (documented divergence from strict
+    term equality; exact-term deletion would need the WHERE pattern to
+    bind the full term, which the wide-schema BGP does not expose).
+
+    Spark shape: ONE evaluation of the WHERE join tree feeds both
+    templates (the solution is pinned whenever more than one template
+    pattern projects it); the delete applies as a broadcast-able
+    **left anti join** against the base graph — the 100 TB side never
+    shuffles when the delete set is bounded — and the insert is a
+    union + dedup.  No Python in any row path.
+
+    Template rules: INSERT object-position vars must be IRI-safe
+    (same rule and reason as ``sparql_construct`` — the inserted
+    triple needs a static objecttype).  DELETE templates carry no
+    such restriction: deletion matches lexically, so a literal-bound
+    var is fine there.
+    """
+    if not delete and not insert:
+        raise ValueError("UPDATE needs at least one of delete/insert")
+    sol = sparql_select(triples, where, filters=filters)
+    if len(delete or ()) + len(insert or ()) > 1:
+        from turtle_spark.operators.skew import pin
+
+        sol = pin(sol)
+    bound = _group_vars(where)
+    safe = _iri_safe_vars(where)
+
+    def _lex(term) -> Column:
+        """Lexical value of a DELETE-template term (no safety check)."""
+        if isinstance(term, tuple):
+            return F.lit(term[1])
+        if term.startswith("?"):
+            name = term[1:]
+            if name not in bound:
+                raise ValueError(f"template variable ?{name} is never bound")
+            return F.col(name)
+        return F.lit(term)
+
+    base = triples.select(
+        "subject", "predicate", "object", "label", "datatype", "objecttype"
+    ).dropDuplicates()
+    out = base
+    if delete:
+        parts = [
+            sol.select(
+                _lex(t[0]).alias("subject"),
+                _lex(t[1]).alias("predicate"),
+                _lex(t[2]).alias("object"),
+            )
+            for t in delete
+        ]
+        del_keys = parts[0]
+        for p in parts[1:]:
+            del_keys = del_keys.unionByName(p)
+        out = out.join(
+            F.broadcast(del_keys.dropDuplicates()),
+            ["subject", "predicate", "object"],
+            "left_anti",
+        )
+    if insert:
+        ins_graph = _instantiate_templates(sol, bound, safe, insert)
+        out = out.unionByName(ins_graph).dropDuplicates()
+    return out
