@@ -3080,6 +3080,162 @@ def _q_bnode_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_prefix_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Namespace/prefix-table induction (operators/namespaces.py):
+    rank every namespace by IRI-occurrence count across all three
+    positions and assign ns1..nsK labels — deriving the ``@prefix``
+    block the reference's serializer only writes from seeded config
+    (reference graph/graph.go:13-14,173 emits caller-supplied
+    prefixes; this computes the table that maximizes compression from
+    the data itself).  One narrow explode + one tiny-key aggregation; the
+    ranking window sorts vocabulary-count rows, not triples."""
+    from turtle_spark.operators.namespaces import induce_prefixes
+
+    return induce_prefixes(_corpus_triples(spark))
+
+
+def _q_skolemize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blank-node skolemization (RDF 1.1 Concepts §3.5 well-known
+    genid IRIs; operators/namespaces.py): anonymous nodes become
+    globally-stable md5 skolem IRIs so graphs survive cross-system
+    exchange.  Pure per-row projection — zero shuffle, zero Python;
+    the fingerprint pins every skolem IRI byte per predicate."""
+    from turtle_spark.operators.namespaces import skolemize
+
+    base = "https://turtle-spark.dev/.well-known/genid/"
+    sk = skolemize(_corpus_triples(spark))
+    touched = sk.where(
+        F.col("subject").startswith(base)
+        | ((F.col("objecttype") == "iri") & F.col("object").startswith(base))
+    )
+    return (
+        touched.groupBy("predicate")
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.expr(
+                "bit_xor(xxhash64(concat_ws('|', subject, object)))"
+            ).alias("sk_fp"),
+        )
+        .orderBy("predicate")
+    )
+
+
+def _q_direct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational -> RDF direct mapping (W3C RDB2RDF rec;
+    operators/rdb2rdf.py): region, nation and customer mapped to row
+    nodes, class triples, literal triples (FK columns excluded, per
+    the rec) and reference triples — the ingestion bridge that feeds
+    relational sources into the same triple table the Turtle parser
+    fills.  Pure ``inline(array(struct))`` projection: zero shuffle,
+    zero Python, one narrow pass per table.  Oracle is PLAIN SQL (not
+    a golden): DuckDB rebuilds every lexical form with the same CASTs,
+    so every subject/predicate/object byte is cross-engine-checked."""
+    from turtle_spark.operators.rdb2rdf import Ref, direct_map
+
+    base = "http://turtle-spark.dev/rdb/"
+    region = direct_map(
+        _t(spark, sf_dir, "region"),
+        table="region",
+        base=base,
+        pk="r_regionkey",
+        literals=[("r_regionkey", "integer", None), ("r_name", "string", None)],
+    )
+    nation = direct_map(
+        _t(spark, sf_dir, "nation"),
+        table="nation",
+        base=base,
+        pk="n_nationkey",
+        literals=[("n_nationkey", "integer", None), ("n_name", "string", None)],
+        refs=[Ref("n_regionkey", "region", "r_regionkey")],
+    )
+    customer = direct_map(
+        _t(spark, sf_dir, "customer"),
+        table="customer",
+        base=base,
+        pk="c_custkey",
+        literals=[
+            ("c_custkey", "integer", None),
+            ("c_name", "string", None),
+            (
+                "c_acctbal",
+                "decimal",
+                # pin the lexical scale: DOUBLE -> DECIMAL(12,2) -> STRING
+                # renders identically in Spark and DuckDB
+                F.col("c_acctbal").cast("decimal(12,2)").cast("string"),
+            ),
+            ("c_mktsegment", "string", None),
+        ],
+        refs=[Ref("c_nationkey", "nation", "n_nationkey")],
+    )
+    return (
+        region.unionByName(nation)
+        .unionByName(customer)
+        .orderBy("subject", "predicate")
+    )
+
+
+def _sql_direct_map() -> str:
+    base = "http://turtle-spark.dev/rdb/"
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def one_table(tname, pk, lits, refs):
+        subj = f"'{base}{tname}/{pk}=' || CAST({pk} AS VARCHAR)"
+        parts = [
+            f"SELECT {subj} AS subject, '{rdf_type}' AS predicate,"
+            f" '{base}{tname}' AS object, 'iri' AS objecttype,"
+            f" CAST(NULL AS VARCHAR) AS datatype FROM {tname}"
+        ]
+        for col, xt, render in lits:
+            obj = render or f"CAST({col} AS VARCHAR)"
+            parts.append(
+                f"SELECT {subj}, '{base}{tname}#{col}', {obj}, 'literal',"
+                f" '{xsd}{xt}' FROM {tname} WHERE {col} IS NOT NULL"
+            )
+        for col, rt, rpk in refs:
+            obj = f"'{base}{rt}/{rpk}=' || CAST({col} AS VARCHAR)"
+            parts.append(
+                f"SELECT {subj}, '{base}{tname}#ref-{col}', {obj}, 'iri',"
+                f" CAST(NULL AS VARCHAR) FROM {tname} WHERE {col} IS NOT NULL"
+            )
+        return "\nUNION ALL\n".join(parts)
+
+    return "\nUNION ALL\n".join(
+        [
+            one_table(
+                "region",
+                "r_regionkey",
+                [("r_regionkey", "integer", None), ("r_name", "string", None)],
+                [],
+            ),
+            one_table(
+                "nation",
+                "n_nationkey",
+                [("n_nationkey", "integer", None), ("n_name", "string", None)],
+                [("n_regionkey", "region", "r_regionkey")],
+            ),
+            one_table(
+                "customer",
+                "c_custkey",
+                [
+                    ("c_custkey", "integer", None),
+                    ("c_name", "string", None),
+                    (
+                        "c_acctbal",
+                        "decimal",
+                        "CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)",
+                    ),
+                    ("c_mktsegment", "string", None),
+                ],
+                [("c_nationkey", "nation", "n_nationkey")],
+            ),
+        ]
+    )
+
+
+_SQL_DIRECT_MAP = _sql_direct_map()
+
+
 # --------------------------------------------------------------------------
 # golden oracles for the non-SQL-expressible queries
 #
@@ -3114,6 +3270,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_sameas_canonical", "q_image_phash", "q_graph_fingerprint",
         "q_kg_temporal", "q_sparql_update", "q_void_stats",
         "q_owl_entail", "q_bnode_canonical",
+        "q_prefix_induction", "q_skolemize",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -3167,6 +3324,9 @@ WINDOW_OVERFLOW = frozenset(
         "q_void_stats",
         "q_owl_entail",
         "q_bnode_canonical",
+        "q_direct_map",
+        "q_prefix_induction",
+        "q_skolemize",
     }
 )
 
@@ -3250,6 +3410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_void_stats": _q_void_stats,
         "q_owl_entail": _q_owl_entail,
         "q_bnode_canonical": _q_bnode_canonical,
+        "q_direct_map": _q_direct_map,
+        "q_prefix_induction": _q_prefix_induction,
+        "q_skolemize": _q_skolemize,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -3368,4 +3531,5 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_decontaminate": _SQL_DECONTAMINATE,
         "q_source_caps": _SQL_SOURCE_CAPS,
         "q_dup_spans": _SQL_DUP_SPANS,
+        "q_direct_map": _SQL_DIRECT_MAP,
     }

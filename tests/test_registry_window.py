@@ -73,11 +73,20 @@ def test_window_overflow_is_minimal_and_golden_backed():
         assert name in names[DRIVER_WINDOW:], (
             f"{name} is declared overflow but sits inside the window"
         )
-        golden = REPO / "tests" / "goldens" / "corpus" / f"{name}.json"
-        golden_sf = REPO / "tests" / "goldens" / "sf0.01" / f"{name}.json"
-        assert golden.exists() or golden_sf.exists(), (
-            f"{name} overflows the window without a local golden oracle"
-        )
+        if name in (entrymod._CORPUS_GOLDENS | entrymod._SF_GOLDENS):
+            golden = REPO / "tests" / "goldens" / "corpus" / f"{name}.json"
+            golden_sf = REPO / "tests" / "goldens" / "sf0.01" / f"{name}.json"
+            assert golden.exists() or golden_sf.exists(), (
+                f"{name} overflows the window without a local golden oracle"
+            )
+        else:
+            # plain-SQL oracle: DuckDB RECOMPUTES the result (stronger
+            # than a golden replay); the local mirror grades it at
+            # sf0.001 every pytest run
+            assert name in entrymod.oracle_sql(), (
+                f"{name} overflows the window with neither a golden nor "
+                f"a SQL oracle"
+            )
 
 
 def test_every_query_has_oracle_entry():

@@ -2202,6 +2202,63 @@ def ref_q_bnode_canonical() -> tuple[list[str], list[tuple]]:
     return ["canon", "n_bnodes", "bnode_fp"], out
 
 
+def ref_q_prefix_induction() -> tuple[list[str], list[tuple]]:
+    """Namespace induction — greedy-regex namespace split (up to the
+    LAST / or #, matching Spark's greedy regexp_extract), occurrence
+    and distinct-IRI counts, rank by (count desc, namespace asc)."""
+    import re
+
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    pat = re.compile(r"^(.*[/#])")
+    occ: dict[str, int] = {}
+    distinct: dict[str, set] = {}
+
+    def add(iri: str) -> None:
+        m = pat.match(iri)
+        if not m or not m.group(1):
+            return
+        ns = m.group(1)
+        occ[ns] = occ.get(ns, 0) + 1
+        distinct.setdefault(ns, set()).add(iri)
+
+    for _doc, _seq, s, p, o, _label, _dt, ot in rows:
+        if not s.startswith("_:"):
+            add(s)
+        add(p)
+        if ot == "iri" and not o.startswith("_:"):
+            add(o)
+    ranked = sorted(occ, key=lambda ns: (-occ[ns], ns))
+    out = [
+        (f"ns{i + 1}", ns, occ[ns], len(distinct[ns]))
+        for i, ns in enumerate(ranked)
+    ]
+    return ["prefix", "namespace", "n_occurrences", "n_distinct_iris"], out
+
+
+def ref_q_skolemize() -> tuple[list[str], list[tuple]]:
+    """Skolemization — md5-hex genid IRIs for blank labels, grouped by
+    predicate over the triples that were touched."""
+    import hashlib
+
+    base = "https://turtle-spark.dev/.well-known/genid/"
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    agg: dict[str, tuple[int, int]] = {}
+    for _doc, _seq, s, p, o, _label, _dt, ot in rows:
+        touched = False
+        if s.startswith("_:"):
+            s = base + hashlib.md5(s[2:].encode("utf-8")).hexdigest()
+            touched = True
+        if ot == "iri" and o.startswith("_:"):
+            o = base + hashlib.md5(o[2:].encode("utf-8")).hexdigest()
+            touched = True
+        if not touched:
+            continue
+        n, fp = agg.setdefault(p, (0, 0))
+        agg[p] = (n + 1, fp ^ (xxh64_str(s + "|" + o) & _U64))
+    out = [(p, n, _signed64(fp)) for p, (n, fp) in sorted(agg.items())]
+    return ["predicate", "n_triples", "sk_fp"], out
+
+
 SF_QUERIES = {
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
@@ -2261,6 +2318,8 @@ CORPUS_QUERIES = {
     "q_void_stats": ref_q_void_stats,
     "q_owl_entail": ref_q_owl_entail,
     "q_bnode_canonical": ref_q_bnode_canonical,
+    "q_prefix_induction": ref_q_prefix_induction,
+    "q_skolemize": ref_q_skolemize,
 }
 
 # DuckDB column types per query — chosen to land in pandas with the
@@ -2270,6 +2329,8 @@ DUCK_TYPES = {
     "q_void_stats": {"part": "VARCHAR", "key": "VARCHAR", "n_triples": "BIGINT", "n_entities": "BIGINT", "member_fp": "BIGINT"},
     "q_owl_entail": {"rule": "VARCHAR", "predicate": "VARCHAR", "n_new": "BIGINT", "new_fp": "BIGINT"},
     "q_bnode_canonical": {"canon": "BIGINT", "n_bnodes": "BIGINT", "bnode_fp": "BIGINT"},
+    "q_prefix_induction": {"prefix": "VARCHAR", "namespace": "VARCHAR", "n_occurrences": "BIGINT", "n_distinct_iris": "BIGINT"},
+    "q_skolemize": {"predicate": "VARCHAR", "n_triples": "BIGINT", "sk_fp": "BIGINT"},
     "q_sameas_canonical": {"subject": "VARCHAR", "n_aliases": "BIGINT", "n_triples": "BIGINT", "triple_fp": "BIGINT"},
     "q_image_phash": {"id1": "VARCHAR", "id2": "VARCHAR", "hamming": "INTEGER"},
     "q_graph_fingerprint": {"doc_id": "VARCHAR", "graph_fp": "BIGINT", "n_triples": "BIGINT", "n_blanks": "BIGINT", "invariant": "BOOLEAN"},
