@@ -3120,6 +3120,72 @@ def _q_skolemize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_property_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-table materialization (operators/property_table.py —
+    the Jena/Sempala columnar RDF layout): the top-8 FUNCTIONAL
+    predicates pivot into columns of one subject-keyed wide table, so
+    star-shaped BGPs become a single scan instead of one self-join
+    per predicate.  ONE groupBy(subject) shuffle builds the table;
+    the driver sees only the bounded predicate list.  Summarized per
+    fill-count with an XOR fingerprint over the exact row bytes, so
+    the golden pins every pivoted cell."""
+    from turtle_spark.operators.graph import predicate_profile
+    from turtle_spark.operators.property_table import (
+        choose_columns,
+        property_table,
+    )
+
+    t = _corpus_triples(spark).persist()
+    cols = choose_columns(predicate_profile(t), max_cols=8)
+    pt = property_table(t, cols)
+    filled = [F.when(F.col(f"p{i}").isNotNull(), 1).otherwise(0) for i in range(len(cols))]
+    n_filled = filled[0]
+    for f in filled[1:]:
+        n_filled = n_filled + f
+    line = F.concat_ws(
+        "|",
+        F.col("subject"),
+        *[F.coalesce(F.col(f"p{i}"), F.lit("")) for i in range(len(cols))],
+    )
+    return (
+        pt.select(n_filled.alias("n_filled"), F.xxhash64(line).alias("_fp"))
+        .groupBy("n_filled")
+        .agg(
+            F.count("*").alias("n_subjects"),
+            F.expr("bit_xor(_fp)").alias("row_fp"),
+        )
+        .orderBy("n_filled")
+    )
+
+
+def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (operators/importance.py): a
+    character-trigram model trains on the deterministic trusted slice
+    (doc_id % 10 == 0) and scores every other document's familiarity.
+    Scores are QUANTIZED log2 (integer bit_length), so every addend
+    is cross-engine exact — see the module docstring for why raw
+    transcendental logs would make the fingerprint flaky.  One
+    bounded-key aggregation builds the model; scoring is a broadcast
+    join + one per-doc aggregation, zero Python."""
+    from turtle_spark.operators.importance import lm_quality
+
+    return lm_quality(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023; operators/
+    importance.py): hashed word-bigram bucket models for the target
+    (lang='en') and raw distributions, per-document quantized
+    log-ratio weight — the data-selection signal used to resample a
+    raw crawl toward a trusted distribution.  4096-bucket models
+    broadcast; scoring is narrow."""
+    from turtle_spark.operators.importance import dsir_weights
+
+    return dsir_weights(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    ).orderBy("doc_id")
+
+
 def _q_direct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational -> RDF direct mapping (W3C RDB2RDF rec;
     operators/rdb2rdf.py): region, nation and customer mapped to row
@@ -3270,7 +3336,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_sameas_canonical", "q_image_phash", "q_graph_fingerprint",
         "q_kg_temporal", "q_sparql_update", "q_void_stats",
         "q_owl_entail", "q_bnode_canonical",
-        "q_prefix_induction", "q_skolemize",
+        "q_prefix_induction", "q_skolemize", "q_property_table",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -3279,6 +3345,7 @@ _SF_GOLDENS = frozenset(
         "q_minhash_dedup_docs", "q_simhash_dedup_docs", "q_doc_fingerprints",
         "q_lsh_topk", "q_ivf_topk", "q_dedup_clusters", "q_pack_sequences",
         "q_mixture_sample", "q_novelty_screen",
+        "q_lm_quality", "q_dsir_weights",
     }
 )
 
@@ -3327,6 +3394,9 @@ WINDOW_OVERFLOW = frozenset(
         "q_direct_map",
         "q_prefix_induction",
         "q_skolemize",
+        "q_property_table",
+        "q_lm_quality",
+        "q_dsir_weights",
     }
 )
 
@@ -3413,6 +3483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_direct_map": _q_direct_map,
         "q_prefix_induction": _q_prefix_induction,
         "q_skolemize": _q_skolemize,
+        "q_property_table": _q_property_table,
+        "q_lm_quality": _q_lm_quality,
+        "q_dsir_weights": _q_dsir_weights,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -124,6 +124,12 @@ HEADLINE = [
     "q_sparql_topk",
     "q_line_dedup",
     "q_char_sets",
+    "q_direct_map",
+    "q_prefix_induction",
+    "q_skolemize",
+    "q_property_table",
+    "q_lm_quality",
+    "q_dsir_weights",
 ]
 
 

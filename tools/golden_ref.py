@@ -2259,7 +2259,117 @@ def ref_q_skolemize() -> tuple[list[str], list[tuple]]:
     return ["predicate", "n_triples", "sk_fp"], out
 
 
+def ref_q_property_table() -> tuple[list[str], list[tuple]]:
+    """Property-table pivot — functional predicates ranked by
+    (n_triples desc, predicate asc) capped at 8; per-subject min
+    object per column; rows fingerprinted byte-for-byte."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    fan: dict[str, dict[str, set]] = {}
+    n_tr: dict[str, int] = {}
+    for r in rows:
+        n_tr[r[3]] = n_tr.get(r[3], 0) + 1
+        fan.setdefault(r[3], {}).setdefault(r[2], set()).add(r[4])
+    functional = [
+        p for p, subs in fan.items() if max(len(v) for v in subs.values()) == 1
+    ]
+    chosen = sorted(functional, key=lambda p: (-n_tr[p], p))[:8]
+    pos = {p: i for i, p in enumerate(chosen)}
+    table: dict[str, list] = {}
+    for r in rows:
+        if r[3] not in pos:
+            continue
+        vals = table.setdefault(r[2], [None] * len(chosen))
+        i = pos[r[3]]
+        vals[i] = r[4] if vals[i] is None else min(vals[i], r[4])
+    agg: dict[int, tuple[int, int]] = {}
+    for subj, vals in table.items():
+        n_filled = sum(1 for v in vals if v is not None)
+        line = subj + "|" + "|".join(v or "" for v in vals)
+        n, fp = agg.setdefault(n_filled, (0, 0))
+        agg[n_filled] = (n + 1, fp ^ (xxh64_str(line) & _U64))
+    out = [(k, n, _signed64(fp)) for k, (n, fp) in sorted(agg.items())]
+    return ["n_filled", "n_subjects", "row_fp"], out
+
+
+def ref_q_lm_quality(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Quantized trigram-LM quality — dict model over the doc_id%10==0
+    slice, bit_length floor-log2 scoring (matches the engine's
+    ``length(bin(1+c)) - 1``)."""
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def trigrams(t: str) -> list[str]:
+        t = (t or "").lower()
+        return [t[i : i + 3] for i in range(len(t) - 2)] if len(t) >= 3 else []
+
+    model: dict[str, int] = {}
+    rows = list(zip(d["doc_id"].tolist(), d["text"].tolist()))
+    for did, t in rows:
+        if int(did) % 10 == 0:
+            for g in trigrams(t):
+                model[g] = model.get(g, 0) + 1
+    out = []
+    for did, t in rows:
+        did = int(did)
+        if did % 10 == 0:
+            continue
+        gs = trigrams(t)
+        if not gs:
+            continue  # engine's explode+groupBy never sees gram-less docs
+        num = sum((1 + model.get(g, 0)).bit_length() - 1 for g in gs)
+        oov = sum(1 for g in gs if g not in model)
+        out.append((did, len(gs), num, oov, num / len(gs)))
+    out.sort()
+    return ["doc_id", "n_grams", "score_num", "n_oov", "lm_q"], out
+
+
+def ref_q_dsir_weights(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Quantized DSIR — 4096 hashed word-bigram buckets, target =
+    lang 'en', floor-log2 count ratio per bigram occurrence."""
+    import pandas as pd
+    import re
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    pat = re.compile(r"[a-z]+")
+
+    def buckets(t: str) -> list[int]:
+        ws = pat.findall((t or "").lower())
+        return [
+            pmod(xxh64_str(ws[i] + " " + ws[i + 1]), 4096)
+            for i in range(len(ws) - 1)
+        ]
+
+    rows = [
+        (int(did), lang, buckets(t))
+        for did, lang, t in zip(
+            d["doc_id"].tolist(), d["lang"].tolist(), d["text"].tolist()
+        )
+    ]
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    for _did, lang, bks in rows:
+        for bk in bks:
+            raw[bk] = raw.get(bk, 0) + 1
+            if lang == "en":
+                tgt[bk] = tgt.get(bk, 0) + 1
+    out = []
+    for did, _lang, bks in rows:
+        if not bks:
+            continue
+        num = sum(
+            ((1 + tgt.get(bk, 0)).bit_length() - 1)
+            - ((1 + raw[bk]).bit_length() - 1)
+            for bk in bks
+        )
+        out.append((did, len(bks), num, num / len(bks)))
+    out.sort()
+    return ["doc_id", "n_bigrams", "weight_num", "dsir_w"], out
+
+
 SF_QUERIES = {
+    "q_lm_quality": ref_q_lm_quality,
+    "q_dsir_weights": ref_q_dsir_weights,
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
     "q_minhash_dedup_docs": ref_q_minhash_dedup_docs,
@@ -2320,6 +2430,7 @@ CORPUS_QUERIES = {
     "q_bnode_canonical": ref_q_bnode_canonical,
     "q_prefix_induction": ref_q_prefix_induction,
     "q_skolemize": ref_q_skolemize,
+    "q_property_table": ref_q_property_table,
 }
 
 # DuckDB column types per query — chosen to land in pandas with the
@@ -2331,6 +2442,9 @@ DUCK_TYPES = {
     "q_bnode_canonical": {"canon": "BIGINT", "n_bnodes": "BIGINT", "bnode_fp": "BIGINT"},
     "q_prefix_induction": {"prefix": "VARCHAR", "namespace": "VARCHAR", "n_occurrences": "BIGINT", "n_distinct_iris": "BIGINT"},
     "q_skolemize": {"predicate": "VARCHAR", "n_triples": "BIGINT", "sk_fp": "BIGINT"},
+    "q_property_table": {"n_filled": "INTEGER", "n_subjects": "BIGINT", "row_fp": "BIGINT"},
+    "q_lm_quality": {"doc_id": "BIGINT", "n_grams": "BIGINT", "score_num": "BIGINT", "n_oov": "BIGINT", "lm_q": "DOUBLE"},
+    "q_dsir_weights": {"doc_id": "BIGINT", "n_bigrams": "BIGINT", "weight_num": "BIGINT", "dsir_w": "DOUBLE"},
     "q_sameas_canonical": {"subject": "VARCHAR", "n_aliases": "BIGINT", "n_triples": "BIGINT", "triple_fp": "BIGINT"},
     "q_image_phash": {"id1": "VARCHAR", "id2": "VARCHAR", "hamming": "INTEGER"},
     "q_graph_fingerprint": {"doc_id": "VARCHAR", "graph_fp": "BIGINT", "n_triples": "BIGINT", "n_blanks": "BIGINT", "invariant": "BOOLEAN"},
