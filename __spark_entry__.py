@@ -2688,14 +2688,14 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode, REAL for image rows: the synthesized media
-    table carries actual PPM/BMP payloads, ``imaging.media_decoder``
-    decodes them to pixels through the Arrow seam and computes genuine
-    pixel statistics (mean/std per channel, luminance histogram);
-    audio/video fall back to the deterministic stub (codecs are
-    outside the sandbox).  ``px_mean_sum`` aggregates the decoded mean
-    red-channel values — it only matches the golden if the
-    encode -> decode -> feature path is bit-faithful."""
+    """Multimodal decode, REAL for every media type: the synthesized
+    media table carries actual PPM/BMP images, RIFF/WAVE PCM16 audio,
+    and PVID frame-container video; ``imaging.media_decoder`` decodes
+    each through the Arrow seam and computes genuine pixel/signal
+    statistics (videos contribute their frame-stack pixel stats).
+    ``px_mean_sum`` aggregates the decoded mean red-channel values —
+    it only matches the golden if every encode -> decode -> feature
+    path is bit-faithful."""
     from turtle_spark.functions.imaging import media_decoder
     from turtle_spark.operators.multimodal import decode_features, synthesize_media_table
     from turtle_spark.sources.corpus import generate_docs
@@ -2748,16 +2748,19 @@ def _q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing: frames per video at 1 fps."""
+    """REAL video frame sampling: every synthetic video is a PVID
+    container of PPM frames (operators/multimodal.py::
+    synthesize_media_table), decoded frame-by-frame through the Arrow
+    seam; frames on the 500 ms grid emit their exact integer pixel
+    sums, so the golden pins the container encode -> decode -> frame
+    split -> pixel math byte-for-byte."""
     from turtle_spark.operators.multimodal import sample_frames, synthesize_media_table
     from turtle_spark.sources.corpus import generate_docs
 
     docs = generate_docs(spark, 200, seed=42)
-    frames = sample_frames(synthesize_media_table(docs), every_ms=1000)
-    return (
-        frames.groupBy("media_ref")
-        .agg(F.count("*").alias("n_frames"), F.max("ts_ms").alias("last_ts_ms"))
-        .orderBy("media_ref")
+    frames = sample_frames(synthesize_media_table(docs), every_ms=500)
+    return frames.select("media_ref", "frame_index", "ts_ms", "px_sum").orderBy(
+        "media_ref", "frame_index"
     )
 
 

@@ -272,3 +272,45 @@ class TestPng:
         resized = media_resizer(payload, 8, 6)
         out = decode_png(resized)
         assert out.shape == (6, 8, 3)
+
+
+class TestPvid:
+    def test_roundtrip(self):
+        from turtle_spark.functions.imaging import (
+            decode_pvid, encode_pvid, synth_pixels,
+        )
+
+        frames = [synth_pixels(5, 4, s, 7, 9) for s in (1, 18, 35)]
+        out, fms = decode_pvid(encode_pvid(frames, 250))
+        assert fms == 250 and len(out) == 3
+        assert all((a == b).all() for a, b in zip(frames, out))
+
+    def test_rejects_garbage(self):
+        import pytest
+        from turtle_spark.functions.imaging import decode_pvid, encode_pvid
+
+        with pytest.raises(ValueError, match="PVID"):
+            decode_pvid(b"nope")
+        with pytest.raises(ValueError):
+            encode_pvid([], 100)
+
+    def test_resizer_resizes_every_frame(self):
+        from turtle_spark.functions.imaging import (
+            decode_pvid, encode_pvid, media_resizer, synth_pixels,
+        )
+
+        payload = encode_pvid([synth_pixels(16, 12, s, 3, 5) for s in (0, 17)], 500)
+        frames, fms = decode_pvid(media_resizer(payload, 8, 6))
+        assert fms == 500
+        assert [f.shape for f in frames] == [(6, 8, 3), (6, 8, 3)]
+
+    def test_decoder_uses_frame_stack(self):
+        import numpy as np
+        from turtle_spark.functions.imaging import (
+            encode_pvid, image_features, media_decoder, synth_pixels,
+        )
+
+        frames = [synth_pixels(6, 5, s, 11, 13) for s in (2, 19, 36)]
+        got = media_decoder(encode_pvid(frames, 250), "video", 16)
+        expect = image_features(np.concatenate(frames, axis=0), 16)
+        assert (got == expect).all()

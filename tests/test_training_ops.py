@@ -181,18 +181,32 @@ def test_multimodal_plumbing(spark):
 
 
 def test_frame_sampling(spark):
+    """Real PVID decode: sampled frames carry exact pixel sums that a
+    local decode of the same payload reproduces."""
+    from turtle_spark.functions.imaging import decode_pvid
+    import numpy as np
+
     docs = generate_docs(spark, 60, seed=22)
     media = synthesize_media_table(docs)
-    frames = sample_frames(media, every_ms=60000)
-    vids = media.where(F.col("media_type") == "video")
-    if vids.count() == 0:
+    vids = {r.media_ref: r for r in media.where(F.col("media_type") == "video").collect()}
+    if not vids:
         pytest.skip("no synthetic video rows at this seed")
-    rows = frames.collect()
-    assert all(r.ts_ms % 60000 == 0 for r in rows)
-    per_ref = frames.groupBy("media_ref").count().collect()
-    durations = {r.media_ref: r.meta.duration_ms for r in vids.collect()}
-    for r in per_ref:
-        assert r["count"] == durations[r.media_ref] // 60000 + 1
+    rows = sample_frames(media, every_ms=250).collect()
+    assert all(r.ts_ms % 250 == 0 for r in rows)
+    # every sampled frame's stats match a driver-side decode
+    seen = set()
+    for r in rows:
+        frames, fms = decode_pvid(bytes(vids[r.media_ref].payload))
+        assert r.ts_ms == r.frame_index * fms
+        frame = frames[r.frame_index]
+        assert r.px_sum == int(np.asarray(frame, dtype=np.int64).sum())
+        assert r.n_px == frame.size
+        seen.add(r.media_ref)
+    assert seen == set(vids)  # ts=0 keeps at least one frame per video
+    # coarser grid keeps strictly frames on that grid
+    coarse = sample_frames(media, every_ms=1000).collect()
+    assert all(r.ts_ms % 1000 == 0 for r in coarse)
+    assert len(coarse) <= len(rows)
 
 
 def test_resize_media(spark):

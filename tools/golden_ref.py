@@ -535,14 +535,18 @@ def _synth_audio_samples(n: int, sa: int, sb: int) -> list[int]:
 
 def _corpus_media(n_docs: int = 200, seed: int = 42):
     """(media_ref, doc_id, media_type, payload_len, duration_ms,
-    image_or_none, audio_or_none) rows; audio_or_none is
-    (sample_rate, samples).
+    image_or_none, audio_or_none, video_or_none) rows; audio_or_none
+    is (sample_rate, samples); video_or_none is (frames, frame_ms)
+    and the image slot of a video row carries the vertical FRAME
+    STACK (the engine's media_decoder computes pixel features of the
+    concatenated frames, so the shared image branch applies).
 
-    Image payload byte-lengths are derived ANALYTICALLY from the
-    container specs (PPM: ASCII header + 3wh raster; BMP: 54-byte
-    headers + 4-byte-aligned rows; WAV: 44-byte canonical header +
-    2 bytes/sample) rather than by calling the engine's encoders — so
-    `total_bytes` independently checks the encoders' output sizes."""
+    Payload byte-lengths are derived ANALYTICALLY from the container
+    specs (PPM: ASCII header + 3wh raster; BMP: 54-byte headers +
+    4-byte-aligned rows; WAV: 44-byte canonical header + 2 bytes per
+    sample; PVID: 12-byte header + n_frames PPM frames) rather than
+    by calling the engine's encoders — so `total_bytes` independently
+    checks the encoders' output sizes."""
     out = []
     for doc_id, spans in _corpus_docs(n_docs, seed):
         for kind, _text, ref, _off in spans:
@@ -550,26 +554,38 @@ def _corpus_media(n_docs: int = 200, seed: int = 42):
                 continue
             h = xxh64_str(ref)
             mtype = ("image", "audio", "video")[h % 3]
-            dur = h % 600000 + 1
             if mtype == "image":
+                dur = h % 600000 + 1
                 w, hgt = h % 40 + 8, h % 24 + 8
                 img = _synth_image_pixels(w, hgt, h % 256, h % 251, h % 241)
                 if h % 2 == 0:  # PPM
                     plen = len(f"P6\n{w} {hgt}\n255\n") + 3 * w * hgt
                 else:  # BMP: 14+40 headers, rows padded to 4 bytes
                     plen = 54 + ((3 * w + 3) & ~3) * hgt
-                out.append((ref, doc_id, mtype, plen, dur, img, None))
+                out.append((ref, doc_id, mtype, plen, dur, img, None, None))
             elif mtype == "audio":
                 rate = (8000, 16000)[h % 2]
                 n = h % 4000 + 400
                 samples = _synth_audio_samples(n, h % 256, h % 251)
                 out.append(
                     (ref, doc_id, mtype, 44 + 2 * n, n * 1000 // rate,
-                     None, (rate, samples))
+                     None, (rate, samples), None)
                 )
             else:
+                nf = h % 4 + 2
+                fms = (250, 500)[h % 2]
+                w, hgt = h % 24 + 8, h % 16 + 8
+                frames = [
+                    _synth_image_pixels(
+                        w, hgt, (h % 256 + 17 * f) % 256, h % 251, h % 241
+                    )
+                    for f in range(nf)
+                ]
+                plen = 12 + nf * (len(f"P6\n{w} {hgt}\n255\n") + 3 * w * hgt)
+                stack = np.concatenate(frames, axis=0)
                 out.append(
-                    (ref, doc_id, mtype, len("payload:" + ref), dur, None, None)
+                    (ref, doc_id, mtype, plen, nf * fms, stack, None,
+                     (frames, fms))
                 )
     return out
 
@@ -590,7 +606,7 @@ def _audio_feature_stats(rate: int, samples: list[int]) -> tuple[float, ...]:
 
 def ref_q_media_features() -> tuple[list[str], list[tuple]]:
     agg: dict[str, tuple[int, int, list[float], list[float]]] = {}
-    for ref, _doc, mtype, plen, _dur, img, aud in _corpus_media():
+    for ref, _doc, mtype, plen, _dur, img, aud, _vid in _corpus_media():
         if img is not None:
             # engine spec: f0 = w/1024, f2 = mean(R)/255, float64 math
             # cast to float32 once at the end
@@ -600,15 +616,8 @@ def ref_q_media_features() -> tuple[list[str], list[tuple]]:
         elif aud is not None:
             # engine spec: f0 = duration seconds, f2 = peak/32768
             f0, _rms, px, _zcr = _audio_feature_stats(*aud)
-        else:
-            payload = ("payload:" + ref).encode()
-            data = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-            idx = np.arange(data.size) % 16
-            vec = np.zeros(16, dtype=np.float32)
-            np.add.at(vec, idx, data)
-            norm = float(np.linalg.norm(vec)) or 1.0
-            f0 = float(np.float32(vec[0] / norm))
-            px = float(np.float32(vec[2] / norm))
+        else:  # every corpus row now decodes for real (image/stack/audio)
+            raise AssertionError("corpus media row with neither pixels nor samples")
         n, total, f0s, pxs = agg.setdefault(mtype, (0, 0, [], []))
         agg[mtype] = (n + 1, total + plen, f0s, pxs)
         f0s.append(spark_round(f0, 4))
@@ -630,7 +639,7 @@ def ref_q_audio_stats() -> tuple[list[str], list[tuple]]:
     recomputes the same stats from an independent big-int reimplementation
     of the waveform spec — any encode/decode defect breaks parity."""
     out = []
-    for ref, _doc, mtype, plen, dur, _img, aud in sorted(
+    for ref, _doc, mtype, plen, dur, _img, aud, _vid in sorted(
         _corpus_media(), key=lambda t: t[0]
     ):
         if aud is None:
@@ -647,15 +656,23 @@ def ref_q_audio_stats() -> tuple[list[str], list[tuple]]:
 
 
 def ref_q_frame_sample() -> tuple[list[str], list[tuple]]:
+    """Real frame sampling — independently splits each video's frame
+    list, keeps frames on the 500 ms grid, and recomputes the exact
+    integer pixel sum per retained frame."""
     out = []
-    for ref, _doc, mtype, _plen, dur, _img, _aud in sorted(
+    for ref, _doc, _mtype, _plen, _dur, _img, _aud, vid in sorted(
         _corpus_media(), key=lambda t: t[0]
     ):
-        if mtype != "video":
+        if vid is None:
             continue
-        n_frames = dur // 1000 + 1  # sequence(0, dur, 1000) inclusive
-        out.append((ref, n_frames, (dur // 1000) * 1000))
-    return ["media_ref", "n_frames", "last_ts_ms"], out
+        frames, fms = vid
+        for idx, frame in enumerate(frames):
+            ts = idx * fms
+            if ts % 500 != 0:
+                continue
+            px_sum = int(np.asarray(frame, dtype=np.int64).sum())
+            out.append((ref, idx, ts, px_sum))
+    return ["media_ref", "frame_index", "ts_ms", "px_sum"], out
 
 
 def ref_q_dedup_clusters(sf_dir: str) -> tuple[list[str], list[tuple]]:
@@ -2029,7 +2046,7 @@ def ref_q_image_phash() -> tuple[list[str], list[tuple]]:
     qualifying pair shares a band, so discovered == all pairs with
     Hamming <= 3."""
     hashes: dict[str, int] = {}
-    for ref, _doc, mtype, _plen, _dur, img, _audio in _corpus_media(200):
+    for ref, _doc, mtype, _plen, _dur, img, _audio, _vid in _corpus_media(200):
         if mtype != "image":
             continue
         hashes[ref] = _grid_phash_py(img)
@@ -2462,7 +2479,7 @@ DUCK_TYPES = {
     "q_ivf_topk": {"query_id": "BIGINT", "neighbor_id": "BIGINT", "cosine": "DOUBLE", "rank": "INTEGER"},
     "q_media_features": {"media_type": "VARCHAR", "n_media": "BIGINT", "total_bytes": "BIGINT", "f0_sum": "DOUBLE", "px_mean_sum": "DOUBLE"},
     "q_audio_stats": {"media_ref": "VARCHAR", "duration_ms": "INTEGER", "n_bytes": "INTEGER", "duration_s": "DOUBLE", "rms": "DOUBLE", "peak": "DOUBLE", "zcr": "DOUBLE"},
-    "q_frame_sample": {"media_ref": "VARCHAR", "n_frames": "BIGINT", "last_ts_ms": "INTEGER"},
+    "q_frame_sample": {"media_ref": "VARCHAR", "frame_index": "INTEGER", "ts_ms": "INTEGER", "px_sum": "BIGINT"},
     "q_dedup_clusters": {"cluster_size": "BIGINT", "n_clusters": "BIGINT"},
     "q_predicate_profile": {
         "predicate": "VARCHAR", "n_triples": "BIGINT", "n_subjects": "BIGINT",

@@ -6,8 +6,11 @@ this sandbox.  PPM (P6 binary portable pixmap) and uncompressed 24-bit
 BMP need no external libraries, so they make the Arrow decode path
 REAL end-to-end: synthesize payload bytes -> sniff magic -> decode to
 an (h, w, 3) uint8 array -> compute actual pixel statistics -> resize
-by nearest-neighbor -> re-encode.  Formats that need real codecs
-(JPEG/PNG/audio/video) still raise at the seam, by design.
+by nearest-neighbor -> re-encode.  PNG (RGB8, stdlib zlib) decodes
+too, and video ships in the PVID frame container below, so every
+synthetic media type round-trips through real byte-level codecs;
+formats needing true external codecs (JPEG/H.264/MP3) still raise at
+the seam, by design.
 
 Determinism contract: every function here is pure and single-threaded
 numpy; `tools/golden_ref.py` reimplements the decode + feature math
@@ -194,10 +197,15 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 def media_decoder(payload: bytes, media_type: str, dim: int) -> np.ndarray:
     """REAL decoder for `operators.multimodal.decode_features`: PPM/BMP
-    payloads decode to pixels and yield actual pixel statistics;
+    /PNG payloads decode to pixels and yield actual pixel statistics;
     RIFF/WAVE PCM16 payloads decode to samples and yield actual signal
-    statistics; remaining media (video — codecs not present here) falls
-    back to the deterministic content-derived stub vector."""
+    statistics; PVID video payloads decode to their frame stack and
+    yield the stack's pixel statistics.  Unknown formats fall back to
+    the deterministic content-derived stub vector (the remaining seam
+    for codecs this sandbox lacks)."""
+    if sniff_pvid(payload or b""):
+        frames, _frame_ms = decode_pvid(payload)
+        return image_features(np.concatenate(frames, axis=0), dim)
     if sniff_format(payload or b"") is not None:
         return image_features(decode_image(payload), dim)
     from turtle_spark.functions.audio import audio_features, decode_wav, sniff_wav
@@ -220,8 +228,14 @@ def resize_nearest(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
 
 def media_resizer(payload: bytes, new_w: int, new_h: int) -> bytes:
     """REAL resizer for `operators.multimodal.resize_media`: decodes
-    PPM/BMP, nearest-neighbor resizes, re-encodes in the same format;
-    non-image payloads pass through unchanged."""
+    PPM/BMP/PNG, nearest-neighbor resizes, re-encodes in the same
+    format; PVID videos resize frame-by-frame; other payloads pass
+    through unchanged."""
+    if sniff_pvid(payload or b""):
+        frames, frame_ms = decode_pvid(payload)
+        return encode_pvid(
+            [resize_nearest(f, new_w, new_h) for f in frames], frame_ms
+        )
     fmt = sniff_format(payload or b"")
     if fmt is None:
         return payload
@@ -398,3 +412,50 @@ def perturb_image(img: np.ndarray, brightness: int = 16) -> np.ndarray:
     h, w, _ = img.shape
     lifted = np.minimum(img.astype(np.int64) + brightness, 255).astype(np.uint8)
     return resize_nearest(lifted, w * 2, h * 2)
+
+
+# --- PVID (multi-frame video container of PPM frames) ----------------------
+#
+# Real video codecs (H.264/VP9/AV1) need external libraries this
+# sandbox lacks, but "a video" for pipeline purposes is just a timed
+# frame sequence — so the synthetic corpus ships its videos in a
+# trivial self-describing container: ``PVID`` magic, little-endian
+# uint32 frame count + frame interval (ms), then that many binary P6
+# PPM frames back-to-back.  Every byte is decodable with the codecs
+# above, which makes frame sampling, per-frame pixel statistics, and
+# per-frame resize REAL end-to-end (the former video stub seam).
+
+_PVID_MAGIC = b"PVID"
+
+
+def sniff_pvid(payload: bytes) -> bool:
+    return payload[:4] == _PVID_MAGIC
+
+
+def encode_pvid(frames: list[np.ndarray], frame_ms: int) -> bytes:
+    """Timed frame sequence -> PVID container bytes."""
+    if not frames:
+        raise ValueError("encode_pvid needs at least one frame")
+    body = b"".join(encode_ppm(f) for f in frames)
+    return _PVID_MAGIC + struct.pack("<II", len(frames), int(frame_ms)) + body
+
+
+def decode_pvid(data: bytes) -> tuple[list[np.ndarray], int]:
+    """PVID container bytes -> (frames, frame interval ms)."""
+    if not sniff_pvid(data):
+        raise ValueError("not a PVID payload")
+    n_frames, frame_ms = struct.unpack_from("<II", data, 4)
+    frames: list[np.ndarray] = []
+    off = 12
+    for _ in range(n_frames):
+        if data[off : off + 2] != b"P6":
+            raise ValueError("corrupt PVID: frame is not P6 PPM")
+        # canonical encoder header: P6\n{w} {h}\n255\n
+        nl1 = data.index(b"\n", off)
+        nl2 = data.index(b"\n", nl1 + 1)
+        nl3 = data.index(b"\n", nl2 + 1)
+        w, h = (int(v) for v in data[nl1 + 1 : nl2].split())
+        end = nl3 + 1 + 3 * w * h
+        frames.append(decode_ppm(data[off:end]))
+        off = end
+    return frames, int(frame_ms)

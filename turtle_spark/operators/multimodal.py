@@ -66,10 +66,12 @@ def synthesize_media_table(docs: DataFrame) -> DataFrame:
     ref hash, so both codec paths are exercised) with small honest
     dimensions in ``meta``.  Audio rows carry REAL RIFF/WAVE PCM16
     payloads (``functions/audio.py``) with honest sample-derived
-    ``duration_ms``.  Video rows keep content-derived pseudo-bytes
-    (video codecs are outside the sandbox).  All selection math (type,
-    dims, rates, seeds, format) is JVM column arithmetic; only the
-    pixel/sample-byte materialization runs in Python, Arrow-batched.
+    ``duration_ms``.  Video rows carry REAL PVID frame containers
+    (``functions/imaging.py``: timed PPM frame sequence) with honest
+    per-frame dimensions and ``duration_ms = n_frames * frame_ms``.
+    All selection math (type, dims, rates, frame counts, seeds,
+    format) is JVM column arithmetic; only the pixel/sample-byte
+    materialization runs in Python, Arrow-batched.
     """
     span = F.explode("spans").alias("span")
     media = docs.select("doc_id", span).where(F.col("span.kind") == "media")
@@ -80,6 +82,7 @@ def synthesize_media_table(docs: DataFrame) -> DataFrame:
     )
     is_image = mtype == "image"
     is_audio = mtype == "audio"
+    is_video = mtype == "video"
     rate = F.when(
         is_audio,
         F.element_at(
@@ -89,30 +92,44 @@ def synthesize_media_table(docs: DataFrame) -> DataFrame:
     nsamp = F.when(is_audio, (F.pmod(h, F.lit(4000)) + 400).cast("int")).otherwise(
         F.lit(0)
     )
+    n_frames = F.when(is_video, (F.pmod(h, F.lit(4)) + 2).cast("int")).otherwise(
+        F.lit(0)
+    )
+    frame_ms = F.when(
+        is_video,
+        F.element_at(
+            F.array(F.lit(250), F.lit(500)), (F.pmod(h, F.lit(2)) + 1).cast("int")
+        ),
+    ).otherwise(F.lit(0))
     base = media.select(
         F.col("span.media_ref").alias("media_ref"),
         "doc_id",
         mtype.alias("media_type"),
         F.when(is_image, F.pmod(h, F.lit(40)).cast("int") + 8)
+        .when(is_video, F.pmod(h, F.lit(24)).cast("int") + 8)
         .otherwise((F.pmod(h, F.lit(1920)) + 1).cast("int"))
         .alias("width"),
         F.when(is_image, F.pmod(h, F.lit(24)).cast("int") + 8)
+        .when(is_video, F.pmod(h, F.lit(16)).cast("int") + 8)
         .otherwise((F.pmod(h, F.lit(1080)) + 1).cast("int"))
         .alias("height"),
-        # audio duration is honest: floor(n_samples * 1000 / rate)
+        # audio/video durations are honest: sample- / frame-derived
         F.when(is_audio, F.floor(nsamp * F.lit(1000) / rate))
+        .when(is_video, n_frames * frame_ms)
         .otherwise(F.pmod(h, F.lit(600000)) + 1)
         .cast("int")
         .alias("duration_ms"),
         F.when(is_image, F.when(F.pmod(h, F.lit(2)) == 0, F.lit("ppm")).otherwise(F.lit("bmp")))
         .when(is_audio, F.lit("wav"))
-        .otherwise(F.lit("synthetic"))
+        .otherwise(F.lit("pvid"))
         .alias("codec"),
         F.pmod(h, F.lit(256)).cast("int").alias("_s0"),
         F.pmod(h, F.lit(251)).cast("int").alias("_s1"),
         F.pmod(h, F.lit(241)).cast("int").alias("_s2"),
         rate.alias("_rate"),
         nsamp.alias("_nsamp"),
+        n_frames.alias("_nf"),
+        frame_ms.alias("_fms"),
     )
 
     def batches(it):
@@ -120,10 +137,10 @@ def synthesize_media_table(docs: DataFrame) -> DataFrame:
 
         for pdf in it:
             payloads = []
-            for ref, mt, codec, w, hgt, s0, s1, s2, sr, ns in zip(
+            for ref, mt, codec, w, hgt, s0, s1, s2, sr, ns, nf, fms in zip(
                 pdf["media_ref"], pdf["media_type"], pdf["codec"],
                 pdf["width"], pdf["height"], pdf["_s0"], pdf["_s1"], pdf["_s2"],
-                pdf["_rate"], pdf["_nsamp"],
+                pdf["_rate"], pdf["_nsamp"], pdf["_nf"], pdf["_fms"],
             ):
                 if mt == "image":
                     img = imaging.synth_pixels(
@@ -138,7 +155,14 @@ def synthesize_media_table(docs: DataFrame) -> DataFrame:
                     samples = audio.synth_pcm(int(ns), int(s0), int(s1))
                     payloads.append(audio.encode_wav(samples, int(sr)))
                 else:
-                    payloads.append(("payload:" + ref).encode())
+                    frames = [
+                        imaging.synth_pixels(
+                            int(w), int(hgt), (int(s0) + 17 * f) % 256,
+                            int(s1), int(s2),
+                        )
+                        for f in range(int(nf))
+                    ]
+                    payloads.append(imaging.encode_pvid(frames, int(fms)))
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],
@@ -280,22 +304,63 @@ def resize_media(
     return out.mapInPandas(batches, schema=schema)
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000, stub: bool = True) -> DataFrame:
-    """Frame-sampling plumbing for video rows: one output row per
-    sampled timestamp (real frame decode stubbed)."""
-    if not stub:
-        raise NotImplementedError("real frame extraction not available in sandbox")
-    video = media.where(F.col("media_type") == "video")
-    ts = F.sequence(
-        F.lit(0),
-        F.col("meta.duration_ms"),
-        F.lit(every_ms),
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("n_px", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling for video rows: decode the PVID container,
+    keep the frames whose timestamp lands on the ``every_ms`` grid,
+    and emit genuine per-frame pixel statistics (exact integer pixel
+    sum — zero float drift across engines).
+
+    One Arrow-batched ``mapInPandas`` over the video rows only; the
+    frame loop is per retained frame, bounded by payload size.  At
+    scale this is the shape a real extractor (pyav) plugs into — the
+    container parse is the only part that changes."""
+    video = media.where(F.col("media_type") == "video").select(
+        "media_ref", "doc_id", "payload"
     )
-    return video.select(
-        "media_ref",
-        "doc_id",
-        F.posexplode(ts).alias("frame_index", "ts_ms"),
-    )
+
+    def batches(it):
+        from turtle_spark.functions import imaging
+
+        for pdf in it:
+            refs, dids, idxs, tss, sums, npxs = [], [], [], [], [], []
+            for ref, did, payload in zip(
+                pdf["media_ref"], pdf["doc_id"], pdf["payload"]
+            ):
+                frames, fms = imaging.decode_pvid(bytes(payload))
+                for idx, frame in enumerate(frames):
+                    ts = idx * fms
+                    if ts % every_ms != 0:
+                        continue
+                    refs.append(ref)
+                    dids.append(did)
+                    idxs.append(idx)
+                    tss.append(ts)
+                    sums.append(int(np.asarray(frame, dtype=np.int64).sum()))
+                    npxs.append(int(frame.size))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pd.Series(refs, dtype=object),
+                    "doc_id": pd.Series(dids, dtype=object),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int32"),
+                    "px_sum": pd.Series(sums, dtype="int64"),
+                    "n_px": pd.Series(npxs, dtype="int32"),
+                }
+            )
+
+    return video.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
 PHASH_SCHEMA = T.StructType(
