@@ -3189,6 +3189,19 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_sketch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation (operators/metrics.py::sketch_recall):
+    the MinHash-LSH near-dup tier measured against EXACT all-pairs
+    shingle-Jaccard ground truth on the documents sample — the
+    'measure, don't guess' gate for banding/cap recall losses.  The
+    all-pairs side is deliberate bounded-sample brute force (the same
+    contract as the cosine_pairs oracle baseline); n_extra must be 0
+    because LSH candidates are exactly verified."""
+    from turtle_spark.operators.metrics import sketch_recall
+
+    return sketch_recall(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def _q_direct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational -> RDF direct mapping (W3C RDB2RDF rec;
     operators/rdb2rdf.py): region, nation and customer mapped to row
@@ -3348,7 +3361,7 @@ _SF_GOLDENS = frozenset(
         "q_minhash_dedup_docs", "q_simhash_dedup_docs", "q_doc_fingerprints",
         "q_lsh_topk", "q_ivf_topk", "q_dedup_clusters", "q_pack_sequences",
         "q_mixture_sample", "q_novelty_screen",
-        "q_lm_quality", "q_dsir_weights",
+        "q_lm_quality", "q_dsir_weights", "q_sketch_recall",
     }
 )
 
@@ -3400,6 +3413,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_property_table",
         "q_lm_quality",
         "q_dsir_weights",
+        "q_sketch_recall",
     }
 )
 
@@ -3489,6 +3503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_property_table": _q_property_table,
         "q_lm_quality": _q_lm_quality,
         "q_dsir_weights": _q_dsir_weights,
+        "q_sketch_recall": _q_sketch_recall,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

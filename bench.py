@@ -130,6 +130,7 @@ HEADLINE = [
     "q_property_table",
     "q_lm_quality",
     "q_dsir_weights",
+    "q_sketch_recall",
 ]
 
 

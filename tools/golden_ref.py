@@ -2384,9 +2384,38 @@ def ref_q_dsir_weights(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["doc_id", "n_bigrams", "weight_num", "dsir_w"], out
 
 
+def ref_q_sketch_recall(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """LSH recall vs brute-force exact ground truth — all-pairs
+    distinct-shingle Jaccard >= 0.5 compared with _minhash_edges (the
+    engine's banding/caps pipeline re-derivation)."""
+    docs = _read_documents(sf_dir)
+    sets = {
+        int(did): set(int(v) for v in char_shingles(t or "", 5))
+        for did, t in docs
+    }
+    ids = sorted(sets)
+    true_pairs = set()
+    for i, x in enumerate(ids):
+        sx = sets[x]
+        for y in ids[i + 1 :]:
+            sy = sets[y]
+            un = len(sx | sy)
+            j = (len(sx & sy) / un) if un else 1.0
+            if j >= 0.5:
+                true_pairs.add((x, y))
+    lsh = {(int(s), int(d)) for s, d, _ in _minhash_edges(docs)}
+    tp = true_pairs & lsh
+    missed = true_pairs - lsh
+    extra = lsh - true_pairs
+    recall = len(tp) / len(true_pairs) if true_pairs else None
+    row = (len(true_pairs), len(lsh), len(tp), len(missed), len(extra), recall)
+    return ["n_true", "n_lsh", "n_tp", "n_missed", "n_extra", "recall"], [row]
+
+
 SF_QUERIES = {
     "q_lm_quality": ref_q_lm_quality,
     "q_dsir_weights": ref_q_dsir_weights,
+    "q_sketch_recall": ref_q_sketch_recall,
     "q_novelty_screen": ref_q_novelty_screen,
     "q_mixture_sample": ref_q_mixture_sample,
     "q_minhash_dedup_docs": ref_q_minhash_dedup_docs,
@@ -2462,6 +2491,7 @@ DUCK_TYPES = {
     "q_property_table": {"n_filled": "INTEGER", "n_subjects": "BIGINT", "row_fp": "BIGINT"},
     "q_lm_quality": {"doc_id": "BIGINT", "n_grams": "BIGINT", "score_num": "BIGINT", "n_oov": "BIGINT", "lm_q": "DOUBLE"},
     "q_dsir_weights": {"doc_id": "BIGINT", "n_bigrams": "BIGINT", "weight_num": "BIGINT", "dsir_w": "DOUBLE"},
+    "q_sketch_recall": {"n_true": "BIGINT", "n_lsh": "BIGINT", "n_tp": "BIGINT", "n_missed": "BIGINT", "n_extra": "BIGINT", "recall": "DOUBLE"},
     "q_sameas_canonical": {"subject": "VARCHAR", "n_aliases": "BIGINT", "n_triples": "BIGINT", "triple_fp": "BIGINT"},
     "q_image_phash": {"id1": "VARCHAR", "id2": "VARCHAR", "hamming": "INTEGER"},
     "q_graph_fingerprint": {"doc_id": "VARCHAR", "graph_fp": "BIGINT", "n_triples": "BIGINT", "n_blanks": "BIGINT", "invariant": "BOOLEAN"},
