@@ -2164,6 +2164,36 @@ def _q_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("t")
 
 
+def _q_sparql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL numeric aggregates + HAVING: the per-predicate literal
+    census — ``SELECT ?p (COUNT(?v) ...) (SUM(?v) ...) (AVG(?v) ...)
+    (SAMPLE(?v) ...) WHERE { ?s ?p ?v . FILTER isLiteral(?v) }
+    GROUP BY ?p HAVING (COUNT(?v) >= 10)``.  SUM/AVG cast the lexical
+    form to DECIMAL(38,10) so partial aggregates are exact (bit-
+    identical at any partitioning); non-numeric forms cast to NULL
+    and drop out, SPARQL's type-error semantics.  HAVING lands as a
+    codegen'd predicate after the single hash aggregation.  Still ONE
+    shuffle total."""
+    from turtle_spark.operators.sparql import sparql_select
+
+    return (
+        sparql_select(
+            _corpus_triples(spark),
+            patterns=[("?s", "?p", "?v", "literal")],
+            group_by=["p"],
+            aggregates={
+                "n_lit": ("count", "v"),
+                "total": ("sum", "v"),
+                "mean_val": ("avg", "v"),
+                "lex_min": ("sample", "v"),
+            },
+            having=["?n_lit >= 10"],
+        )
+        .withColumn("total", F.col("total").cast("double"))
+        .orderBy("p")
+    )
+
+
 def _q_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL UNION + VALUES: social links from two vocabularies —
     the foaf:knows branch is VALUES-restricted to two heroes plus one
@@ -3353,6 +3383,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_kg_temporal", "q_sparql_update", "q_void_stats",
         "q_owl_entail", "q_bnode_canonical",
         "q_prefix_induction", "q_skolemize", "q_property_table",
+        "q_sparql_having",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -3414,6 +3445,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_lm_quality",
         "q_dsir_weights",
         "q_sketch_recall",
+        "q_sparql_having",
     }
 )
 
@@ -3504,6 +3536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_quality": _q_lm_quality,
         "q_dsir_weights": _q_dsir_weights,
         "q_sketch_recall": _q_sketch_recall,
+        "q_sparql_having": _q_sparql_having,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

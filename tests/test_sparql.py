@@ -137,6 +137,49 @@ def test_group_by_aggregates(tiny):
     assert got == {"e/a": (2, 1, "e/b"), "e/b": (1, 1, "e/c")}
 
 
+def test_sum_avg_group_concat_sample(tiny):
+    # name lengths per subject prefix: numeric aggregates over the
+    # lexical form, decimal-exact sum, deterministic avg.
+    out = sparql_select(
+        tiny,
+        patterns=[("?s", "p/name", "?n")],
+        aggregates={
+            "total_age": ("sum", "n"),  # non-numeric → NULL sum
+            "names": ("group_concat", "n", "|"),
+            "one": ("sample", "n"),
+        },
+    )
+    row = out.collect()[0]
+    assert row["total_age"] is None  # lexical non-numerics cast to NULL
+    assert row["names"] == "Alice|Bo|Carol"  # sorted, engine-deterministic
+    assert row["one"] == "Alice"  # SAMPLE = MIN, deterministic
+
+    ages = sparql_select(
+        tiny,
+        patterns=[("?s", "p/age", "?v")],
+        aggregates={"s": ("sum", "v"), "m": ("avg", "v")},
+    ).collect()[0]
+    assert float(ages["s"]) == 33.0
+    assert ages["m"] == 33.0
+
+
+def test_having_filters_aggregate_output(tiny):
+    out = sparql_select(
+        tiny,
+        patterns=[("?a", "p/knows", "?b")],
+        group_by=["a"],
+        aggregates={"n": ("count", None)},
+        having=["?n > 1"],
+    )
+    got = {r["a"]: r["n"] for r in out.collect()}
+    assert got == {"e/a": 2}  # bag semantics: duplicate triple counts
+
+
+def test_having_without_aggregates_refused(tiny):
+    with pytest.raises(ValueError, match="HAVING requires aggregates"):
+        sparql_select(tiny, [("?a", "p/knows", "?b")], having=["?a > 1"])
+
+
 def test_distinct(tiny):
     out = sparql_select(tiny, [("?a", "p/knows", "?b")], distinct=True)
     assert _rows(out) == [("e/a", "e/b"), ("e/b", "e/c")]

@@ -1296,6 +1296,45 @@ def ref_q_sparql_agg() -> tuple[list[str], list[tuple]]:
     return ["t", "n_rows", "n_subjects"], out
 
 
+def ref_q_sparql_having() -> tuple[list[str], list[tuple]]:
+    """SPARQL SUM/AVG/SAMPLE + HAVING — per-predicate numeric census
+    over literal objects.  Mirrors the engine's documented numeric
+    semantics exactly: the lexical form is cast to DECIMAL(38,10) with
+    HALF_UP rounding (Spark's ANSI string->decimal rule); forms that
+    do not cast (words, booleans, Infinity/NaN) are dropped; SUM is
+    the exact decimal sum rendered as DOUBLE; AVG is one double
+    division by the count of values that cast; SAMPLE is MIN.  HAVING
+    keeps predicates with >= 10 literal bindings."""
+    from decimal import ROUND_HALF_UP, Decimal, InvalidOperation
+
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    groups: dict[str, list[str]] = {}
+    for r in rows:
+        if r[7] == "literal":
+            groups.setdefault(r[3], []).append(r[4])
+    q = Decimal("1E-10")
+    out: list[tuple] = []
+    for p in sorted(groups):
+        vals = groups[p]
+        if len(vals) < 10:
+            continue
+        nums = []
+        for v in vals:
+            try:
+                d = Decimal(v)
+            except InvalidOperation:
+                continue
+            if not d.is_finite():
+                continue
+            nums.append(d.quantize(q, rounding=ROUND_HALF_UP))
+        # + 0.0 normalizes IEEE -0.0 (a sum of only -0E-10 terms) to
+        # the 0.0 Spark's decimal (signless zero) produces
+        total = float(sum(nums)) + 0.0 if nums else None
+        mean = (float(sum(nums)) + 0.0) / len(nums) if nums else None
+        out.append((p, len(vals), total, mean, min(vals)))
+    return ["p", "n_lit", "total", "mean_val", "lex_min"], out
+
+
 def ref_q_sparql_union() -> tuple[list[str], list[tuple]]:
     """SPARQL UNION + VALUES — two link vocabularies with different
     variable sets; the knows branch is VALUES-restricted, the enemyOf
@@ -2449,6 +2488,7 @@ CORPUS_QUERIES = {
     "q_rdfs_entail": ref_q_rdfs_entail,
     "q_sparql_optional": ref_q_sparql_optional,
     "q_sparql_agg": ref_q_sparql_agg,
+    "q_sparql_having": ref_q_sparql_having,
     "q_sparql_union": ref_q_sparql_union,
     "q_sparql_minus": ref_q_sparql_minus,
     "q_sparql_topk": ref_q_sparql_topk,
@@ -2542,6 +2582,7 @@ DUCK_TYPES = {
     "q_kcore": {"node": "VARCHAR", "degree": "BIGINT"},
     "q_sparql_optional": {"s": "VARCHAR", "name": "VARCHAR", "mbox": "VARCHAR", "n_bindings": "BIGINT"},
     "q_sparql_agg": {"t": "VARCHAR", "n_rows": "BIGINT", "n_subjects": "BIGINT"},
+    "q_sparql_having": {"p": "VARCHAR", "n_lit": "BIGINT", "total": "DOUBLE", "mean_val": "DOUBLE", "lex_min": "VARCHAR"},
     "q_sparql_union": {"a": "VARCHAR", "n_links": "BIGINT", "n_distinct": "BIGINT", "n_named": "BIGINT", "b_fp": "BIGINT"},
     "q_sparql_minus": {"s": "VARCHAR", "name": "VARCHAR", "n_no_enemy": "BIGINT", "n_knows": "BIGINT"},
     "q_sparql_topk": {"s": "VARCHAR", "o": "VARCHAR", "deg": "BIGINT"},

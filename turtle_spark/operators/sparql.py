@@ -262,7 +262,8 @@ def sparql_select(
     filters: list[str] | None = None,
     values: dict[str, list[str]] | None = None,
     group_by: list[str] | None = None,
-    aggregates: dict[str, tuple[str, str | None]] | None = None,
+    aggregates: dict[str, tuple] | None = None,
+    having: list[str] | None = None,
     distinct: bool = False,
     project: list[str] | None = None,
     subqueries: list[DataFrame] | None = None,
@@ -298,7 +299,24 @@ def sparql_select(
     ``values``: VALUES inline binding — ``{var: [allowed, ...]}``,
     inner-joined (broadcast) with the solution.
     ``aggregates``: ``{out_col: (fn, var)}`` with fn in
-    ``count | count_distinct | min | max``; ``var=None`` = COUNT(*).
+    ``count | count_distinct | min | max | sum | avg | sample |
+    group_concat``; ``var=None`` = COUNT(*).  Numeric aggregates
+    (SUM/AVG) cast the lexical form to DECIMAL(38,10) so partial
+    aggregation is EXACT and the result is bit-identical at any
+    partitioning — a float sum would drift with shuffle order; a
+    non-numeric lexical form casts to NULL (unbound — SPARQL's
+    type-error-drops-the-value reading), and AVG divides the exact
+    decimal sum by the count of values that cast, once, in DOUBLE.  SAMPLE is spec-implementation-defined; this engine picks
+    MIN so the choice is deterministic across cluster sizes.
+    GROUP_CONCAT accepts a 3-tuple ``(fn, var, separator)`` (default
+    separator a single space) and SORTS the collected values before
+    joining — the spec leaves order undefined, and an undefined order
+    is exactly what breaks at 100 TB where row order is a function of
+    partition count; sorted order is the documented engine semantics
+    (matches ``STRING_AGG(... ORDER BY ...)`` oracles).
+    ``having``: FILTER expressions over the aggregate output columns
+    (same grammar as ``filters``, e.g. ``"?n_rows > 2"``), applied
+    after the hash aggregation — requires ``aggregates``.
 
     MINUS / EXISTS right sides are projected to the shared variables
     and deduped before the join — a map-side partial aggregate that
@@ -391,7 +409,8 @@ def sparql_select(
 
     if aggregates:
         aggs = []
-        for out, (fn, var) in aggregates.items():
+        for out, spec in aggregates.items():
+            fn, var = spec[0], spec[1]
             if fn == "count":
                 aggs.append(
                     (F.count("*") if var is None else F.count(var)).alias(out)
@@ -402,9 +421,36 @@ def sparql_select(
                 aggs.append(F.min(var).alias(out))
             elif fn == "max":
                 aggs.append(F.max(var).alias(out))
+            elif fn == "sum":
+                aggs.append(
+                    F.sum(F.col(var).try_cast("decimal(38,10)")).alias(out)
+                )
+            elif fn == "avg":
+                # Exact decimal sum, one double division — deterministic
+                # at any partitioning (a double SUM would not be).  The
+                # denominator counts values that CAST (numeric lexical
+                # forms), matching SQL AVG(TRY_CAST(...)).
+                cast_col = F.col(var).try_cast("decimal(38,10)")
+                aggs.append(
+                    (F.sum(cast_col).cast("double") / F.count(cast_col)).alias(out)
+                )
+            elif fn == "sample":
+                aggs.append(F.min(var).alias(out))
+            elif fn == "group_concat":
+                sep = spec[2] if len(spec) > 2 else " "
+                aggs.append(
+                    F.array_join(
+                        F.array_sort(F.collect_list(var)), sep
+                    ).alias(out)
+                )
             else:
                 raise ValueError(f"unsupported aggregate {fn!r}")
         acc = acc.groupBy(*(group_by or [])).agg(*aggs)
+        agg_bound = set(group_by or []) | set(aggregates)
+        for hexpr in having or []:
+            acc = acc.where(compile_filter(hexpr, agg_bound))
+    elif having:
+        raise ValueError("HAVING requires aggregates")
     elif distinct:
         acc = acc.dropDuplicates()
 
