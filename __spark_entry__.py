@@ -2194,6 +2194,43 @@ def _q_sparql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sparql_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 BIND + expression functions: a literal-length census
+    by derived predicate local-name and size bucket — ``SELECT ?local
+    ?bucket (COUNT(*) ...) (SUM(?score) ...) WHERE { ?s ?p ?v .
+    FILTER isLiteral(?v) . BIND(STRAFTER(STR(?p), '1.0/') AS ?local)
+    BIND(STRLEN(?v) AS ?vlen) BIND(IF(?vlen >= 12, 'long', IF(?vlen
+    >= 4, 'mid', 'short')) AS ?bucket) BIND(?vlen * 3 + 1 AS ?score)
+    FILTER (?local != '') } GROUP BY ?local ?bucket``.  Every BIND is
+    a pure Column expression (withColumn, zero shuffle, zero Python);
+    the only exchange in the whole query is the final hash
+    aggregation.  SUM goes through the engine's DECIMAL(38,10) path —
+    scores are integers in double, so partial aggregation is exact at
+    any parallelism."""
+    from turtle_spark.operators.sparql import sparql_select
+
+    return (
+        sparql_select(
+            _corpus_triples(spark),
+            patterns=[("?s", "?p", "?v", "literal")],
+            bind={
+                "local": "STRAFTER(?p, '1.0/')",
+                "vlen": "STRLEN(?v)",
+                "bucket": "IF(?vlen >= 12, 'long', IF(?vlen >= 4, 'mid', 'short'))",
+                "score": "?vlen * 3 + 1",
+            },
+            filters=["?local != ''"],
+            group_by=["local", "bucket"],
+            aggregates={
+                "n_lit": ("count", None),
+                "total_score": ("sum", "score"),
+            },
+        )
+        .withColumn("total_score", F.col("total_score").cast("double"))
+        .orderBy("local", "bucket")
+    )
+
+
 def _q_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL UNION + VALUES: social links from two vocabularies —
     the foaf:knows branch is VALUES-restricted to two heroes plus one
@@ -3383,7 +3420,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_kg_temporal", "q_sparql_update", "q_void_stats",
         "q_owl_entail", "q_bnode_canonical",
         "q_prefix_induction", "q_skolemize", "q_property_table",
-        "q_sparql_having",
+        "q_sparql_having", "q_sparql_bind",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -3446,6 +3483,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_dsir_weights",
         "q_sketch_recall",
         "q_sparql_having",
+        "q_sparql_bind",
     }
 )
 
@@ -3537,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_weights": _q_dsir_weights,
         "q_sketch_recall": _q_sketch_recall,
         "q_sparql_having": _q_sparql_having,
+        "q_sparql_bind": _q_sparql_bind,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

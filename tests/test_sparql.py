@@ -180,6 +180,123 @@ def test_having_without_aggregates_refused(tiny):
         sparql_select(tiny, [("?a", "p/knows", "?b")], having=["?a > 1"])
 
 
+def test_arithmetic_in_filter(tiny):
+    # 33 * 2 - 6 = 60; precedence: mul binds tighter than add
+    out = sparql_select(
+        tiny,
+        patterns=[("?s", "p/age", "?v")],
+        filters=["?v * 2 - 6 = 60", "?v / 2 > 16", "-?v < 0"],
+    )
+    assert _rows(out) == [("e/c", "33")]
+    none = sparql_select(
+        tiny, [("?s", "p/age", "?v")], filters=["(?v + 1) * 2 = 60"]
+    )
+    assert none.count() == 0
+
+
+def test_bind_expressions(tiny):
+    out = sparql_select(
+        tiny,
+        patterns=[("?s", "p/name", "?n")],
+        bind={
+            "nlen": "STRLEN(?n)",
+            "shout": "CONCAT(UCASE(?n), '!')",
+            "size": "IF(?nlen >= 5, 'long', 'short')",
+            "initial": "SUBSTR(?n, 1, 1)",
+            "local": "STRAFTER(?s, 'e/')",
+            "rest": "SUBSTR(?n, 2)",
+        },
+        project=["n", "nlen", "shout", "size", "initial", "local", "rest"],
+    )
+    got = {r["n"]: r for r in out.collect()}
+    assert got["Alice"]["nlen"] == 5.0 or got["Alice"]["nlen"] == 5
+    assert got["Alice"]["shout"] == "ALICE!"
+    assert got["Alice"]["size"] == "long"
+    assert got["Bo"]["size"] == "short"
+    assert got["Carol"]["initial"] == "C"
+    assert got["Bo"]["local"] == "b"
+    assert got["Carol"]["rest"] == "arol"
+
+
+def test_bind_feeds_filter_and_groupby(tiny):
+    # FILTER sees the bound variable; GROUP BY groups on it
+    out = sparql_select(
+        tiny,
+        patterns=[("?s", "p/name", "?n")],
+        bind={"size": "IF(STRLEN(?n) >= 5, 'long', 'short')"},
+        filters=["?size = 'long'"],
+        group_by=["size"],
+        aggregates={"cnt": ("count", None)},
+    )
+    assert [(r["size"], r["cnt"]) for r in out.collect()] == [("long", 2)]
+
+
+def test_coalesce_over_optional(tiny):
+    out = sparql_select(
+        tiny,
+        patterns=[("?s", "p/name", "?n")],
+        optionals=[[("?s", "p/mbox", "?m")]],
+        bind={"contact": "COALESCE(?m, 'none')"},
+        project=["s", "contact"],
+    )
+    got = dict(_rows(out))
+    assert got == {"e/a": "mailto:a@x", "e/b": "none", "e/c": "none"}
+
+
+def test_strbefore_strafter_replace(tiny):
+    out = sparql_select(
+        tiny,
+        patterns=[("?s", "p/mbox", "?m")],
+        bind={
+            "scheme": "STRBEFORE(?m, ':')",
+            "addr": "STRAFTER(?m, ':')",
+            "masked": "REPLACE(?m, '[a-z]@', '*@')",
+            "missing": "STRBEFORE(?m, 'zzz')",  # absent -> ''
+            "empty_sep": "STRAFTER(?m, '')",  # spec: identity
+        },
+    )
+    r = out.collect()[0]
+    assert (r["scheme"], r["addr"]) == ("mailto", "a@x")
+    assert r["masked"] == "mailto:*@x"
+    assert r["missing"] == ""
+    assert r["empty_sep"] == "mailto:a@x"
+
+
+def test_numeric_functions(tiny):
+    out = sparql_select(
+        tiny,
+        patterns=[("?s", "p/age", "?v")],
+        bind={
+            "half_up": "CEIL(?v / 2)",
+            "half_down": "FLOOR(?v / 2)",
+            "dist": "ABS(30 - ?v)",
+        },
+    )
+    r = out.collect()[0]
+    assert (r["half_up"], r["half_down"], r["dist"]) == (17.0, 16.0, 3.0)
+
+
+def test_bind_rebind_refused(tiny):
+    with pytest.raises(ValueError, match="rebind"):
+        sparql_select(
+            tiny, [("?s", "p/name", "?n")], bind={"n": "UCASE(?n)"}
+        )
+
+
+def test_non_boolean_filter_refused(tiny):
+    with pytest.raises(ValueError, match="non-boolean"):
+        sparql_select(tiny, [("?s", "p/name", "?n")], filters=["?n + 1"])
+
+
+def test_replace_dynamic_pattern_refused(tiny):
+    with pytest.raises(ValueError, match="string literal"):
+        sparql_select(
+            tiny,
+            [("?s", "p/name", "?n")],
+            bind={"x": "REPLACE(?n, ?n, 'y')"},
+        )
+
+
 def test_distinct(tiny):
     out = sparql_select(tiny, [("?a", "p/knows", "?b")], distinct=True)
     assert _rows(out) == [("e/a", "e/b"), ("e/b", "e/c")]

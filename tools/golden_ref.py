@@ -1335,6 +1335,34 @@ def ref_q_sparql_having() -> tuple[list[str], list[tuple]]:
     return ["p", "n_lit", "total", "mean_val", "lex_min"], out
 
 
+def ref_q_sparql_bind() -> tuple[list[str], list[tuple]]:
+    """SPARQL BIND + expression functions — literal-length census by
+    derived local name and size bucket.  Mirrors the engine's
+    documented expression semantics independently: STRAFTER = text
+    after the FIRST separator occurrence ('' if absent), STRLEN =
+    codepoint count, IF nesting for the bucket, score = len*3+1
+    summed exactly (integers), FILTER drops rows whose predicate
+    lacks the separator."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    groups: dict[tuple[str, str], list[int]] = {}
+    for r in rows:
+        if r[7] != "literal":
+            continue
+        p, v = r[3], r[4]
+        idx = p.find("1.0/")
+        local = p[idx + 4:] if idx >= 0 else ""
+        if local == "":
+            continue
+        vlen = len(v)
+        bucket = "long" if vlen >= 12 else ("mid" if vlen >= 4 else "short")
+        groups.setdefault((local, bucket), []).append(vlen * 3 + 1)
+    out = [
+        (local, bucket, len(scores), float(sum(scores)))
+        for (local, bucket), scores in sorted(groups.items())
+    ]
+    return ["local", "bucket", "n_lit", "total_score"], out
+
+
 def ref_q_sparql_union() -> tuple[list[str], list[tuple]]:
     """SPARQL UNION + VALUES — two link vocabularies with different
     variable sets; the knows branch is VALUES-restricted, the enemyOf
@@ -2489,6 +2517,7 @@ CORPUS_QUERIES = {
     "q_sparql_optional": ref_q_sparql_optional,
     "q_sparql_agg": ref_q_sparql_agg,
     "q_sparql_having": ref_q_sparql_having,
+    "q_sparql_bind": ref_q_sparql_bind,
     "q_sparql_union": ref_q_sparql_union,
     "q_sparql_minus": ref_q_sparql_minus,
     "q_sparql_topk": ref_q_sparql_topk,
@@ -2583,6 +2612,7 @@ DUCK_TYPES = {
     "q_sparql_optional": {"s": "VARCHAR", "name": "VARCHAR", "mbox": "VARCHAR", "n_bindings": "BIGINT"},
     "q_sparql_agg": {"t": "VARCHAR", "n_rows": "BIGINT", "n_subjects": "BIGINT"},
     "q_sparql_having": {"p": "VARCHAR", "n_lit": "BIGINT", "total": "DOUBLE", "mean_val": "DOUBLE", "lex_min": "VARCHAR"},
+    "q_sparql_bind": {"local": "VARCHAR", "bucket": "VARCHAR", "n_lit": "BIGINT", "total_score": "DOUBLE"},
     "q_sparql_union": {"a": "VARCHAR", "n_links": "BIGINT", "n_distinct": "BIGINT", "n_named": "BIGINT", "b_fp": "BIGINT"},
     "q_sparql_minus": {"s": "VARCHAR", "name": "VARCHAR", "n_no_enemy": "BIGINT", "n_knows": "BIGINT"},
     "q_sparql_topk": {"s": "VARCHAR", "o": "VARCHAR", "deg": "BIGINT"},

@@ -37,23 +37,35 @@ Scale notes (the whole point of each choice):
 * Aggregates are one hash aggregation (map-side partial + one
   shuffle); ``count_distinct`` is the only expand.
 
-Filter grammar (recursive descent, deliberately small and exact)::
+Expression grammar (recursive descent, deliberately small and exact;
+shared by FILTER, HAVING, and BIND)::
 
     expr   := or
     or     := and ("||" and)*
     and    := not ("&&" not)*
     not    := "!" not | cmp
-    cmp    := operand (("="|"!="|"<"|"<="|">"|">=") operand)?
-    operand:= "?var" | "'str'" | '"str"' | number
-             | "BOUND(" ?var ")" | "STRLEN(" ?var ")"
-             | "STRSTARTS(" ?var "," str ")" | "STRENDS(" ... ")"
-             | "CONTAINS(" ?var "," str ")" | "REGEX(" ?var "," str ")"
+    cmp    := add (("="|"!="|"<"|"<="|">"|">=") add)?
+    add    := mul (("+"|"-") mul)*
+    mul    := unary (("*"|"/") unary)*
+    unary  := "-" unary | operand
+    operand:= "?var" | "'str'" | '"str"' | number | "(" expr ")"
+             | fn "(" args ")"
 
-Comparisons are string-typed unless either side is a numeric literal
-or STRLEN — then both sides cast to DOUBLE (SPARQL's numeric
-comparison on xsd-numeric terms; the KG stores lexical forms, so the
-cast-to-double reading is the documented engine semantics and the
-goldens replicate it independently).
+with fn one of BOUND STRLEN STRSTARTS STRENDS CONTAINS REGEX
+CONCAT SUBSTR UCASE LCASE STR REPLACE IF COALESCE ABS FLOOR CEIL
+STRBEFORE STRAFTER.  Logical operators require boolean operands
+(no effective-boolean-value coercion: in a static query a non-
+boolean condition is always a bug).  Arithmetic casts both sides
+to DOUBLE — SPARQL's numeric promotion over the stored lexical
+forms — and every function compiles to a built-in Column
+expression, so the whole grammar stays inside whole-stage codegen.
+
+Comparisons are string-typed unless either side is numeric (a
+number literal, arithmetic, STRLEN/ABS/FLOOR/CEIL) — then both
+sides cast to DOUBLE (SPARQL's numeric comparison on xsd-numeric
+terms; the KG stores lexical forms, so the cast-to-double reading
+is the documented engine semantics and the goldens replicate it
+independently).
 """
 
 from __future__ import annotations
@@ -66,6 +78,7 @@ from pyspark.sql import functions as F
 from turtle_spark.operators.bgp import bgp_select
 
 __all__ = [
+    "compile_expr",
     "compile_filter",
     "sparql_ask",
     "sparql_construct",
@@ -83,15 +96,21 @@ _TOKEN_RE = re.compile(
     r"""\s*(
         \?[A-Za-z_][A-Za-z0-9_]* |          # variable
         "(?:[^"\\]|\\.)*" | '(?:[^'\\]|\\.)*' |  # string literal
-        -?\d+(?:\.\d+)? |                   # number
+        \d+(?:\.\d+)? |                     # number (unary minus in parser)
         != | <= | >= | && | \|\| |          # two-char operators
-        [=<>!(),] |                         # single-char
+        [=<>!(),+\-*/] |                    # single-char
         [A-Za-z][A-Za-z]*                   # function name
     )""",
     re.VERBOSE,
 )
 
+# single-?var predicates/accessors (legacy FILTER builtins)
 _FUNCS = {"BOUND", "STRLEN", "STRSTARTS", "STRENDS", "CONTAINS", "REGEX"}
+# general expression functions (args are full expressions)
+_EXPR_FUNCS = {
+    "CONCAT", "SUBSTR", "UCASE", "LCASE", "STR", "REPLACE", "IF",
+    "COALESCE", "ABS", "FLOOR", "CEIL", "STRBEFORE", "STRAFTER",
+}
 
 
 def _tokenize_filter(s: str) -> list[str]:
@@ -106,10 +125,22 @@ def _tokenize_filter(s: str) -> list[str]:
 
 
 class _Operand:
-    """A compiled operand: its Column and whether it is numeric-typed."""
+    """A compiled operand: its Column and whether it is numeric-typed.
 
-    def __init__(self, col: Column, numeric: bool, boolean: bool = False):
+    ``lit_str`` carries the decoded text when the operand is a string
+    literal — functions whose argument must be static (regex patterns,
+    separators) read it at compile time.
+    """
+
+    def __init__(
+        self,
+        col: Column,
+        numeric: bool,
+        boolean: bool = False,
+        lit_str: str | None = None,
+    ):
         self.col, self.numeric, self.boolean = col, numeric, boolean
+        self.lit_str = lit_str
 
 
 class _FilterParser:
@@ -128,54 +159,94 @@ class _FilterParser:
         self.i += 1
         return t
 
+    @staticmethod
+    def _require_bool(o: "_Operand", ctx: str) -> Column:
+        if not o.boolean:
+            raise ValueError(f"{ctx} requires a boolean operand")
+        return o.col
+
     # expr := or
-    def expr(self) -> Column:
+    def expr(self) -> _Operand:
         return self.or_()
 
-    def or_(self) -> Column:
-        c = self.and_()
+    def or_(self) -> _Operand:
+        o = self.and_()
         while self.peek() == "||":
             self.take()
-            c = c | self.and_()
-        return c
+            r = self.and_()
+            o = _Operand(
+                self._require_bool(o, "||") | self._require_bool(r, "||"),
+                numeric=False, boolean=True,
+            )
+        return o
 
-    def and_(self) -> Column:
-        c = self.not_()
+    def and_(self) -> _Operand:
+        o = self.not_()
         while self.peek() == "&&":
             self.take()
-            c = c & self.not_()
-        return c
+            r = self.not_()
+            o = _Operand(
+                self._require_bool(o, "&&") & self._require_bool(r, "&&"),
+                numeric=False, boolean=True,
+            )
+        return o
 
-    def not_(self) -> Column:
+    def not_(self) -> _Operand:
         if self.peek() == "!":
             self.take()
-            return ~self.not_()
+            inner = self.not_()
+            return _Operand(
+                ~self._require_bool(inner, "!"), numeric=False, boolean=True
+            )
         return self.cmp()
 
-    def cmp(self) -> Column:
-        left = self.operand()
+    def cmp(self) -> _Operand:
+        left = self.add()
         op = self.peek()
         if op not in ("=", "!=", "<", "<=", ">", ">="):
-            if not left.boolean:
-                raise ValueError("non-boolean operand used as a bare condition")
-            return left.col
+            return left
         self.take()
-        right = self.operand()
+        right = self.add()
         lc, rc = left.col, right.col
         if left.numeric or right.numeric:
             lc, rc = lc.cast("double"), rc.cast("double")
-        return {
+        return _Operand({
             "=": lc == rc, "!=": lc != rc, "<": lc < rc,
             "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
-        }[op]
+        }[op], numeric=False, boolean=True)
+
+    def add(self) -> _Operand:
+        o = self.mul()
+        while self.peek() in ("+", "-"):
+            op = self.take()
+            r = self.mul()
+            lc, rc = o.col.cast("double"), r.col.cast("double")
+            o = _Operand(lc + rc if op == "+" else lc - rc, numeric=True)
+        return o
+
+    def mul(self) -> _Operand:
+        o = self.unary()
+        while self.peek() in ("*", "/"):
+            op = self.take()
+            r = self.unary()
+            lc, rc = o.col.cast("double"), r.col.cast("double")
+            o = _Operand(lc * rc if op == "*" else lc / rc, numeric=True)
+        return o
+
+    def unary(self) -> _Operand:
+        if self.peek() == "-":
+            self.take()
+            inner = self.unary()
+            return _Operand(-inner.col.cast("double"), numeric=True)
+        return self.operand()
 
     def operand(self) -> _Operand:
         t = self.peek()
         if t == "(":
             self.take()
-            c = self.expr()
+            o = self.expr()
             self.take(")")
-            return _Operand(c, numeric=False, boolean=True)
+            return o
         if t is None:
             raise ValueError("unexpected end of FILTER expression")
         if t.startswith("?"):
@@ -184,12 +255,14 @@ class _FilterParser:
         if t[0] in "\"'":
             self.take()
             body = t[1:-1].replace("\\" + t[0], t[0]).replace("\\\\", "\\")
-            return _Operand(F.lit(body), numeric=False)
-        if re.fullmatch(r"-?\d+(?:\.\d+)?", t):
+            return _Operand(F.lit(body), numeric=False, lit_str=body)
+        if re.fullmatch(r"\d+(?:\.\d+)?", t):
             self.take()
             return _Operand(F.lit(float(t)), numeric=True)
         if t in _FUNCS:
             return self._call(self.take())
+        if t in _EXPR_FUNCS:
+            return self._expr_call(self.take())
         raise ValueError(f"unexpected token {t!r} in FILTER")
 
     def _var(self, t: str) -> Column:
@@ -224,6 +297,103 @@ class _FilterParser:
         # DuckDB/golden mirrors are exact
         return _Operand(var.rlike(body), numeric=False, boolean=True)
 
+    def _expr_args(self, minimum: int, maximum: int) -> list[_Operand]:
+        self.take("(")
+        args = [self.expr()]
+        while self.peek() == ",":
+            self.take()
+            args.append(self.expr())
+        self.take(")")
+        if not (minimum <= len(args) <= maximum):
+            raise ValueError(
+                f"expected {minimum}..{maximum} arguments, got {len(args)}"
+            )
+        return args
+
+    @staticmethod
+    def _str_lit(o: _Operand, fn: str) -> str:
+        # compile-time string literal (REPLACE/STRBEFORE/STRAFTER
+        # separators must be static so the empty-separator spec cases
+        # resolve at plan time, not per row)
+        if o.lit_str is None:
+            raise ValueError(f"{fn} needs a string literal argument")
+        return o.lit_str
+
+    def _expr_call(self, fn: str) -> _Operand:
+        if fn == "CONCAT":
+            args = self._expr_args(1, 16)
+            return _Operand(
+                F.concat(*(a.col.cast("string") for a in args)), numeric=False
+            )
+        if fn == "SUBSTR":
+            # SPARQL 1-based start; 2-arg form = through end of string
+            args = self._expr_args(2, 3)
+            src, start = args[0].col, args[1].col.cast("int")
+            length = (
+                args[2].col.cast("int")
+                if len(args) == 3
+                else F.length(src) - start + F.lit(1)
+            )
+            return _Operand(src.substr(start, length), numeric=False)
+        if fn in ("UCASE", "LCASE", "STR", "ABS", "FLOOR", "CEIL"):
+            (a,) = self._expr_args(1, 1)
+            if fn == "UCASE":
+                return _Operand(F.upper(a.col), numeric=False)
+            if fn == "LCASE":
+                return _Operand(F.lower(a.col), numeric=False)
+            if fn == "STR":
+                return _Operand(a.col.cast("string"), numeric=False)
+            if fn == "ABS":
+                return _Operand(F.abs(a.col.cast("double")), numeric=True)
+            if fn == "FLOOR":
+                return _Operand(
+                    F.floor(a.col.cast("double")).cast("double"), numeric=True
+                )
+            return _Operand(
+                F.ceil(a.col.cast("double")).cast("double"), numeric=True
+            )
+        if fn == "REPLACE":
+            args = self._expr_args(3, 3)
+            pat = self._str_lit(args[1], fn)
+            rep = self._str_lit(args[2], fn)
+            # same Java∩RE2∩Python dialect restriction as REGEX
+            return _Operand(
+                F.regexp_replace(args[0].col, pat, rep), numeric=False
+            )
+        if fn == "IF":
+            args = self._expr_args(3, 3)
+            cond = self._require_bool(args[0], "IF condition")
+            t, e = args[1], args[2]
+            return _Operand(
+                F.when(cond, t.col).otherwise(e.col),
+                numeric=t.numeric and e.numeric,
+                boolean=t.boolean and e.boolean,
+            )
+        if fn == "COALESCE":
+            args = self._expr_args(1, 16)
+            return _Operand(
+                F.coalesce(*(a.col for a in args)),
+                numeric=all(a.numeric for a in args),
+                boolean=all(a.boolean for a in args),
+            )
+        if fn in ("STRBEFORE", "STRAFTER"):
+            args = self._expr_args(2, 2)
+            src = args[0].col
+            sep = self._str_lit(args[1], fn)
+            if sep == "":
+                # spec: STRBEFORE(s,"") = "", STRAFTER(s,"") = s
+                out = F.lit("") if fn == "STRBEFORE" else src
+                return _Operand(out, numeric=False)
+            pos = F.locate(sep, src)  # 1-based, 0 = absent
+            if fn == "STRBEFORE":
+                out = F.when(pos > 0, src.substr(F.lit(1), pos - 1))
+            else:
+                out = F.when(
+                    pos > 0, src.substr(pos + len(sep), F.length(src))
+                )
+            return _Operand(out.otherwise(F.lit("")), numeric=False)
+        raise AssertionError(f"unhandled expression function {fn}")
+
 
 def compile_filter(expr: str, bound: set[str]) -> Column:
     """Compile one FILTER expression to a Column predicate.
@@ -233,10 +403,27 @@ def compile_filter(expr: str, bound: set[str]) -> Column:
     false, but in a static query that is always a query bug).
     """
     p = _FilterParser(_tokenize_filter(expr), bound)
-    c = p.expr()
+    o = p.expr()
     if p.peek() is not None:
         raise ValueError(f"trailing tokens in FILTER: {p.toks[p.i:]}")
-    return c
+    if not o.boolean:
+        raise ValueError("non-boolean FILTER expression")
+    return o.col
+
+
+def compile_expr(expr: str, bound: set[str]) -> Column:
+    """Compile one value expression (BIND right-hand side) to a Column.
+
+    Same grammar as :func:`compile_filter` but the result may be any
+    type — string, numeric (DOUBLE), or boolean.  Everything compiles
+    to built-in Column expressions, so a BIND never leaves whole-stage
+    codegen and never touches Python at run time.
+    """
+    p = _FilterParser(_tokenize_filter(expr), bound)
+    o = p.expr()
+    if p.peek() is not None:
+        raise ValueError(f"trailing tokens in expression: {p.toks[p.i:]}")
+    return o.col
 
 
 # --------------------------------------------------------------------------
@@ -260,6 +447,7 @@ def sparql_select(
     exists: list[list[tuple]] | None = None,
     not_exists: list[list[tuple]] | None = None,
     filters: list[str] | None = None,
+    bind: dict[str, str] | None = None,
     values: dict[str, list[str]] | None = None,
     group_by: list[str] | None = None,
     aggregates: dict[str, tuple] | None = None,
@@ -296,6 +484,15 @@ def sparql_select(
     from the spec's substitution semantics.
     ``filters``: FILTER expressions over all bound variables (applied
     after optionals, so BOUND() can see unmatched rows).
+    ``bind``: SPARQL 1.1 BIND — ``{new_var: expression}`` in insertion
+    order, each expression over everything bound so far (including
+    earlier binds).  Compiles to ``withColumn`` with a pure Column
+    expression: a narrow, shuffle-free projection inside whole-stage
+    codegen — at 100 TB a BIND costs exactly one vectorized pass over
+    already-resident rows.  Binds are applied BEFORE ``filters`` so a
+    FILTER can reference a derived variable (the spec's evaluation
+    order within a group graph pattern); rebinding an existing
+    variable is refused, as in the spec.
     ``values``: VALUES inline binding — ``{var: [allowed, ...]}``,
     inner-joined (broadcast) with the solution.
     ``aggregates``: ``{out_col: (fn, var)}`` with fn in
@@ -403,6 +600,12 @@ def sparql_select(
                 raise ValueError(f"VALUES variable ?{var} is never bound")
             vdf = spark.createDataFrame(pd.DataFrame({var: list(allowed)}))
             acc = acc.join(F.broadcast(vdf), on=var, how="inner")
+
+    for var, bexpr in (bind or {}).items():
+        if var in bound:
+            raise ValueError(f"BIND would rebind already-bound ?{var}")
+        acc = acc.withColumn(var, compile_expr(bexpr, bound))
+        bound = bound | {var}
 
     for fexpr in filters or []:
         acc = acc.where(compile_filter(fexpr, bound))
