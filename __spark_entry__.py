@@ -420,6 +420,23 @@ def _q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dedup(e, dim=dim, threshold=0.35, n_bits=2, n_tables=32)
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tier 6 — SemDeDup (Abbas et al. 2023): k-means-partition
+    the embedding space, within-cluster exact-cosine near-dup groups,
+    keep the member most peripheral to its centroid.  Centroid cosine
+    is computed JVM-side as a left-fold against a broadcast centroid
+    table (bit-identical at any parallelism); the golden recomputes
+    the whole chain — float32 Lloyd iterations, assignment, fold-
+    ordered cosines, union-find, (min csim, min id) keep rule — with
+    independent loops."""
+    from turtle_spark.operators.semdedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return semantic_dedup(e, threshold=0.35, n_clusters=16).orderBy("vec_id")
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling (the 100 TB-safe sampler: a pure
     md5-cutoff filter, stable under task retries, nested across
@@ -3430,6 +3447,7 @@ _SF_GOLDENS = frozenset(
         "q_lsh_topk", "q_ivf_topk", "q_dedup_clusters", "q_pack_sequences",
         "q_mixture_sample", "q_novelty_screen",
         "q_lm_quality", "q_dsir_weights", "q_sketch_recall",
+        "q_semdedup",
     }
 )
 
@@ -3484,6 +3502,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_sketch_recall",
         "q_sparql_having",
         "q_sparql_bind",
+        "q_semdedup",
     }
 )
 
@@ -3576,6 +3595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sketch_recall": _q_sketch_recall,
         "q_sparql_having": _q_sparql_having,
         "q_sparql_bind": _q_sparql_bind,
+        "q_semdedup": _q_semdedup,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -699,6 +699,88 @@ def ref_q_dedup_clusters(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["cluster_size", "n_clusters"], sorted(hist.items())
 
 
+def ref_q_semdedup(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """SemDeDup (Abbas et al. 2023) — independent loops+union-find
+    mirror of operators/semdedup.py: float32 k-means on the seeded
+    xxh64-ordered sample, nearest-centroid assignment, centroid
+    cosine via the engine's documented LEFT-FOLD order (seq_dot, not
+    numpy BLAS — the engine computes csim JVM-side so the fold order
+    is pinned), within-cluster pairs capped by smallest id, cosine
+    >= 0.35 edges, union-find components, keep = (min csim, min id)
+    per component."""
+    emb = _read_embeddings(sf_dir)
+    vecs = dict(emb)
+    ordered = sorted(emb, key=lambda t: (xxh64_str(str(t[0])), t[0]))[:4096]
+    sample = np.stack([v for _, v in ordered]).astype(np.float32)
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    rs = np.random.RandomState(13)
+    n_centroids = 16
+    centroids = sample[
+        rs.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    ]
+    for _ in range(8):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+    cents64 = centroids.astype(np.float64)
+
+    cells: dict[int, list[int]] = {}
+    csim: dict[int, float] = {}
+    for vid, v in emb:
+        x = v / max(float(np.linalg.norm(v)), 1e-12)
+        c = int(np.argmax(cents64 @ x))
+        cells.setdefault(c, []).append(vid)
+        cent = cents64[c]
+        csim[vid] = spark_round(
+            seq_dot(v, cent) / (seq_norm(v) * seq_norm(cent)), 6
+        )
+
+    edges: list[tuple[int, int]] = []
+    for c, ids in cells.items():
+        ids = sorted(ids)[:4096]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                cos = spark_round(
+                    seq_dot(vecs[a], vecs[b]) / (seq_norm(vecs[a]) * seq_norm(vecs[b])),
+                    6,
+                )
+                if cos >= 0.35:
+                    edges.append((a, b))
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, list[int]] = {}
+    for node in list(parent):
+        comps.setdefault(find(node), []).append(node)
+
+    out: list[tuple] = []
+    for members in comps.values():
+        comp = min(members)
+        keep = min(members, key=lambda n: (csim[n], n))
+        for n in members:
+            out.append((n, comp, keep, csim[n], n == keep))
+    out.sort()
+    return ["vec_id", "component", "keep_id", "csim", "kept"], out
+
+
 # --------------------------------------------------------------------------
 # KG graph analytics (operators/graph.py twins)
 # --------------------------------------------------------------------------
@@ -2492,6 +2574,7 @@ SF_QUERIES = {
     "q_lsh_topk": ref_q_lsh_topk,
     "q_ivf_topk": ref_q_ivf_topk,
     "q_dedup_clusters": ref_q_dedup_clusters,
+    "q_semdedup": ref_q_semdedup,
 }
 
 CORPUS_QUERIES = {
@@ -2613,6 +2696,7 @@ DUCK_TYPES = {
     "q_sparql_agg": {"t": "VARCHAR", "n_rows": "BIGINT", "n_subjects": "BIGINT"},
     "q_sparql_having": {"p": "VARCHAR", "n_lit": "BIGINT", "total": "DOUBLE", "mean_val": "DOUBLE", "lex_min": "VARCHAR"},
     "q_sparql_bind": {"local": "VARCHAR", "bucket": "VARCHAR", "n_lit": "BIGINT", "total_score": "DOUBLE"},
+    "q_semdedup": {"vec_id": "BIGINT", "component": "BIGINT", "keep_id": "BIGINT", "csim": "DOUBLE", "kept": "BOOLEAN"},
     "q_sparql_union": {"a": "VARCHAR", "n_links": "BIGINT", "n_distinct": "BIGINT", "n_named": "BIGINT", "b_fp": "BIGINT"},
     "q_sparql_minus": {"s": "VARCHAR", "name": "VARCHAR", "n_no_enemy": "BIGINT", "n_knows": "BIGINT"},
     "q_sparql_topk": {"s": "VARCHAR", "o": "VARCHAR", "deg": "BIGINT"},
