@@ -437,6 +437,28 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, threshold=0.35, n_clusters=16).orderBy("vec_id")
 
 
+def _q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: every MinHash near-dup
+    cluster moves between splits as ONE unit (group-keyed md5 cutoff),
+    so a page crawled twice can never sit in train AND test.  The
+    split itself is a shuffle-free CASE expression; only the dedup
+    tier shuffles.  The golden recomputes MinHash edges, union-find
+    components, and the cumulative md5 cutoffs independently."""
+    from turtle_spark.operators.cc import connected_components
+    from turtle_spark.operators.dedup import minhash_near_duplicates
+    from turtle_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = minhash_near_duplicates(docs, threshold=0.5, shingle_k=5)
+    cmap = connected_components(edges.select("src", "dst")).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+    out = leakage_safe_split(
+        docs, cmap, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select("doc_id", "group_key", "split").orderBy("doc_id")
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling (the 100 TB-safe sampler: a pure
     md5-cutoff filter, stable under task retries, nested across
@@ -3447,7 +3469,7 @@ _SF_GOLDENS = frozenset(
         "q_lsh_topk", "q_ivf_topk", "q_dedup_clusters", "q_pack_sequences",
         "q_mixture_sample", "q_novelty_screen",
         "q_lm_quality", "q_dsir_weights", "q_sketch_recall",
-        "q_semdedup",
+        "q_semdedup", "q_leakage_split",
     }
 )
 
@@ -3503,6 +3525,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_sparql_having",
         "q_sparql_bind",
         "q_semdedup",
+        "q_leakage_split",
     }
 )
 
@@ -3596,6 +3619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_having": _q_sparql_having,
         "q_sparql_bind": _q_sparql_bind,
         "q_semdedup": _q_semdedup,
+        "q_leakage_split": _q_leakage_split,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

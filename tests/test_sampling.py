@@ -164,3 +164,84 @@ def test_mixture_sample_composition(spark, sf_dir):
     # partitioning-independent
     out2 = mixture_sample(docs.repartition(13), "source", ["doc_id"], weights, 60)
     assert {(r.doc_id, r.source) for r in out2.collect()} == expected
+
+
+# --------------------------------------------------------------------------
+# group-keyed splits (split_assign / leakage_safe_split)
+# --------------------------------------------------------------------------
+
+def test_split_assign_group_atomicity(spark):
+    from turtle_spark.operators.sampling import split_assign
+
+    rows = [(i, i % 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "row_id long, grp long")
+    out = split_assign(df, "grp", {"train": 0.8, "val": 0.1, "test": 0.1})
+    per_group = (
+        out.groupBy("grp").agg(F.count_distinct("split").alias("n")).collect()
+    )
+    assert all(r["n"] == 1 for r in per_group)  # a group never straddles
+    # partitioning independence
+    a = sorted((r["row_id"], r["split"]) for r in out.collect())
+    b = sorted(
+        (r["row_id"], r["split"])
+        for r in split_assign(
+            df.repartition(13), "grp", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    )
+    assert a == b
+
+
+def test_split_assign_matches_duckdb(spark):
+    from turtle_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "grp long")
+    out = {
+        r["grp"]: r["split"]
+        for r in split_assign(
+            df, "grp", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    c1, c2 = _cutoff_hex(0.8), _cutoff_hex(0.8 + 0.1)
+    duck = duckdb.sql(
+        f"""
+        SELECT g, CASE WHEN h < '{c1}' THEN 'train'
+                       WHEN h < '{c2}' THEN 'val'
+                       ELSE 'test' END AS split
+        FROM (SELECT g, substring(md5('split|' || CAST(g AS VARCHAR)), 1, 8) AS h
+              FROM range(1000) t(g))
+        """
+    ).fetchall()
+    assert out == {g: s for g, s in duck}
+
+
+def test_split_assign_validation(spark):
+    from turtle_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(1,)], "grp long")
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(df, "grp", {"train": 0.8, "val": 0.1})
+    with pytest.raises(ValueError, match="at least two"):
+        split_assign(df, "grp", {"train": 1.0})
+
+
+def test_leakage_safe_split_clusters_move_together(spark):
+    from turtle_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(50)], "doc_id long, text string"
+    )
+    # two clusters: {0,1,2} -> 0 and {10, 40} -> 10
+    cmap = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (40, 10)],
+        "doc_id long, canonical_id long",
+    )
+    out = leakage_safe_split(
+        docs, cmap, {"train": 0.5, "val": 0.25, "test": 0.25}
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 50  # left join keeps every doc
+    assert {by_id[i]["group_key"] for i in (0, 1, 2)} == {0}
+    assert len({by_id[i]["split"] for i in (0, 1, 2)}) == 1
+    assert by_id[40]["group_key"] == 10
+    assert by_id[40]["split"] == by_id[10]["split"]
+    assert by_id[7]["group_key"] == 7  # isolated doc groups to itself

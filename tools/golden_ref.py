@@ -699,6 +699,54 @@ def ref_q_dedup_clusters(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["cluster_size", "n_clusters"], sorted(hist.items())
 
 
+def ref_q_leakage_split(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Leakage-safe split — MinHash edges + union-find canonical map
+    (independent loops, as ref_q_dedup_clusters), then the documented
+    cumulative-md5-cutoff rule: h = md5('split|' + str(group))[:8],
+    train if h < hex(round(0.8*2^32)), val if h < hex(round(cum2^32))
+    with cum accumulated in float exactly as the engine does, else
+    test."""
+    import hashlib
+
+    docs = _read_documents(sf_dir)
+    edges = _minhash_edges(docs)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for src, dst, _ in edges:
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            parent[ra] = rb
+    canon: dict[int, int] = {}
+    comps: dict[int, list[int]] = {}
+    for node in list(parent):
+        comps.setdefault(find(node), []).append(node)
+    for members in comps.values():
+        m = min(members)
+        for n in members:
+            canon[n] = m
+
+    cuts = []
+    cum = 0.0
+    for frac in (0.8, 0.1):  # engine's forward float accumulation
+        cum += frac
+        cuts.append(format(int(round(cum * (1 << 32))), "08x"))
+
+    out: list[tuple] = []
+    for doc_id, _text in docs:
+        gk = canon.get(doc_id, doc_id)
+        h = hashlib.md5(f"split|{gk}".encode()).hexdigest()[:8]
+        split = "train" if h < cuts[0] else ("val" if h < cuts[1] else "test")
+        out.append((doc_id, gk, split))
+    out.sort()
+    return ["doc_id", "group_key", "split"], out
+
+
 def ref_q_semdedup(sf_dir: str) -> tuple[list[str], list[tuple]]:
     """SemDeDup (Abbas et al. 2023) — independent loops+union-find
     mirror of operators/semdedup.py: float32 k-means on the seeded
@@ -2575,6 +2623,7 @@ SF_QUERIES = {
     "q_ivf_topk": ref_q_ivf_topk,
     "q_dedup_clusters": ref_q_dedup_clusters,
     "q_semdedup": ref_q_semdedup,
+    "q_leakage_split": ref_q_leakage_split,
 }
 
 CORPUS_QUERIES = {
@@ -2697,6 +2746,7 @@ DUCK_TYPES = {
     "q_sparql_having": {"p": "VARCHAR", "n_lit": "BIGINT", "total": "DOUBLE", "mean_val": "DOUBLE", "lex_min": "VARCHAR"},
     "q_sparql_bind": {"local": "VARCHAR", "bucket": "VARCHAR", "n_lit": "BIGINT", "total_score": "DOUBLE"},
     "q_semdedup": {"vec_id": "BIGINT", "component": "BIGINT", "keep_id": "BIGINT", "csim": "DOUBLE", "kept": "BOOLEAN"},
+    "q_leakage_split": {"doc_id": "BIGINT", "group_key": "BIGINT", "split": "VARCHAR"},
     "q_sparql_union": {"a": "VARCHAR", "n_links": "BIGINT", "n_distinct": "BIGINT", "n_named": "BIGINT", "b_fp": "BIGINT"},
     "q_sparql_minus": {"s": "VARCHAR", "name": "VARCHAR", "n_no_enemy": "BIGINT", "n_knows": "BIGINT"},
     "q_sparql_topk": {"s": "VARCHAR", "o": "VARCHAR", "deg": "BIGINT"},

@@ -27,10 +27,12 @@ from turtle_spark.functions.mixture import mixture_fractions
 
 __all__ = [
     "deterministic_sample",
+    "leakage_safe_split",
     "mixture_fractions",
     "mixture_sample",
     "sample_hash",
     "sample_sql_predicate",
+    "split_assign",
     "stratified_sample",
 ]
 
@@ -118,6 +120,80 @@ def mixture_sample(
     }
     fracs = mixture_fractions(counts, weights, budget)
     return stratified_sample(df, bucket_col, key_cols, fracs, default_fraction=0.0)
+
+
+def split_assign(
+    df: DataFrame,
+    group_col: str | Column,
+    splits: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a dataset split (train/val/test/...) keyed by
+    ``group_col`` — rows sharing a group value ALWAYS land in the same
+    split.
+
+    The split is a pure function of ``md5(salt|group)`` against
+    cumulative hex cutoffs (insertion order of ``splits``; fractions
+    must sum to 1 within cutoff granularity — the last split absorbs
+    the rounding tail).  Like every sampler in this module it is one
+    CASE expression: no shuffle, no RNG, stable under retries, and the
+    same (salt, group) maps to the same split on every engine version
+    and at any data scale — growing the corpus never reshuffles
+    existing groups between splits.
+    """
+    names = list(splits)
+    if len(names) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    gcol = F.col(group_col) if isinstance(group_col, str) else group_col
+    h = F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), gcol.cast("string"))),
+        1,
+        _HEX_DIGITS,
+    )
+    cum = 0.0
+    expr = None  # first matching cutoff wins; last split is the tail
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = h < F.lit(_cutoff_hex(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    cluster_map: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Dataset split that near-duplicates can never straddle.
+
+    ``cluster_map`` is (id_col, canonical_id) from any dedup tier
+    (exact / MinHash / SimHash / embedding / SemDeDup components);
+    each document's split is keyed by ``group_key =
+    coalesce(canonical_id, id)`` so an entire near-dup cluster moves
+    as one unit — the train/test contamination a per-document split
+    creates (the same web page crawled twice landing on both sides of
+    the boundary) is impossible by construction.
+
+    The join is an equi left join on the id (broadcastable when the
+    dedup tier found few clusters — the common case); everything else
+    is the shuffle-free ``split_assign`` filter.  Adding documents to
+    the corpus never moves an existing group between splits.
+    """
+    cmap = cluster_map.select(
+        F.col(id_col).alias("_cm_id"), F.col("canonical_id").alias("_cm_canon")
+    )
+    joined = docs.join(cmap, on=docs[id_col] == cmap["_cm_id"], how="left")
+    joined = joined.withColumn(
+        "group_key", F.coalesce(F.col("_cm_canon"), F.col(id_col))
+    ).drop("_cm_id", "_cm_canon")
+    return split_assign(joined, "group_key", splits, salt=salt)
 
 
 def sample_sql_predicate(key_cols: list[str], fraction: float) -> str:
