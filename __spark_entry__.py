@@ -459,6 +459,24 @@ def _q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "group_key", "split").orderBy("doc_id")
 
 
+def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction (Sennrich et al. 2016)
+    over the documents table: 20 merges learned with one weighted
+    pair-count aggregation per merge on the distinct-word frequency
+    table (the corpus-size-independent trainer state).  The returned
+    merge table IS the training artifact — one row per merge by
+    definition, driver-sized like a tokenizer config.  The golden is
+    an independent Counter-based Python BPE with the same ASCII-
+    whitespace words, char+</w> symbols, (count desc, pair asc)
+    tie-break, and left-greedy merge application."""
+    from turtle_spark.operators.bpe import train_bpe
+
+    merges = train_bpe(_t(spark, sf_dir, "documents"), n_merges=20)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_freq bigint"
+    ).orderBy("rank")
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling (the 100 TB-safe sampler: a pure
     md5-cutoff filter, stable under task retries, nested across
@@ -3469,7 +3487,7 @@ _SF_GOLDENS = frozenset(
         "q_lsh_topk", "q_ivf_topk", "q_dedup_clusters", "q_pack_sequences",
         "q_mixture_sample", "q_novelty_screen",
         "q_lm_quality", "q_dsir_weights", "q_sketch_recall",
-        "q_semdedup", "q_leakage_split",
+        "q_semdedup", "q_leakage_split", "q_bpe_vocab",
     }
 )
 
@@ -3526,6 +3544,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_sparql_bind",
         "q_semdedup",
         "q_leakage_split",
+        "q_bpe_vocab",
     }
 )
 
@@ -3620,6 +3639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_bind": _q_sparql_bind,
         "q_semdedup": _q_semdedup,
         "q_leakage_split": _q_leakage_split,
+        "q_bpe_vocab": _q_bpe_vocab,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

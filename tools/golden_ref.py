@@ -699,6 +699,44 @@ def ref_q_dedup_clusters(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["cluster_size", "n_clusters"], sorted(hist.items())
 
 
+def ref_q_bpe_vocab(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """BPE merge table — independent Counter-based trainer: ASCII-
+    whitespace words (len <= 64), symbols = chars + '</w>', 20 merges,
+    argmax by (count desc, left asc, right asc), merges applied with a
+    left-greedy scan (mirrors the engine's fold semantics)."""
+    import re
+    from collections import Counter
+
+    wordfreq = Counter()
+    for _doc_id, text in _read_documents(sf_dir):
+        for w in re.split(r"[ \t\n\r]+", text or ""):
+            if 0 < len(w) <= 64:
+                wordfreq[w] += 1
+    words = [(list(w) + ["</w>"], n) for w, n in wordfreq.items()]
+
+    out: list[tuple] = []
+    for rank in range(1, 21):
+        pairs: Counter = Counter()
+        for toks, n in words:
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, a, b, a + b, n))
+        new_words = []
+        for toks, freq in words:
+            merged: list[str] = []
+            for t in toks:
+                if merged and merged[-1] == a and t == b:
+                    merged[-1] = a + b
+                else:
+                    merged.append(t)
+            new_words.append((merged, freq))
+        words = new_words
+    return ["rank", "left", "right", "merged", "pair_freq"], out
+
+
 def ref_q_leakage_split(sf_dir: str) -> tuple[list[str], list[tuple]]:
     """Leakage-safe split — MinHash edges + union-find canonical map
     (independent loops, as ref_q_dedup_clusters), then the documented
@@ -2624,6 +2662,7 @@ SF_QUERIES = {
     "q_dedup_clusters": ref_q_dedup_clusters,
     "q_semdedup": ref_q_semdedup,
     "q_leakage_split": ref_q_leakage_split,
+    "q_bpe_vocab": ref_q_bpe_vocab,
 }
 
 CORPUS_QUERIES = {
@@ -2747,6 +2786,7 @@ DUCK_TYPES = {
     "q_sparql_bind": {"local": "VARCHAR", "bucket": "VARCHAR", "n_lit": "BIGINT", "total_score": "DOUBLE"},
     "q_semdedup": {"vec_id": "BIGINT", "component": "BIGINT", "keep_id": "BIGINT", "csim": "DOUBLE", "kept": "BOOLEAN"},
     "q_leakage_split": {"doc_id": "BIGINT", "group_key": "BIGINT", "split": "VARCHAR"},
+    "q_bpe_vocab": {"rank": "INTEGER", "left": "VARCHAR", "right": "VARCHAR", "merged": "VARCHAR", "pair_freq": "BIGINT"},
     "q_sparql_union": {"a": "VARCHAR", "n_links": "BIGINT", "n_distinct": "BIGINT", "n_named": "BIGINT", "b_fp": "BIGINT"},
     "q_sparql_minus": {"s": "VARCHAR", "name": "VARCHAR", "n_no_enemy": "BIGINT", "n_knows": "BIGINT"},
     "q_sparql_topk": {"s": "VARCHAR", "o": "VARCHAR", "deg": "BIGINT"},
