@@ -477,6 +477,28 @@ def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY path: encode every document with the merge
+    table learned on the same corpus (train + apply = the full
+    tokenizer story).  Per doc: whitespace word count, BPE token
+    count (the compression the 20 merges bought), and an md5
+    fingerprint of the exact token sequence — so the golden pins
+    every token of every document, not just counts."""
+    from turtle_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=20)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size(
+            F.expr("filter(split(text, '[ \\\\t\\\\n\\\\r]+'), w -> length(w) > 0)")
+        ).alias("n_words"),
+        F.size("bpe_tokens").alias("n_tokens"),
+        F.substring(F.md5(F.concat_ws(" ", "bpe_tokens")), 1, 16).alias("tok_fp"),
+    ).orderBy("doc_id")
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling (the 100 TB-safe sampler: a pure
     md5-cutoff filter, stable under task retries, nested across
@@ -3487,7 +3509,7 @@ _SF_GOLDENS = frozenset(
         "q_lsh_topk", "q_ivf_topk", "q_dedup_clusters", "q_pack_sequences",
         "q_mixture_sample", "q_novelty_screen",
         "q_lm_quality", "q_dsir_weights", "q_sketch_recall",
-        "q_semdedup", "q_leakage_split", "q_bpe_vocab",
+        "q_semdedup", "q_leakage_split", "q_bpe_vocab", "q_bpe_encode",
     }
 )
 
@@ -3545,6 +3567,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_semdedup",
         "q_leakage_split",
         "q_bpe_vocab",
+        "q_bpe_encode",
     }
 )
 
@@ -3640,6 +3663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": _q_semdedup,
         "q_leakage_split": _q_leakage_split,
         "q_bpe_vocab": _q_bpe_vocab,
+        "q_bpe_encode": _q_bpe_encode,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

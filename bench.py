@@ -131,6 +131,12 @@ HEADLINE = [
     "q_lm_quality",
     "q_dsir_weights",
     "q_sketch_recall",
+    "q_sparql_having",
+    "q_sparql_bind",
+    "q_semdedup",
+    "q_leakage_split",
+    "q_bpe_vocab",
+    "q_bpe_encode",
 ]
 
 

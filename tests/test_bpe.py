@@ -68,3 +68,26 @@ def test_early_stop_when_fully_merged(spark):
     # ab</w> fully merges in 2 steps; trainer stops, no padding rows
     assert len(merges) == 2
     assert merges[-1][3] == "ab</w>"
+
+
+def test_encode_applies_merges_in_rank_order(spark, corpus):
+    from turtle_spark.operators.bpe import bpe_encode
+
+    merges = train_bpe(corpus, n_merges=4)
+    enc = bpe_encode(
+        spark.createDataFrame([("low lowest zz",)], "text string"), merges
+    ).collect()[0]["bpe_tokens"]
+    # low -> [low, </w>]; lowest -> [low, e, s, t, </w>] ('es'/'est'
+    # never learned in 4 merges); zz unseen -> chars + marker
+    assert enc == ["low", "</w>", "low", "e", "s", "t", "</w>", "z", "z", "</w>"]
+
+
+def test_encode_long_word_passthrough(spark, corpus):
+    from turtle_spark.operators.bpe import bpe_encode
+
+    merges = train_bpe(corpus, n_merges=2)
+    long_word = "y" * 100
+    enc = bpe_encode(
+        spark.createDataFrame([(f"low {long_word}",)], "text string"), merges
+    ).collect()[0]["bpe_tokens"]
+    assert enc[-1] == long_word  # opaque single token, no char split

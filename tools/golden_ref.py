@@ -737,6 +737,50 @@ def ref_q_bpe_vocab(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["rank", "left", "right", "merged", "pair_freq"], out
 
 
+def ref_q_bpe_encode(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """BPE apply — train with the independent Counter trainer (same
+    spec as ref_q_bpe_vocab), then encode each document: words in
+    rank order through the left-greedy rewrite, words over 64 chars
+    pass through as single opaque tokens; fingerprint = first 16 hex
+    of md5 over the space-joined token sequence."""
+    import hashlib
+    import re
+
+    _cols, merges = ref_q_bpe_vocab(sf_dir)
+    ordered = [(m[1], m[2], m[3]) for m in merges]
+    cache: dict[str, list[str]] = {}
+
+    def encode_word(w: str) -> list[str]:
+        got = cache.get(w)
+        if got is not None:
+            return got
+        if len(w) > 64:
+            toks = [w]
+        else:
+            toks = list(w) + ["</w>"]
+            for a, b, m in ordered:
+                out: list[str] = []
+                for t in toks:
+                    if out and out[-1] == a and t == b:
+                        out[-1] = m
+                    else:
+                        out.append(t)
+                toks = out
+        cache[w] = toks
+        return toks
+
+    rows: list[tuple] = []
+    for doc_id, text in _read_documents(sf_dir):
+        words = [w for w in re.split(r"[ \t\n\r]+", text or "") if w]
+        toks: list[str] = []
+        for w in words:
+            toks.extend(encode_word(w))
+        fp = hashlib.md5(" ".join(toks).encode()).hexdigest()[:16]
+        rows.append((doc_id, len(words), len(toks), fp))
+    rows.sort()
+    return ["doc_id", "n_words", "n_tokens", "tok_fp"], rows
+
+
 def ref_q_leakage_split(sf_dir: str) -> tuple[list[str], list[tuple]]:
     """Leakage-safe split — MinHash edges + union-find canonical map
     (independent loops, as ref_q_dedup_clusters), then the documented
@@ -2663,6 +2707,7 @@ SF_QUERIES = {
     "q_semdedup": ref_q_semdedup,
     "q_leakage_split": ref_q_leakage_split,
     "q_bpe_vocab": ref_q_bpe_vocab,
+    "q_bpe_encode": ref_q_bpe_encode,
 }
 
 CORPUS_QUERIES = {
@@ -2787,6 +2832,7 @@ DUCK_TYPES = {
     "q_semdedup": {"vec_id": "BIGINT", "component": "BIGINT", "keep_id": "BIGINT", "csim": "DOUBLE", "kept": "BOOLEAN"},
     "q_leakage_split": {"doc_id": "BIGINT", "group_key": "BIGINT", "split": "VARCHAR"},
     "q_bpe_vocab": {"rank": "INTEGER", "left": "VARCHAR", "right": "VARCHAR", "merged": "VARCHAR", "pair_freq": "BIGINT"},
+    "q_bpe_encode": {"doc_id": "BIGINT", "n_words": "INTEGER", "n_tokens": "INTEGER", "tok_fp": "VARCHAR"},
     "q_sparql_union": {"a": "VARCHAR", "n_links": "BIGINT", "n_distinct": "BIGINT", "n_named": "BIGINT", "b_fp": "BIGINT"},
     "q_sparql_minus": {"s": "VARCHAR", "name": "VARCHAR", "n_no_enemy": "BIGINT", "n_knows": "BIGINT"},
     "q_sparql_topk": {"s": "VARCHAR", "o": "VARCHAR", "deg": "BIGINT"},

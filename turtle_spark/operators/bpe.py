@@ -37,10 +37,15 @@ the brief adds (SURVEY.md §2.2).
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
-__all__ = ["bpe_word_counts", "train_bpe"]
+__all__ = ["bpe_encode", "bpe_word_counts", "train_bpe"]
 
 _WS = "[ \\t\\n\\r]+"  # ASCII whitespace — identical in Java and Python
 _EOW = "</w>"
@@ -193,3 +198,64 @@ def train_bpe(
     finally:
         words.unpersist()
     return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    text_col: str = "text",
+    max_word_len: int = 64,
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge table: adds ``out_col`` (array<string> of
+    BPE tokens) to every document.
+
+    Merges apply in rank order with the same left-greedy rewrite the
+    trainer used, so encoding a training document reproduces its
+    final trainer state.  The merge table rides along in the UDF
+    closure (one broadcast per executor — a tokenizer config is KB-
+    sized by definition); the kernel is an Arrow-batched pandas UDF
+    with a per-batch word cache, the engine's standard custom-kernel
+    path (same shape as the sketch UDFs in functions/hashing.py).
+    Words above ``max_word_len`` chars pass through as single opaque
+    tokens (mirror of the trainer's skew guard — they were never
+    merge candidates, and splitting them to characters would bloat
+    the output by the same skew the trainer refused).
+    """
+    ordered = [(m[1], m[2], m[3]) for m in sorted(merges)]
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def encode_udf(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def encode_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            if len(w) > max_word_len:
+                toks = [w]
+            else:
+                toks = list(w) + [_EOW]
+                for a, b, m in ordered:
+                    if a not in toks:
+                        continue
+                    out: list[str] = []
+                    for t in toks:
+                        if out and out[-1] == a and t == b:
+                            out[-1] = m
+                        else:
+                            out.append(t)
+                    toks = out
+            cache[w] = toks
+            return toks
+
+        def encode_text(text: str) -> list[str]:
+            out: list[str] = []
+            for w in re.split("[ \\t\\n\\r]+", text or ""):
+                if w:
+                    out.extend(encode_word(w))
+            return out
+
+        return texts.map(encode_text)
+
+    return docs.withColumn(out_col, encode_udf(F.col(text_col)))
