@@ -68,7 +68,15 @@ def _with_cluster_and_csim(
     BLAS matmul and a sequential fold can differ in the last ulp,
     and the keep rule sorts by this value, so the engine pins the
     fold order the golden can replicate exactly.
+
+    The input is ``spread()`` first: a small embeddings parquet scans
+    as one partition, which would run the assignment UDF and every
+    downstream fold on a single core (no-op at cluster scale, where
+    the scan already has a partition per core).
     """
+    from turtle_spark.operators.skew import spread
+
+    embeddings = spread(embeddings)
     spark = embeddings.sparkSession
     cents64 = centroids.astype(np.float64)
     cent_rows = pd.DataFrame(
@@ -79,13 +87,18 @@ def _with_cluster_and_csim(
     )
     cent_df = spark.createDataFrame(cent_rows)
     assigned = ivf_assign(embeddings, centroids, n_probe=1, vec_col=vec_col)
+    # each vector's norm is computed ONCE here and reused by every
+    # pair it appears in (same float64 value as recomputing per pair,
+    # so the goldens are unaffected; the pair stage does ~2 members'
+    # worth of fold work per pair otherwise)
     return (
         assigned.join(F.broadcast(cent_df), "cluster")
+        .withColumn("_vnorm", _norm(F.col(vec_col)))
         .withColumn(
             "csim",
             F.round(
                 _dot(F.col(vec_col), F.col("_cent"))
-                / (_norm(F.col(vec_col)) * _norm(F.col("_cent"))),
+                / (F.col("_vnorm") * _norm(F.col("_cent"))),
                 6,
             ),
         )
@@ -116,7 +129,11 @@ def _cluster_pairs(
         .agg(
             F.sort_array(
                 F.collect_list(
-                    F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+                    F.struct(
+                        F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("v"),
+                        F.col("_vnorm").alias("n"),
+                    )
                 )
             ).alias("ms")
         )
@@ -126,17 +143,16 @@ def _cluster_pairs(
         """
         flatten(transform(ms, (x, i) ->
           transform(slice(ms, i + 2, size(ms) - i - 1), y ->
-            struct(x.id AS id1, x.v AS v1, y.id AS id2, y.v AS v2))))
+            struct(x.id AS id1, x.v AS v1, x.n AS n1,
+                   y.id AS id2, y.v AS v2, y.n AS n2))))
         """
     )
     cosine = F.round(
-        _dot(F.col("v1"), F.col("v2"))
-        / (_norm(F.col("v1")) * _norm(F.col("v2"))),
-        6,
+        _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6
     )
     return (
         members.select("cluster", F.explode(pair_expr).alias("p"))
-        .select("cluster", "p.id1", "p.v1", "p.id2", "p.v2")
+        .select("cluster", "p.id1", "p.v1", "p.n1", "p.id2", "p.v2", "p.n2")
         .withColumn("cosine", cosine)
         .where(F.col("cosine") >= threshold)
         .select("cluster", "id1", "id2", "cosine")
