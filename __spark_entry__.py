@@ -1895,6 +1895,72 @@ def _corpus_triples(spark: SparkSession) -> DataFrame:
     )
 
 
+def _corpus_quads(spark: SparkSession) -> DataFrame:
+    """The corpus as a QUAD table: one named graph per source document
+    (graph = ``urn:graph:<doc_id>``) — the provenance model a KG built
+    from 10^12 documents actually ships (every triple traceable to its
+    document; per-graph deletes when a source is retracted)."""
+    return _corpus_triples(spark).withColumn(
+        "graph", F.concat(F.lit("urn:graph:"), F.col("doc_id"))
+    )
+
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _q_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GRAPH over the quad table: per named graph, typed
+    subjects' outgoing IRI links CO-ASSERTED in the same document —
+    ``SELECT ?g (COUNT(*) ...) ... WHERE { GRAPH ?g { ?s a ?t . ?s ?p
+    ?o } FILTER (?p != rdf:type) FILTER isIRI(?o) } GROUP BY ?g``.
+    The graph variable is an ordinary equi-join key binding both
+    patterns, so the same-graph scoping is free; the merged-graph
+    reading (graph=None) would join facts ACROSS documents — this
+    query is exactly the provenance-scoped variant, and the golden
+    evaluates it per document."""
+    from turtle_spark.operators.sparql import sparql_select
+
+    return (
+        sparql_select(
+            _corpus_quads(spark),
+            patterns=[
+                ("?s", _RDF_TYPE, "?t", "iri"),
+                ("?s", "?p", "?o", "iri"),
+            ],
+            filters=[f"?p != '{_RDF_TYPE}'"],
+            graph="?g",
+            group_by=["g"],
+            aggregates={
+                "n_links": ("count", None),
+                "n_subjects": ("count_distinct", "s"),
+                "n_types": ("count_distinct", "t"),
+            },
+        )
+        .orderBy("g")
+    )
+
+
+def _q_nquads_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk N-Quads export (sources/nquads.py): canonical NQ lines —
+    the NT escape/rename chain plus the graph term — summarized per
+    predicate token with an XOR fingerprint over the EXACT line bytes,
+    so the golden pins every escape decision AND every graph term."""
+    from turtle_spark.sources.nquads import to_nquads
+
+    lines = to_nquads(_corpus_quads(spark))
+    return (
+        lines.groupBy(
+            F.element_at(F.split(F.col("line"), " "), 2).alias("pred_token")
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.octet_length("line")).alias("total_bytes"),
+            F.expr("bit_xor(xxhash64(line))").alias("line_fp"),
+        )
+        .orderBy("pred_token")
+    )
+
+
 def _q_predicate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG schema profiling: per-predicate cardinalities + functional-
     predicate detection over the materialized triples — the statistics
@@ -3500,6 +3566,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_owl_entail", "q_bnode_canonical",
         "q_prefix_induction", "q_skolemize", "q_property_table",
         "q_sparql_having", "q_sparql_bind",
+        "q_sparql_graph", "q_nquads_export",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -3568,6 +3635,8 @@ WINDOW_OVERFLOW = frozenset(
         "q_leakage_split",
         "q_bpe_vocab",
         "q_bpe_encode",
+        "q_sparql_graph",
+        "q_nquads_export",
     }
 )
 
@@ -3664,6 +3733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_leakage_split": _q_leakage_split,
         "q_bpe_vocab": _q_bpe_vocab,
         "q_bpe_encode": _q_bpe_encode,
+        "q_sparql_graph": _q_sparql_graph,
+        "q_nquads_export": _q_nquads_export,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -137,6 +137,8 @@ HEADLINE = [
     "q_leakage_split",
     "q_bpe_vocab",
     "q_bpe_encode",
+    "q_sparql_graph",
+    "q_nquads_export",
 ]
 
 

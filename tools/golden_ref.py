@@ -1948,6 +1948,87 @@ def ref_q_ntriples_export() -> tuple[list[str], list[tuple]]:
     return ["pred_token", "n_lines", "total_bytes", "line_fp"], out
 
 
+def ref_q_nquads_export() -> tuple[list[str], list[tuple]]:
+    """N-Quads writer — the NT line plus the graph term
+    ``<urn:graph:doc_id>`` before the dot; same escape chain, blank
+    rename, grouping, and XOR fingerprint as ref_q_ntriples_export."""
+    import hashlib
+
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+
+    def esc(s: str) -> str:
+        return (
+            s.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\t", "\\t")
+        )
+
+    def node(s: str) -> str:
+        if s.startswith("_:"):
+            return "_:b" + hashlib.md5(s.encode("utf-8")).hexdigest()
+        return f"<{s}>"
+
+    agg: dict[str, tuple[int, int, int]] = {}
+    for r in rows:
+        doc, s, p, o, label, dt, ot = r[0], r[2], r[3], r[4], r[5], r[6], r[7]
+        if ot == "literal":
+            obj = f'"{esc(o)}"'
+            if label:
+                obj += f"@{label}"
+            elif dt:
+                obj += f"^^<{dt}>"
+        else:
+            obj = node(o)
+        line = f"{node(s)} <{p}> {obj} <urn:graph:{doc}> ."
+        tok = f"<{p}>"
+        n, b, fp = agg.setdefault(tok, (0, 0, 0))
+        agg[tok] = (
+            n + 1,
+            b + len(line.encode("utf-8")),
+            fp ^ (xxh64_str(line) & _U64),
+        )
+    out = [
+        (tok, n, b, _signed64(fp)) for tok, (n, b, fp) in sorted(agg.items())
+    ]
+    return ["pred_token", "n_lines", "total_bytes", "line_fp"], out
+
+
+def ref_q_sparql_graph() -> tuple[list[str], list[tuple]]:
+    """SPARQL GRAPH ?g — per-document co-assertion join, evaluated
+    per doc by construction (one graph per doc): typed pairs (s, t)
+    bag-joined with IRI links (s, p, o) of the SAME doc, p != rdf:type;
+    outputs (graph, n_links, n_subjects, n_types)."""
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    by_doc: dict[str, list[tuple]] = {}
+    for r in rows:
+        by_doc.setdefault(r[0], []).append(r)
+    out: list[tuple] = []
+    for doc in sorted(by_doc):
+        typed = [
+            (r[2], r[4]) for r in by_doc[doc]
+            if r[3] == rdf_type and r[7] == "iri"
+        ]
+        links = [
+            (r[2], r[3], r[4]) for r in by_doc[doc]
+            if r[7] == "iri" and r[3] != rdf_type
+        ]
+        n_links = 0
+        subs: set[str] = set()
+        types: set[str] = set()
+        for s, t in typed:
+            for ls, _p, _o in links:
+                if ls == s:
+                    n_links += 1
+                    subs.add(s)
+                    types.add(t)
+        if n_links:
+            out.append((f"urn:graph:{doc}", n_links, len(subs), len(types)))
+    return ["g", "n_links", "n_subjects", "n_types"], out
+
+
 def ref_q_triple_provenance() -> tuple[list[str], list[tuple]]:
     """Fact-support provenance — dict of fact -> (doc set, mention
     count), multi-source facts only, blank endpoints excluded."""
@@ -2745,6 +2826,8 @@ CORPUS_QUERIES = {
     "q_kg_communities": ref_q_kg_communities,
     "q_sparql_construct": ref_q_sparql_construct,
     "q_ntriples_export": ref_q_ntriples_export,
+    "q_nquads_export": ref_q_nquads_export,
+    "q_sparql_graph": ref_q_sparql_graph,
     "q_triple_provenance": ref_q_triple_provenance,
     "q_schema_graph": ref_q_schema_graph,
     "q_bfs_levels": ref_q_bfs_levels,
@@ -2844,6 +2927,8 @@ DUCK_TYPES = {
     "q_kg_communities": {"label": "VARCHAR", "n_members": "BIGINT", "member_fp": "BIGINT"},
     "q_sparql_construct": {"predicate": "VARCHAR", "objecttype": "VARCHAR", "n_triples": "BIGINT", "pair_fp": "BIGINT"},
     "q_ntriples_export": {"pred_token": "VARCHAR", "n_lines": "BIGINT", "total_bytes": "BIGINT", "line_fp": "BIGINT"},
+    "q_nquads_export": {"pred_token": "VARCHAR", "n_lines": "BIGINT", "total_bytes": "BIGINT", "line_fp": "BIGINT"},
+    "q_sparql_graph": {"g": "VARCHAR", "n_links": "BIGINT", "n_subjects": "BIGINT", "n_types": "BIGINT"},
     "q_triple_provenance": {"subject": "VARCHAR", "predicate": "VARCHAR", "object": "VARCHAR", "n_docs": "BIGINT", "n_mentions": "BIGINT", "doc_fp": "BIGINT"},
     "q_schema_graph": {"s_cls": "VARCHAR", "predicate": "VARCHAR", "o_cls": "VARCHAR", "n_links": "BIGINT", "link_fp": "BIGINT"},
     "q_bfs_levels": {"level": "INTEGER", "n_nodes": "BIGINT", "node_fp": "BIGINT"},

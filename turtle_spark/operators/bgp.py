@@ -48,7 +48,9 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
-def _pattern_scan(triples: DataFrame, pattern: tuple) -> tuple[DataFrame, set[str], int]:
+def _pattern_scan(
+    triples: DataFrame, pattern: tuple, graph: str | None = None
+) -> tuple[DataFrame, set[str], int]:
     """One pattern -> (scan DataFrame with var-named columns, vars, n_constants)."""
     if len(pattern) == 4:
         s, p, o, otype = pattern
@@ -62,7 +64,15 @@ def _pattern_scan(triples: DataFrame, pattern: tuple) -> tuple[DataFrame, set[st
     if otype is not None:
         df = df.where(F.col("objecttype") == otype)
     var_cols: dict[str, str] = {}  # var name -> first position bound
-    for col, term in zip(_POSITIONS, (s, p, o)):
+    positions = list(zip(_POSITIONS, (s, p, o)))
+    if graph is not None:
+        # GRAPH term: a constant scopes every pattern to one named
+        # graph (a pushed-down scan predicate — on a graph-partitioned
+        # quad table this is partition pruning); a variable becomes a
+        # column every pattern binds, hence an equi-join key shared by
+        # the whole BGP — exactly SPARQL's GRAPH ?g { ... } semantics.
+        positions.append(("graph", graph))
+    for col, term in positions:
         if _is_var(term):
             name = term[1:]
             if not name:
@@ -83,6 +93,7 @@ def bgp_select(
     triples: DataFrame,
     patterns: list[tuple],
     project: list[str] | None = None,
+    graph: str | None = None,
 ) -> DataFrame:
     """Evaluate a conjunctive basic graph pattern.
 
@@ -92,10 +103,18 @@ def bgp_select(
     the parser's job, the materialized KG stores full IRIs.
 
     ``project``: variable names (without ``?``) to keep; default all.
+
+    ``graph``: SPARQL GRAPH scope over a QUAD table (requires a
+    ``graph`` column).  A constant IRI restricts every pattern to one
+    named graph; a ``?var`` binds the graph per solution and joins the
+    whole BGP on it (all patterns must match within the SAME graph).
+    ``None`` queries the union of all graphs — the merged-default-
+    graph reading, this engine's documented semantics for triple-level
+    queries over quad stores.
     """
     if not patterns:
         raise ValueError("empty basic graph pattern")
-    scans = [_pattern_scan(triples, p) for p in patterns]
+    scans = [_pattern_scan(triples, p, graph=graph) for p in patterns]
 
     remaining = list(range(len(scans)))
     # seed: most constants, deterministic tiebreak by index

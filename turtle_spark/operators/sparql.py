@@ -458,6 +458,7 @@ def sparql_select(
     order_by: list[str] | None = None,
     limit: int | None = None,
     offset: int | None = None,
+    graph: str | None = None,
 ) -> DataFrame:
     """Evaluate a SPARQL SELECT over the triple table.
 
@@ -514,6 +515,13 @@ def sparql_select(
     ``having``: FILTER expressions over the aggregate output columns
     (same grammar as ``filters``, e.g. ``"?n_rows > 2"``), applied
     after the hash aggregation — requires ``aggregates``.
+    ``graph``: SPARQL GRAPH scope over a quad table (a ``graph``
+    column).  A constant IRI prunes every scan to one named graph; a
+    ``"?g"`` variable binds per solution and scopes the required BGP
+    AND every OPTIONAL/MINUS/EXISTS group to the SAME graph (the
+    variable is an ordinary equi-join key, so the spec semantics cost
+    nothing extra at scale).  ``None`` = the merged union of all
+    graphs (this engine's default-graph reading).
 
     MINUS / EXISTS right sides are projected to the shared variables
     and deduped before the join — a map-side partial aggregate that
@@ -542,17 +550,23 @@ def sparql_select(
     NO global sort; OFFSET pagination ships offset+limit rows, so it
     is for result-page windows, not deep scans.
     """
-    acc = bgp_select(triples, patterns)
+    acc = bgp_select(triples, patterns, graph=graph)
     bound = _group_vars(patterns)
+    # GRAPH ?g: the variable is bound by every pattern of every group,
+    # so it joins into OPTIONAL/MINUS/EXISTS sides below — the spec's
+    # same-graph scoping falls out of ordinary equi-join keys
+    gvar = graph[1:] if (graph is not None and graph.startswith("?")) else None
+    if gvar:
+        bound = bound | {gvar}
 
     for group in optionals or []:
-        gvars = _group_vars(group)
+        gvars = _group_vars(group) | ({gvar} if gvar else set())
         shared = sorted(gvars & bound)
         if not shared:
             raise ValueError(
                 f"OPTIONAL group shares no variable with the required part: {group!r}"
             )
-        right = bgp_select(triples, group)
+        right = bgp_select(triples, group, graph=graph)
         acc = acc.join(right, on=shared, how="left")
         bound |= gvars
 
@@ -567,16 +581,21 @@ def sparql_select(
         bound |= set(sub.columns)
 
     def _keyed_group(group: list[tuple], kind: str) -> tuple[DataFrame, list[str]]:
-        shared = sorted(_group_vars(group) & bound)
+        gvars = _group_vars(group) | ({gvar} if gvar else set())
+        shared = sorted(gvars & bound)
         if not shared:
             raise ValueError(
                 f"{kind} group shares no variable with the solution: {group!r}"
             )
-        keys = bgp_select(triples, group).select(*shared).dropDuplicates()
+        keys = (
+            bgp_select(triples, group, graph=graph)
+            .select(*shared)
+            .dropDuplicates()
+        )
         return keys, shared
 
     for group in minus or []:
-        if not (_group_vars(group) & bound):
+        if not ((_group_vars(group) | ({gvar} if gvar else set())) & bound):
             # SPARQL spec: MINUS against a disjoint-domain pattern
             # removes nothing — a deliberate no-op, not an error.
             continue
