@@ -2172,6 +2172,25 @@ def _q_path_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered RDF collection recovery: every ``( a b c )`` the parser
+    desugared comes back as a SEQUENCE (q_path_members recovers only
+    the member set).  Distance-carrying path doubling closes a
+    length-L spine in ceil(log2 L) shuffles; the fingerprint is over
+    the '|'-joined ordered items, so a single transposition fails the
+    oracle."""
+    from turtle_spark.operators.graph import collection_arrays
+
+    out = collection_arrays(_corpus_triples(spark))
+    return out.select(
+        "head",
+        "n_items",
+        F.xxhash64(F.concat_ws("|", "items")).alias("items_fp"),
+        F.element_at("items", 1).alias("first_item"),
+        F.element_at("items", -1).alias("last_item"),
+    ).orderBy("head")
+
+
 def _q_path_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 negated property set inside a sequence:
     ``foaf:knows/!(foaf:name|a)`` — everything a known entity links to
@@ -3566,7 +3585,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_owl_entail", "q_bnode_canonical",
         "q_prefix_induction", "q_skolemize", "q_property_table",
         "q_sparql_having", "q_sparql_bind",
-        "q_sparql_graph", "q_nquads_export",
+        "q_sparql_graph", "q_nquads_export", "q_collections",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -3637,6 +3656,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_bpe_encode",
         "q_sparql_graph",
         "q_nquads_export",
+        "q_collections",
     }
 )
 
@@ -3735,6 +3755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_encode": _q_bpe_encode,
         "q_sparql_graph": _q_sparql_graph,
         "q_nquads_export": _q_nquads_export,
+        "q_collections": _q_collections,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -139,6 +139,7 @@ HEADLINE = [
     "q_bpe_encode",
     "q_sparql_graph",
     "q_nquads_export",
+    "q_collections",
 ]
 
 

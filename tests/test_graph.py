@@ -373,3 +373,78 @@ class TestCharacteristicSets:
             .toString()
         )
         assert "Join" not in plan
+
+
+# --------------------------------------------------------------------------
+# ordered collection recovery (collection_arrays)
+# --------------------------------------------------------------------------
+
+_TCOLS = (
+    "subject string, predicate string, object string, label string, "
+    "datatype string, objecttype string"
+)
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def _list_triples(head: str, items: list[str], start: int = 0):
+    rows, cells = [], [f"{head}" if i == 0 else f"{head}~{i}" for i in range(len(items))]
+    for i, (cell, item) in enumerate(zip(cells, items)):
+        rows.append((cell, _RDF + "first", item, "", "", "iri"))
+        nxt = cells[i + 1] if i + 1 < len(cells) else _RDF + "nil"
+        rows.append((cell, _RDF + "rest", nxt, "", "", "iri"))
+    return rows
+
+
+def test_collection_arrays_order_and_heads(spark):
+    from turtle_spark.operators.graph import collection_arrays
+
+    rows = (
+        _list_triples("_:l1", ["e/c", "e/a", "e/b"])  # order != sorted
+        + _list_triples("_:l2", ["e/x"])
+        + [("e/a", "p/knows", "e/b", "", "", "iri")]  # noise
+    )
+    out = {
+        r["head"]: (r["n_items"], r["items"])
+        for r in collection_arrays(spark.createDataFrame(rows, _TCOLS)).collect()
+    }
+    assert out == {
+        "_:l1": (3, ["e/c", "e/a", "e/b"]),  # ORDER preserved, not sorted
+        "_:l2": (1, ["e/x"]),
+    }
+
+
+def test_collection_arrays_nested_list_is_item_and_head(spark):
+    from turtle_spark.operators.graph import collection_arrays
+
+    rows = _list_triples("_:outer", ["e/a", "_:inner"]) + _list_triples(
+        "_:inner", ["e/b", "e/c"]
+    )
+    out = {
+        r["head"]: r["items"]
+        for r in collection_arrays(spark.createDataFrame(rows, _TCOLS)).collect()
+    }
+    assert out["_:outer"] == ["e/a", "_:inner"]
+    assert out["_:inner"] == ["e/b", "e/c"]
+
+
+def test_collection_arrays_long_list_log_rounds(spark):
+    from turtle_spark.operators.graph import collection_arrays
+
+    items = [f"e/i{k}" for k in range(40)]
+    out = collection_arrays(
+        spark.createDataFrame(_list_triples("_:long", items), _TCOLS),
+        max_rounds=7,  # ceil(log2 40) = 6 doubling rounds suffice
+    ).collect()
+    assert out[0]["items"] == items
+
+
+def test_collection_arrays_partitioning_independent(spark):
+    from turtle_spark.operators.graph import collection_arrays
+
+    rows = _list_triples("_:l1", ["e/c", "e/a", "e/b"]) + _list_triples(
+        "_:l2", [f"e/{k}" for k in range(9)]
+    )
+    df = spark.createDataFrame(rows, _TCOLS)
+    a = sorted((r["head"], tuple(r["items"])) for r in collection_arrays(df.repartition(7)).collect())
+    b = sorted((r["head"], tuple(r["items"])) for r in collection_arrays(df.coalesce(1)).collect())
+    assert a == b

@@ -2029,6 +2029,43 @@ def ref_q_sparql_graph() -> tuple[list[str], list[tuple]]:
     return ["g", "n_links", "n_subjects", "n_types"], out
 
 
+def ref_q_collections() -> tuple[list[str], list[tuple]]:
+    """Ordered collection recovery — global first/rest maps (blank
+    cells are doc-globalized by _extract_all, so no cross-doc
+    collision), heads = cells no rest edge targets, sequential walk
+    per head; fingerprint = xxh64 of the '|'-joined ordered items."""
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    first: dict[str, str] = {}
+    rest: dict[str, str] = {}
+    rest_targets: set[str] = set()
+    for r in rows:
+        if r[3] == rdf + "first":
+            first[r[2]] = r[4]
+        elif r[3] == rdf + "rest" and r[7] == "iri" and r[4] != rdf + "nil":
+            rest[r[2]] = r[4]
+            rest_targets.add(r[4])
+    out: list[tuple] = []
+    for head in sorted(first):
+        if head in rest_targets:
+            continue
+        items: list[str] = []
+        cell: str | None = head
+        while cell is not None and cell in first:
+            items.append(first[cell])
+            cell = rest.get(cell)
+        out.append(
+            (
+                head,
+                len(items),
+                xxh64_str("|".join(items)),
+                items[0],
+                items[-1],
+            )
+        )
+    return ["head", "n_items", "items_fp", "first_item", "last_item"], out
+
+
 def ref_q_triple_provenance() -> tuple[list[str], list[tuple]]:
     """Fact-support provenance — dict of fact -> (doc set, mention
     count), multi-source facts only, blank endpoints excluded."""
@@ -2827,6 +2864,7 @@ CORPUS_QUERIES = {
     "q_sparql_construct": ref_q_sparql_construct,
     "q_ntriples_export": ref_q_ntriples_export,
     "q_nquads_export": ref_q_nquads_export,
+    "q_collections": ref_q_collections,
     "q_sparql_graph": ref_q_sparql_graph,
     "q_triple_provenance": ref_q_triple_provenance,
     "q_schema_graph": ref_q_schema_graph,
@@ -2929,6 +2967,7 @@ DUCK_TYPES = {
     "q_ntriples_export": {"pred_token": "VARCHAR", "n_lines": "BIGINT", "total_bytes": "BIGINT", "line_fp": "BIGINT"},
     "q_nquads_export": {"pred_token": "VARCHAR", "n_lines": "BIGINT", "total_bytes": "BIGINT", "line_fp": "BIGINT"},
     "q_sparql_graph": {"g": "VARCHAR", "n_links": "BIGINT", "n_subjects": "BIGINT", "n_types": "BIGINT"},
+    "q_collections": {"head": "VARCHAR", "n_items": "BIGINT", "items_fp": "BIGINT", "first_item": "VARCHAR", "last_item": "VARCHAR"},
     "q_triple_provenance": {"subject": "VARCHAR", "predicate": "VARCHAR", "object": "VARCHAR", "n_docs": "BIGINT", "n_mentions": "BIGINT", "doc_fp": "BIGINT"},
     "q_schema_graph": {"s_cls": "VARCHAR", "predicate": "VARCHAR", "o_cls": "VARCHAR", "n_links": "BIGINT", "link_fp": "BIGINT"},
     "q_bfs_levels": {"level": "INTEGER", "n_nodes": "BIGINT", "node_fp": "BIGINT"},

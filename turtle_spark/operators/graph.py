@@ -627,3 +627,91 @@ def bfs_levels(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited
+
+
+def collection_arrays(triples: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Recover every RDF collection as an ORDERED array:
+    (head, n_items, items array<string>).
+
+    The Turtle parser desugars ``( a b c )`` into an rdf:first/rdf:rest
+    spine (``core/parser.py``; reference ``scanner/scanner.go`` emits
+    the same shorthand) — and the one thing the flat triple view loses
+    is the ORDER.  ``q_path_members``'s ``rest*/first`` path recovers
+    the member SET; this operator recovers the sequence, which is what
+    a downstream consumer of argument lists / ordered authorships
+    actually needs.
+
+    Position tracking is distance-carrying path doubling: reach(src,
+    dst, d) starts as the identity (d=0) plus the rest edges (d=1) and
+    each round composes reach with itself (d adds), so a length-L list
+    closes in ceil(log2 L) shuffle barriers — the log-depth discipline
+    of ``transitive_closure``, with the same bounded-input contract
+    (list spines are document-local and short; output is O(sum L^2)
+    spine pairs, never corpus-quadratic).  Spines are simple chains,
+    so each (src, dst) has exactly one distance and the per-round
+    dedup is exact.  Heads are cells no rest edge points at — a nested
+    list is an item of its parent AND a head of its own row, matching
+    the Turtle nesting semantics.
+    """
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rest = (
+        triples.where(
+            (F.col("predicate") == rdf + "rest")
+            & (F.col("objecttype") == "iri")
+            & (F.col("object") != rdf + "nil")
+        )
+        .select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+        .dropDuplicates()
+    )
+    first = (
+        triples.where(F.col("predicate") == rdf + "first")
+        .select(F.col("subject").alias("cell"), F.col("object").alias("item"))
+        .dropDuplicates()
+    )
+    cells = first.select(F.col("cell").alias("node")).dropDuplicates()
+    reach = (
+        cells.select(
+            F.col("node").alias("src"), F.col("node").alias("dst"), F.lit(0).alias("d")
+        )
+        .unionByName(rest.withColumn("d", F.lit(1)))
+        .localCheckpoint(eager=True)
+    )
+    n = reach.count()
+    for _ in range(max_rounds):
+        hop = (
+            reach.alias("a")
+            .join(reach.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(
+                F.col("a.src").alias("src"),
+                F.col("b.dst").alias("dst"),
+                (F.col("a.d") + F.col("b.d")).alias("d"),
+            )
+        )
+        reach = (
+            reach.union(hop)
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=True)
+        )
+        n_new = reach.count()
+        if n_new == n:
+            break
+        n = n_new
+    else:
+        raise RuntimeError(
+            f"collection_arrays: no fixpoint after {max_rounds} doubling "
+            "rounds; was the input a document-local list spine?"
+        )
+    heads = cells.join(rest, cells["node"] == rest["dst"], "left_anti")
+    ordered = (
+        heads.join(reach, heads["node"] == reach["src"])
+        .join(first, reach["dst"] == first["cell"])
+        .groupBy(F.col("node").alias("head"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "item"))),
+                lambda x: x["item"],
+            ).alias("items"),
+        )
+    )
+    return ordered
