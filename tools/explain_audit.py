@@ -80,6 +80,13 @@ AUDITED = [
     "q_bfs_levels",
     "q_path_nps",
     "q_describe",
+    "q_sparql_having",
+    "q_sparql_bind",
+    "q_sparql_graph",
+    "q_semdedup",
+    "q_leakage_split",
+    "q_nquads_export",
+    "q_collections",
 ]
 
 
