@@ -1814,6 +1814,53 @@ LIMIT 100
 """
 
 
+_SQL_VOCAB_DRIFT = """
+WITH tok AS (
+  SELECT d.doc_id % 2 AS half, t.word
+  FROM documents d, UNNEST(regexp_split_to_array(d.text, '[ \t\n\r]+')) AS t(word)
+  WHERE length(t.word) > 0
+), c AS (
+  SELECT word,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_old,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_new
+  FROM tok GROUP BY word
+), tot AS (
+  SELECT CAST(SUM(n_old) AS DECIMAL(38,0)) AS t_old,
+         CAST(SUM(n_new) AS DECIMAL(38,0)) AS t_new
+  FROM c
+)
+SELECT word, n_old, n_new, CAST(drift AS VARCHAR) AS drift
+FROM (
+  SELECT word,
+         CAST(n_old AS BIGINT) AS n_old,
+         CAST(n_new AS BIGINT) AS n_new,
+         CAST(ABS(CAST(n_new AS DECIMAL(38,0)) * t_old
+                - CAST(n_old AS DECIMAL(38,0)) * t_new) AS DECIMAL(38,0)) AS drift
+  FROM c CROSS JOIN tot
+  WHERE n_old + n_new >= 2
+  ORDER BY drift DESC, word ASC
+  LIMIT 100
+)
+"""
+
+
+def _q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot vocabulary drift: the even-doc_id half of the corpus
+    as "yesterday's crawl", the odd half as "today's" — top-100 tokens
+    by cross-multiplied relative-frequency shift.  All-integer
+    arithmetic (DECIMAL(38,0) products — int64 overflows when counts
+    at 10^12 docs cross-multiply), so the score is bit-identical at
+    any parallelism AND the oracle is plain portable SQL."""
+    from turtle_spark.operators.textstats import vocabulary_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocabulary_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        top_k=100,
+    )
+
+
 # -- non-SQL-expressible operators (rows-only driver check) ------------------
 
 def _q_kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3657,6 +3704,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_sparql_graph",
         "q_nquads_export",
         "q_collections",
+        "q_vocab_drift",
     }
 )
 
@@ -3756,6 +3804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_graph": _q_sparql_graph,
         "q_nquads_export": _q_nquads_export,
         "q_collections": _q_collections,
+        "q_vocab_drift": _q_vocab_drift,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -3824,6 +3873,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         for name in (*_CORPUS_GOLDENS, *_SF_GOLDENS)
     }
     return goldens | {
+        "q_vocab_drift": _SQL_VOCAB_DRIFT,
         "q_cooccur": _SQL_COOCCUR,
         "q_lineitem_agg": _SQL_LINEITEM_AGG,
         "q_revenue_by_nation": _SQL_REVENUE_BY_NATION,

@@ -140,6 +140,7 @@ HEADLINE = [
     "q_sparql_graph",
     "q_nquads_export",
     "q_collections",
+    "q_vocab_drift",
 ]
 
 

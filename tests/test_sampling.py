@@ -245,3 +245,22 @@ def test_leakage_safe_split_clusters_move_together(spark):
     assert by_id[40]["group_key"] == 10
     assert by_id[40]["split"] == by_id[10]["split"]
     assert by_id[7]["group_key"] == 7  # isolated doc groups to itself
+
+
+def test_vocabulary_drift_exact_cross_multiplication(spark):
+    from turtle_spark.operators.textstats import vocabulary_drift
+
+    old = spark.createDataFrame([("a a b",), ("a c",)], "text string")
+    new = spark.createDataFrame([("b b b c",)], "text string")
+    out = {r["word"]: r for r in vocabulary_drift(old, new, min_count=1).collect()}
+    # T_old=5, T_new=4: a -> |0*5 - 3*4| = 12; b -> |3*5 - 1*4| = 11;
+    # c -> |1*5 - 1*4| = 1
+    assert out["a"]["drift"] == "12" and (out["a"]["n_old"], out["a"]["n_new"]) == (3, 0)
+    assert out["b"]["drift"] == "11"
+    assert out["c"]["drift"] == "1"
+    # partitioning independence
+    out2 = {
+        r["word"]: r["drift"]
+        for r in vocabulary_drift(old.repartition(5), new.repartition(3), min_count=1).collect()
+    }
+    assert out2 == {w: r["drift"] for w, r in out.items()}

@@ -354,3 +354,67 @@ def cooccurrence_lift(
         )
     )
     return out.orderBy(F.desc("n_pairs"), "word_a", "word_b").limit(top_k)
+
+
+def vocabulary_drift(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    top_k: int = 100,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_k`` vocabulary shifts between two corpus snapshots:
+    (word, n_old, n_new, drift) — the distribution-monitoring signal a
+    continuously-crawled training corpus needs (a token whose relative
+    frequency jumps between yesterday's and today's snapshot is spam,
+    a template, or a topical event; either way a curation reviewer
+    wants the list).
+
+    ``drift = |n_new * T_old - n_old * T_new|`` where T is the
+    snapshot's total token count — the cross-multiplied form of
+    ``|p_new - p_old|`` that never divides: every value is an EXACT
+    integer (DECIMAL(38,0) products — counts at 10^12 docs overflow
+    int64 when cross-multiplied), so the result is bit-identical at
+    any parallelism AND expressible in plain portable SQL — this
+    operator carries a real DuckDB twin, not a golden.
+
+    Plan: two word-count aggregations (map-side combined), a full
+    outer join on the word, one broadcast of the two scalar totals,
+    and a TakeOrdered top-k — no window, no global sort.
+    """
+    ws = "[ \\t\\n\\r]+"
+
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select(F.explode(F.split(F.col(text_col), ws)).alias("word"))
+            .where(F.length("word") > 0)
+            .groupBy("word")
+            .agg(F.count("*").alias(alias))
+        )
+
+    o = counts(old_docs, "n_old")
+    n = counts(new_docs, "n_new")
+    joined = o.join(n, "word", "full_outer").select(
+        "word",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    totals = joined.agg(
+        F.sum("n_old").cast("decimal(38,0)").alias("t_old"),
+        F.sum("n_new").cast("decimal(38,0)").alias("t_new"),
+    )
+    drift = F.abs(
+        F.col("n_new").cast("decimal(38,0)") * F.col("t_old")
+        - F.col("n_old").cast("decimal(38,0)") * F.col("t_new")
+    ).cast("decimal(38,0)")
+    return (
+        joined.join(F.broadcast(totals))
+        .where((F.col("n_old") + F.col("n_new")) >= min_count)
+        .select("word", "n_old", "n_new", drift.alias("drift"))
+        .orderBy(F.col("drift").desc(), F.col("word").asc())
+        .limit(top_k)
+        # exact integer rendered as text: a 38-digit decimal survives
+        # no client's numeric type (pandas demotes it to float64), so
+        # the output contract is its decimal string
+        .withColumn("drift", F.col("drift").cast("string"))
+    )
