@@ -2238,6 +2238,32 @@ def _q_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("head")
 
 
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer HITS over the KG entity graph
+    (operators/graph.py::hits): hub/authority scores sum-normalized in
+    exact int64 (products routed through DECIMAL(38,0)), so — like
+    q_pagerank_kg — every score is bit-identical at any parallelism.
+    Top 20 authorities: which entities the graph's strongest hubs
+    agree on (reference-entity detection for linking priors)."""
+    from turtle_spark.operators.graph import entity_edges, hits
+
+    scores = hits(entity_edges(_corpus_triples(spark)), iterations=8)
+    return scores.orderBy(F.col("auth_fp").desc(), "node").limit(20)
+
+
+def _q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG completion candidates: non-adjacent entity pairs ranked by
+    quantized Adamic-Adar (operators/graph.py::link_prediction) — a
+    shared low-degree neighbor beats a shared celebrity hub.  Every
+    pair is generated THROUGH its common neighbor (wedge expansion,
+    capped per node), never an all-pairs join; weights are integer
+    bit-length quantized so the ranking is parallelism-independent."""
+    from turtle_spark.operators.graph import entity_edges, link_prediction
+
+    preds = link_prediction(entity_edges(_corpus_triples(spark)))
+    return preds.orderBy(F.col("aa_fp").desc(), "a", "b").limit(30)
+
+
 def _q_path_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 negated property set inside a sequence:
     ``foaf:knows/!(foaf:name|a)`` — everything a known entity links to
@@ -3633,6 +3659,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_prefix_induction", "q_skolemize", "q_property_table",
         "q_sparql_having", "q_sparql_bind",
         "q_sparql_graph", "q_nquads_export", "q_collections",
+        "q_hits", "q_link_predict",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -3705,6 +3732,8 @@ WINDOW_OVERFLOW = frozenset(
         "q_nquads_export",
         "q_collections",
         "q_vocab_drift",
+        "q_hits",
+        "q_link_predict",
     }
 )
 
@@ -3805,6 +3834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nquads_export": _q_nquads_export,
         "q_collections": _q_collections,
         "q_vocab_drift": _q_vocab_drift,
+        "q_hits": _q_hits,
+        "q_link_predict": _q_link_predict,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -448,3 +448,140 @@ def test_collection_arrays_partitioning_independent(spark):
     a = sorted((r["head"], tuple(r["items"])) for r in collection_arrays(df.repartition(7)).collect())
     b = sorted((r["head"], tuple(r["items"])) for r in collection_arrays(df.coalesce(1)).collect())
     assert a == b
+
+
+def _hits_mirror(edges, iterations=8, scale=1_000_000):
+    """Plain dict-loop HITS with the same integer arithmetic."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+
+    def norm(scores):
+        total = sum(scores.values())
+        if total == 0:
+            return scores
+        return {n: v * scale // total for n, v in scores.items()}
+
+    for _ in range(iterations):
+        auth = norm({n: sum(hub[s] for s, d in edges if d == n) for n in nodes})
+        hub = norm({n: sum(auth[d] for s, d in edges if s == n) for n in nodes})
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+class TestHits:
+    EDGES = [
+        ("hub1", "page_a"), ("hub1", "page_b"), ("hub1", "page_c"),
+        ("hub2", "page_a"), ("hub2", "page_b"),
+        ("page_a", "page_b"),
+        ("loner", "page_c"),
+    ]
+
+    def _edges_df(self, spark, edges):
+        return spark.createDataFrame(edges, "src string, dst string")
+
+    def test_matches_dict_mirror(self, spark):
+        from turtle_spark.operators.graph import hits
+
+        got = {
+            r["node"]: (r["hub_fp"], r["auth_fp"])
+            for r in hits(self._edges_df(spark, self.EDGES), iterations=8).collect()
+        }
+        assert got == _hits_mirror(self.EDGES)
+
+    def test_hub_and_authority_ordering(self, spark):
+        from turtle_spark.operators.graph import hits
+
+        got = {
+            r["node"]: (r["hub_fp"], r["auth_fp"])
+            for r in hits(self._edges_df(spark, self.EDGES), iterations=8).collect()
+        }
+        # hub1 links to all three authorities -> strongest hub;
+        # page_b has the most/strongest in-links -> top authority
+        assert got["hub1"][0] == max(v[0] for v in got.values())
+        assert got["page_b"][1] == max(v[1] for v in got.values())
+        # pure-sink pages hub 0; pure-source hubs authority 0
+        assert got["page_c"][0] == 0 and got["hub1"][1] == 0
+
+    def test_partitioning_independence(self, spark):
+        from turtle_spark.operators.graph import hits
+
+        df = self._edges_df(spark, self.EDGES)
+        a = sorted(map(tuple, hits(df.repartition(1), iterations=5).collect()))
+        b = sorted(map(tuple, hits(df.repartition(17), iterations=5).collect()))
+        assert a == b
+
+    def test_mass_conserved(self, spark):
+        from turtle_spark.operators.graph import hits
+
+        res = hits(self._edges_df(spark, self.EDGES), iterations=3)
+        sums = res.agg(F.sum("hub_fp"), F.sum("auth_fp")).collect()[0]
+        # sum-normalized to <= SCALE (floor division loses < 1 unit/node)
+        assert 0 < sums[0] <= 1_000_000 and 0 < sums[1] <= 1_000_000
+
+
+def _aa_mirror(edges, neighbor_cap=64, scale=1_000_000):
+    """Loops mirror of link_prediction (same cap + integer weights)."""
+    adj: dict[str, set[str]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    scored: dict[tuple[str, str], list[int]] = {}
+    for z, nbrs in adj.items():
+        deg = len(nbrs)
+        if deg < 2:
+            continue
+        w = scale // (deg.bit_length() - 1)
+        capped = sorted(nbrs)[:neighbor_cap]
+        for i, a in enumerate(capped):
+            for b in capped[i + 1:]:
+                cell = scored.setdefault((a, b), [0, 0])
+                cell[0] += 1
+                cell[1] += w
+    return {
+        (a, b): (n, s)
+        for (a, b), (n, s) in scored.items()
+        if b not in adj.get(a, set())
+    }
+
+
+class TestLinkPrediction:
+    EDGES = [
+        ("a", "z1"), ("b", "z1"),            # a-b share z1 (deg 2 -> w = SCALE)
+        ("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub"),  # hub deg 4
+        ("c", "d"),                           # existing edge -> excluded
+    ]
+
+    def _run(self, spark, edges, **kw):
+        from turtle_spark.operators.graph import link_prediction
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {
+            (r["a"], r["b"]): (r["n_common"], r["aa_fp"])
+            for r in link_prediction(df, **kw).collect()
+        }
+
+    def test_matches_loops_mirror(self, spark):
+        assert self._run(spark, self.EDGES) == _aa_mirror(self.EDGES)
+
+    def test_low_degree_neighbor_outweighs_hub(self, spark):
+        got = self._run(spark, self.EDGES)
+        # (a,b) share z1 (deg 2, w=SCALE) AND hub (deg 4, w=SCALE/2);
+        # (a,c) share only the hub
+        assert got[("a", "b")] == (2, 1_500_000)
+        assert got[("a", "c")] == (1, 500_000)
+
+    def test_existing_edges_never_predicted(self, spark):
+        got = self._run(spark, self.EDGES)
+        assert ("c", "d") not in got and ("d", "c") not in got
+
+    def test_neighbor_cap_bounds_wedges(self, spark):
+        edges = [("hub", f"n{i:02d}") for i in range(10)]
+        got = self._run(spark, edges, neighbor_cap=4)
+        assert got == _aa_mirror(edges, neighbor_cap=4)
+        assert len(got) == 6  # C(4,2), not C(10,2)
+
+    def test_direction_insensitive(self, spark):
+        rev = [(d, s) for s, d in self.EDGES]
+        assert self._run(spark, rev) == self._run(spark, self.EDGES)

@@ -2809,6 +2809,68 @@ def ref_q_sketch_recall(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["n_true", "n_lsh", "n_tp", "n_missed", "n_extra", "recall"], [row]
 
 
+
+def ref_q_hits() -> tuple[list[str], list[tuple]]:
+    """Fixed-point integer HITS — plain dict loops vs the engine's
+    join/agg half-steps; sum-normalization in exact ints makes both
+    bit-identical (mirrors operators/graph.py::hits)."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    edges = sorted({(r[2], r[4]) for r in rows if r[7] == "iri" and r[2] != r[4]})
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    scale = 1_000_000
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+
+    def norm(scores):
+        total = sum(scores.values())
+        if total == 0:
+            return scores
+        return {n: v * scale // total for n, v in scores.items()}
+
+    out_nbrs: dict[str, list[str]] = {}
+    in_nbrs: dict[str, list[str]] = {}
+    for s, d in edges:
+        out_nbrs.setdefault(s, []).append(d)
+        in_nbrs.setdefault(d, []).append(s)
+    for _ in range(8):
+        auth = norm({n: sum(hub[s] for s in in_nbrs.get(n, ())) for n in nodes})
+        hub = norm({n: sum(auth[d] for d in out_nbrs.get(n, ())) for n in nodes})
+    top = sorted(nodes, key=lambda n: (-auth[n], n))[:20]
+    return ["node", "hub_fp", "auth_fp"], [(n, hub[n], auth[n]) for n in top]
+
+
+def ref_q_link_predict() -> tuple[list[str], list[tuple]]:
+    """Quantized Adamic-Adar link prediction — loops + dict wedges vs
+    the engine's in-array wedge expansion (same neighbor_cap=64 and
+    integer bit-length weights; mirrors graph.py::link_prediction)."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    edges = sorted({(r[2], r[4]) for r in rows if r[7] == "iri" and r[2] != r[4]})
+    scale, cap = 1_000_000, 64
+    adj: dict[str, set[str]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    scored: dict[tuple[str, str], list[int]] = {}
+    for z, nbrs in adj.items():
+        deg = len(nbrs)
+        if deg < 2:
+            continue
+        w = scale // (deg.bit_length() - 1)
+        capped = sorted(nbrs)[:cap]
+        for i, a in enumerate(capped):
+            for b in capped[i + 1:]:
+                cell = scored.setdefault((a, b), [0, 0])
+                cell[0] += 1
+                cell[1] += w
+    preds = [
+        (a, b, n, s)
+        for (a, b), (n, s) in scored.items()
+        if b not in adj.get(a, set())
+    ]
+    preds.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return ["a", "b", "n_common", "aa_fp"], preds[:30]
+
+
 SF_QUERIES = {
     "q_lm_quality": ref_q_lm_quality,
     "q_dsir_weights": ref_q_dsir_weights,
@@ -2829,6 +2891,8 @@ SF_QUERIES = {
 }
 
 CORPUS_QUERIES = {
+    "q_hits": ref_q_hits,
+    "q_link_predict": ref_q_link_predict,
     "q_triangle_count": ref_q_triangle_count,
     "q_kg_extract": ref_q_kg_extract,
     "q_triples_two_hop": ref_q_triples_two_hop,
@@ -2888,6 +2952,8 @@ CORPUS_QUERIES = {
 # DuckDB column types per query — chosen to land in pandas with the
 # exact dtype the Spark query produces (the driver's hash sees dtypes)
 DUCK_TYPES = {
+    "q_hits": {"node": "VARCHAR", "hub_fp": "BIGINT", "auth_fp": "BIGINT"},
+    "q_link_predict": {"a": "VARCHAR", "b": "VARCHAR", "n_common": "BIGINT", "aa_fp": "BIGINT"},
     "q_sparql_update": {"predicate": "VARCHAR", "n_triples": "BIGINT", "triple_fp": "BIGINT"},
     "q_void_stats": {"part": "VARCHAR", "key": "VARCHAR", "n_triples": "BIGINT", "n_entities": "BIGINT", "member_fp": "BIGINT"},
     "q_owl_entail": {"rule": "VARCHAR", "predicate": "VARCHAR", "n_new": "BIGINT", "new_fp": "BIGINT"},

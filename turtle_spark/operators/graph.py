@@ -715,3 +715,185 @@ def collection_arrays(triples: DataFrame, max_rounds: int = 16) -> DataFrame:
         )
     )
     return ordered
+
+
+# fixed-point scale for HITS: scores are sum-normalized every half-step
+# (unlike PageRank there is no damping to bound growth), so per-node
+# values stay <= _HITS_SCALE and the DECIMAL(38,0)-routed products
+# never approach the 38-digit ceiling even at 10^9 nodes.
+_HITS_SCALE = 1_000_000
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 8,
+) -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg hubs & authorities) over
+    ``edges(src, dst)``.
+
+    Authority(v) = sum of hub scores over in-neighbors; hub(u) = sum
+    of authority scores over out-neighbors; each half-step is
+    SUM-normalized back to ``_HITS_SCALE`` total mass.  All arithmetic
+    is integer-exact: raw sums are int64, the normalizing product
+    ``raw * SCALE`` is routed through DECIMAL(38,0) and floor-divided
+    (``div``) by the exact total, so — like :func:`pagerank` — the
+    result is bit-identical at any parallelism, task order, or retry
+    count.  Float HITS is none of those (the normalizing L2 norm and
+    the dot products both reorder under shuffle).
+
+    Per half-step: one shuffle join (scores x edges) + one groupBy
+    sum + a 1-row total aggregate broadcast back (no driver collect).
+    Nodes without in-edges (resp. out-edges) hold authority (resp.
+    hub) 0, matching the spec's fixpoint.
+
+    Lineage is truncated EVERY iteration (not every K like
+    :func:`pagerank`): normalization references its input subtree
+    twice (rows + the total aggregate), so an untruncated plan
+    quadruples per iteration — 4^i logical-plan growth that stalls
+    Catalyst analysis long before execution.  One localCheckpoint of
+    the two O(V) score tables per round is the standard iterative
+    trade and keeps the per-round plan constant-size.
+
+    Returns ``(node, hub_fp, auth_fp)``; callers divide by ``10**6``
+    for a float view.
+    """
+    from turtle_spark.operators.skew import pin
+
+    edges = pin(edges.select("src", "dst"))
+    nodes = pin(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+
+    def _normalize(scores: DataFrame, col: str) -> DataFrame:
+        total = scores.agg(F.sum(col).alias("_total"))
+        return (
+            scores.crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                # div by a zero/NULL total (possible only on an empty
+                # edge set) yields NULL -> held at 0
+                F.coalesce(
+                    F.expr(
+                        f"CAST({col} AS DECIMAL(38,0)) * {_HITS_SCALE} "
+                        f"div _total"
+                    ),
+                    F.lit(0),
+                ).cast("long").alias(col),
+            )
+        )
+
+    hubs = nodes.withColumn("hub_fp", F.lit(_HITS_SCALE).cast("long"))
+    auths = nodes.withColumn("auth_fp", F.lit(0).cast("long"))
+    for i in range(iterations):
+        raw_a = (
+            hubs.join(edges, hubs["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_fp").alias("auth_fp"))
+        )
+        auths = _normalize(
+            nodes.join(raw_a, "node", "left").select(
+                "node", F.coalesce("auth_fp", F.lit(0)).alias("auth_fp")
+            ),
+            "auth_fp",
+        )
+        raw_h = (
+            auths.join(edges, auths["node"] == edges["dst"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_fp").alias("hub_fp"))
+        )
+        hubs = _normalize(
+            nodes.join(raw_h, "node", "left").select(
+                "node", F.coalesce("hub_fp", F.lit(0)).alias("hub_fp")
+            ),
+            "hub_fp",
+        )
+        if i + 1 < iterations:
+            hubs = hubs.localCheckpoint(eager=True)
+            auths = auths.localCheckpoint(eager=True)
+    return nodes.join(hubs, "node", "left").join(auths, "node", "left").select(
+        "node",
+        F.coalesce("hub_fp", F.lit(0)).cast("long").alias("hub_fp"),
+        F.coalesce("auth_fp", F.lit(0)).cast("long").alias("auth_fp"),
+    )
+
+
+# Adamic-Adar weights quantized to integers: weight(z) = SCALE div
+# floor(log2(deg(z))) — exact int arithmetic (same bit-length trick as
+# operators/importance.py lm_quality), monotone in the real AA weight,
+# and bit-identical at any parallelism where float 1/ln(deg) sums are
+# not (addition order varies under shuffle).
+_AA_SCALE = 1_000_000
+
+
+def link_prediction(
+    edges: DataFrame,
+    neighbor_cap: int = 64,
+    min_common: int = 1,
+) -> DataFrame:
+    """Common-neighbor link prediction with quantized Adamic-Adar
+    scores over the UNDIRECTED view of ``edges(src, dst)``.
+
+    For every non-adjacent node pair (a, b) sharing at least
+    ``min_common`` common neighbors z, emits::
+
+        (a, b, n_common, aa_fp)   with  aa_fp = sum_z SCALE div log2(deg z)
+
+    — the KG-completion candidate list (which entity pairs the graph
+    is "missing" an edge between), ranked by the classic Adamic-Adar
+    signal: a shared low-degree neighbor is stronger evidence than a
+    shared celebrity hub.
+
+    Scale shape: every pair is generated THROUGH its common neighbor
+    z — one wedge expansion per z, never an all-pairs join.  Each z's
+    sorted neighbor list is capped at ``neighbor_cap`` BEFORE it
+    materializes (row_number window, the ``candidate_pairs`` bucket-cap
+    contract: a celebrity z with 10^6 neighbors would otherwise emit
+    C(10^6, 2) wedges from one reducer).  The cap keeps each z's
+    ``neighbor_cap`` smallest neighbors deterministically, so fan-out
+    is bounded at C(cap, 2) pairs per node; dropped wedges cost only
+    recall on pairs whose ONLY common neighbors are capped celebrities
+    — exactly the pairs AA down-weights toward zero anyway.  Existing
+    edges are removed with one LEFT ANTI equi-join; weights are pure
+    column arithmetic (no Python anywhere).
+    """
+    both = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    adj = (
+        both.union(both.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates()
+        .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
+    w = Window.partitionBy("node").orderBy("nbr")
+    wedges = (
+        adj.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= neighbor_cap)
+        .join(deg, "node")
+        .where(F.col("deg") >= 2)
+        .groupBy("node", "deg")
+        .agg(F.sort_array(F.collect_list("nbr")).alias("ns"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) -> "
+                    "transform(slice(ns, i + 2, size(ns) - i - 1), y -> "
+                    "struct(x AS a, y AS b))))"
+                )
+            ).alias("p"),
+            F.expr(f"{_AA_SCALE} div (length(bin(deg)) - 1)").alias("w"),
+        )
+        .select("p.a", "p.b", "w")
+    )
+    scored = (
+        wedges.groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("w").cast("long").alias("aa_fp"),
+        )
+        .where(F.col("n_common") >= min_common)
+    )
+    existing = adj.where(F.col("node") < F.col("nbr")).select(
+        F.col("node").alias("a"), F.col("nbr").alias("b")
+    )
+    return scored.join(existing, ["a", "b"], "left_anti")
