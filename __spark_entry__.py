@@ -2264,6 +2264,23 @@ def _q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preds.orderBy(F.col("aa_fp").desc(), "a", "b").limit(30)
 
 
+def _q_trig_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TriG sink (sources/trig.py): the corpus quad table rendered as
+    named-graph Turtle, one ``<graph> { ... }`` block per source
+    document, bodies laid out by the same fixture-pinned sorted-Turtle
+    core as q_serialize_roundtrip.  Fingerprinting every block's exact
+    text makes the oracle sensitive to a single byte of layout drift;
+    the encode->decode round trip is pinned in tests/test_trig.py."""
+    from turtle_spark.sources.trig import graph_blocks
+
+    blocks = graph_blocks(_corpus_quads(spark))
+    return blocks.select(
+        "graph",
+        F.length("block").alias("n_chars"),
+        F.xxhash64("block").alias("block_fp"),
+    ).orderBy("graph")
+
+
 def _q_path_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 negated property set inside a sequence:
     ``foaf:knows/!(foaf:name|a)`` — everything a known entity links to
@@ -3659,7 +3676,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_prefix_induction", "q_skolemize", "q_property_table",
         "q_sparql_having", "q_sparql_bind",
         "q_sparql_graph", "q_nquads_export", "q_collections",
-        "q_hits", "q_link_predict",
+        "q_hits", "q_link_predict", "q_trig_export",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -3734,6 +3751,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_vocab_drift",
         "q_hits",
         "q_link_predict",
+        "q_trig_export",
     }
 )
 
@@ -3836,6 +3854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_drift": _q_vocab_drift,
         "q_hits": _q_hits,
         "q_link_predict": _q_link_predict,
+        "q_trig_export": _q_trig_export,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

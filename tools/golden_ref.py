@@ -2871,6 +2871,34 @@ def ref_q_link_predict() -> tuple[list[str], list[tuple]]:
     return ["a", "b", "n_common", "aa_fp"], preds[:30]
 
 
+
+def ref_q_trig_export() -> tuple[list[str], list[tuple]]:
+    """TriG encode layout — per-graph block bytes + fingerprint,
+    rendered with the fixture-pinned GraphBuffer core grouped by the
+    quad model's one-graph-per-document provenance (mirrors
+    sources/trig.py::graph_blocks)."""
+    from turtle_spark.core.serializer import GraphBuffer
+
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    by_graph: dict[str, set] = {}
+    for doc_id, _seq, s, p, o, label, datatype, otype in rows:
+        by_graph.setdefault("urn:graph:" + doc_id, set()).add(
+            (s, p, o, label, datatype, otype)
+        )
+    out = []
+    for graph in sorted(by_graph):
+        g = GraphBuffer()
+        # same deterministic insertion order as graph_blocks: the
+        # buffer's object sort is stable on lexical form only
+        for s, p, o, label, datatype, otype in sorted(
+            by_graph[graph], key=lambda t: (t[0], t[1], t[2], t[4], t[3])
+        ):
+            g.accept_annotated(s, p, o, label, datatype, otype)
+        text = f"<{graph}> {{\n{g.render(include_pragmas=False)}}}\n"
+        out.append((graph, len(text), xxh64_str(text)))
+    return ["graph", "n_chars", "block_fp"], out
+
+
 SF_QUERIES = {
     "q_lm_quality": ref_q_lm_quality,
     "q_dsir_weights": ref_q_dsir_weights,
@@ -2891,6 +2919,7 @@ SF_QUERIES = {
 }
 
 CORPUS_QUERIES = {
+    "q_trig_export": ref_q_trig_export,
     "q_hits": ref_q_hits,
     "q_link_predict": ref_q_link_predict,
     "q_triangle_count": ref_q_triangle_count,
@@ -2952,6 +2981,7 @@ CORPUS_QUERIES = {
 # DuckDB column types per query — chosen to land in pandas with the
 # exact dtype the Spark query produces (the driver's hash sees dtypes)
 DUCK_TYPES = {
+    "q_trig_export": {"graph": "VARCHAR", "n_chars": "INTEGER", "block_fp": "BIGINT"},
     "q_hits": {"node": "VARCHAR", "hub_fp": "BIGINT", "auth_fp": "BIGINT"},
     "q_link_predict": {"a": "VARCHAR", "b": "VARCHAR", "n_common": "BIGINT", "aa_fp": "BIGINT"},
     "q_sparql_update": {"predicate": "VARCHAR", "n_triples": "BIGINT", "triple_fp": "BIGINT"},
