@@ -2281,6 +2281,33 @@ def _q_trig_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("graph")
 
 
+def _q_jsonld_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD node-object lines (sources/jsonld.py): the corpus as
+    NDJSON expanded-form node objects, one subject per line — the
+    line-regular JSON exchange format; bytes are fully specified by
+    the module's own escape/sort rules (never Jackson), so the golden
+    pins every byte.  Aggregated per 32-way subject hash
+    bucket; decode round trip pinned in tests/test_jsonld.py."""
+    from turtle_spark.sources.jsonld import to_jsonld_lines
+
+    lines = to_jsonld_lines(
+        _corpus_triples(spark).select(
+            "subject", "predicate", "object", "label", "datatype", "objecttype"
+        )
+    )
+    return (
+        lines.groupBy(
+            F.pmod(F.xxhash64("subject"), F.lit(32)).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.length("line")).alias("total_chars"),
+            F.expr("bit_xor(xxhash64(line))").alias("line_fp"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def _q_path_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 negated property set inside a sequence:
     ``foaf:knows/!(foaf:name|a)`` — everything a known entity links to
@@ -3676,7 +3703,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_prefix_induction", "q_skolemize", "q_property_table",
         "q_sparql_having", "q_sparql_bind",
         "q_sparql_graph", "q_nquads_export", "q_collections",
-        "q_hits", "q_link_predict", "q_trig_export",
+        "q_hits", "q_link_predict", "q_trig_export", "q_jsonld_export",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -3752,6 +3779,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_hits",
         "q_link_predict",
         "q_trig_export",
+        "q_jsonld_export",
     }
 )
 
@@ -3855,6 +3883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hits": _q_hits,
         "q_link_predict": _q_link_predict,
         "q_trig_export": _q_trig_export,
+        "q_jsonld_export": _q_jsonld_export,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -2899,6 +2899,53 @@ def ref_q_trig_export() -> tuple[list[str], list[tuple]]:
     return ["graph", "n_chars", "block_fp"], out
 
 
+
+def _json_esc(s: str) -> str:
+    return (
+        s.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
+
+
+def ref_q_jsonld_export() -> tuple[list[str], list[tuple]]:
+    """JSON-LD node-object lines — byte-exact mirror of the encode
+    chain in sources/jsonld.py (same escape set, same key/value sort),
+    aggregated per 32-way subject hash bucket."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    by_sub: dict[str, dict[str, set]] = {}
+    for _doc, _seq, s, p, o, label, datatype, otype in rows:
+        if otype == "literal":
+            v = '{"@value":"' + _json_esc(o) + '"'
+            if label:
+                v += ',"@language":"' + _json_esc(label) + '"'
+            elif datatype:
+                dt = datatype[1:-1] if datatype.startswith("<") and datatype.endswith(">") else datatype
+                v += ',"@type":"' + _json_esc(dt) + '"'
+            v += "}"
+        else:
+            v = '{"@id":"' + _json_esc(o) + '"}'
+        by_sub.setdefault(s, {}).setdefault(p, set()).add(v)
+    agg: dict[str, list[int]] = {}
+    for s in by_sub:
+        entries = [
+            '"' + _json_esc(p) + '":[' + ",".join(sorted(vs)) + "]"
+            for p, vs in sorted(by_sub[s].items())
+        ]
+        line = '{"@id":"' + _json_esc(s) + '",' + ",".join(entries) + "}"
+        cell = agg.setdefault(pmod(xxh64_str(s), 32), [0, 0, 0])
+        cell[0] += 1
+        cell[1] += len(line)
+        cell[2] ^= xxh64_str(line)
+    out = [
+        (b, n, total, _signed64(fp))
+        for b, (n, total, fp) in sorted(agg.items())
+    ]
+    return ["bucket", "n_lines", "total_chars", "line_fp"], out
+
+
 SF_QUERIES = {
     "q_lm_quality": ref_q_lm_quality,
     "q_dsir_weights": ref_q_dsir_weights,
@@ -2919,6 +2966,7 @@ SF_QUERIES = {
 }
 
 CORPUS_QUERIES = {
+    "q_jsonld_export": ref_q_jsonld_export,
     "q_trig_export": ref_q_trig_export,
     "q_hits": ref_q_hits,
     "q_link_predict": ref_q_link_predict,
@@ -2981,6 +3029,7 @@ CORPUS_QUERIES = {
 # DuckDB column types per query — chosen to land in pandas with the
 # exact dtype the Spark query produces (the driver's hash sees dtypes)
 DUCK_TYPES = {
+    "q_jsonld_export": {"bucket": "BIGINT", "n_lines": "BIGINT", "total_chars": "BIGINT", "line_fp": "BIGINT"},
     "q_trig_export": {"graph": "VARCHAR", "n_chars": "INTEGER", "block_fp": "BIGINT"},
     "q_hits": {"node": "VARCHAR", "hub_fp": "BIGINT", "auth_fp": "BIGINT"},
     "q_link_predict": {"a": "VARCHAR", "b": "VARCHAR", "n_common": "BIGINT", "aa_fp": "BIGINT"},
