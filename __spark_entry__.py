@@ -2308,6 +2308,22 @@ def _q_jsonld_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_functional_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG publish gate: predicates that are functional for >= 95% of
+    their subjects, with the violating subjects fingerprinted
+    (operators/graph.py::functional_conflicts) — the entity-resolution
+    review queue (a person with two birth dates is an extraction or
+    linking bug).  Exact integer cross-multiplied threshold, so the
+    report is bit-identical at any parallelism."""
+    from turtle_spark.operators.graph import functional_conflicts
+
+    # 25% threshold: the synthetic corpus's predicates are noisier
+    # than a real KG's (a production gate runs the 5% default)
+    return functional_conflicts(
+        _corpus_triples(spark), max_violation_pct=25
+    ).orderBy("predicate")
+
+
 def _q_path_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 negated property set inside a sequence:
     ``foaf:knows/!(foaf:name|a)`` — everything a known entity links to
@@ -3704,6 +3720,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_sparql_having", "q_sparql_bind",
         "q_sparql_graph", "q_nquads_export", "q_collections",
         "q_hits", "q_link_predict", "q_trig_export", "q_jsonld_export",
+        "q_functional_conflicts",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -3780,6 +3797,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_link_predict",
         "q_trig_export",
         "q_jsonld_export",
+        "q_functional_conflicts",
     }
 )
 
@@ -3884,6 +3902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_predict": _q_link_predict,
         "q_trig_export": _q_trig_export,
         "q_jsonld_export": _q_jsonld_export,
+        "q_functional_conflicts": _q_functional_conflicts,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

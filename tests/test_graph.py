@@ -585,3 +585,45 @@ class TestLinkPrediction:
     def test_direction_insensitive(self, spark):
         rev = [(d, s) for s, d in self.EDGES]
         assert self._run(spark, rev) == self._run(spark, self.EDGES)
+
+
+class TestFunctionalConflicts:
+    def _report(self, spark, rows, **kw):
+        from turtle_spark.operators.graph import functional_conflicts
+
+        df = _triples(spark, rows)
+        return {
+            r["predicate"]: (r["n_subjects"], r["n_multi"], r["max_objects"])
+            for r in functional_conflicts(df, **kw).collect()
+        }
+
+    def test_flags_rare_violator_only(self, spark):
+        rows = [(f"s{i}", "born", f"d{i}", "literal") for i in range(40)]
+        rows += [("s0", "born", "d-other", "literal")]        # 1/40 = 2.5%
+        rows += [("a", "knows", "b", "iri"), ("a", "knows", "c", "iri"),
+                 ("d", "knows", "e", "iri")]                  # 1/2 = 50%
+        got = self._report(spark, rows)
+        assert got == {"born": (40, 1, 2)}
+
+    def test_clean_functional_predicate_not_reported(self, spark):
+        rows = [(f"s{i}", "born", f"d{i}", "literal") for i in range(10)]
+        assert self._report(spark, rows) == {}
+
+    def test_object_identity_includes_annotations(self, spark):
+        from turtle_spark.operators.graph import functional_conflicts
+
+        df = spark.createDataFrame(
+            [("s", "p", "v", "en", "", "literal"), ("s", "p", "v", "fr", "", "literal")]
+            + [(f"s{i}", "p", "v", "en", "", "literal") for i in range(40)],
+            TRIPLE_SCHEMA,
+        )
+        got = functional_conflicts(df).collect()
+        assert len(got) == 1 and got[0]["n_multi"] == 1  # lang makes them distinct
+
+    def test_threshold_is_exact_integer_math(self, spark):
+        rows = [(f"s{i}", "p", f"v{i}", "literal") for i in range(20)]
+        rows += [("s0", "p", "vx", "literal")]  # exactly 5% of 20
+        got = self._report(spark, rows, max_violation_pct=5)
+        assert "p" in got
+        got4 = self._report(spark, rows, max_violation_pct=4)
+        assert "p" not in got4

@@ -2946,6 +2946,36 @@ def ref_q_jsonld_export() -> tuple[list[str], list[tuple]]:
     return ["bucket", "n_lines", "total_chars", "line_fp"], out
 
 
+
+def ref_q_functional_conflicts() -> tuple[list[str], list[tuple]]:
+    """Functional-property conflict report — dict loops vs the
+    engine's two-level aggregation (mirrors
+    graph.py::functional_conflicts, max_violation_pct=25)."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    per: dict[str, dict[str, set]] = {}
+    for _doc, _seq, s, p, o, label, datatype, otype in rows:
+        per.setdefault(p, {}).setdefault(s, set()).add((o, label, datatype, otype))
+    out = []
+    for p in sorted(per):
+        subs = per[p]
+        multi = {s for s, objs in subs.items() if len(objs) > 1}
+        if not multi or len(multi) * 100 > 25 * len(subs):
+            continue
+        fp = 0
+        for s in multi:
+            fp ^= xxh64_str(s)
+        out.append(
+            (
+                p,
+                len(subs),
+                len(multi),
+                max(len(objs) for objs in subs.values()),
+                _signed64(fp),
+            )
+        )
+    return ["predicate", "n_subjects", "n_multi", "max_objects", "conflict_fp"], out
+
+
 SF_QUERIES = {
     "q_lm_quality": ref_q_lm_quality,
     "q_dsir_weights": ref_q_dsir_weights,
@@ -2966,6 +2996,7 @@ SF_QUERIES = {
 }
 
 CORPUS_QUERIES = {
+    "q_functional_conflicts": ref_q_functional_conflicts,
     "q_jsonld_export": ref_q_jsonld_export,
     "q_trig_export": ref_q_trig_export,
     "q_hits": ref_q_hits,
@@ -3029,6 +3060,7 @@ CORPUS_QUERIES = {
 # DuckDB column types per query — chosen to land in pandas with the
 # exact dtype the Spark query produces (the driver's hash sees dtypes)
 DUCK_TYPES = {
+    "q_functional_conflicts": {"predicate": "VARCHAR", "n_subjects": "BIGINT", "n_multi": "BIGINT", "max_objects": "BIGINT", "conflict_fp": "BIGINT"},
     "q_jsonld_export": {"bucket": "BIGINT", "n_lines": "BIGINT", "total_chars": "BIGINT", "line_fp": "BIGINT"},
     "q_trig_export": {"graph": "VARCHAR", "n_chars": "INTEGER", "block_fp": "BIGINT"},
     "q_hits": {"node": "VARCHAR", "hub_fp": "BIGINT", "auth_fp": "BIGINT"},

@@ -897,3 +897,54 @@ def link_prediction(
         F.col("node").alias("a"), F.col("nbr").alias("b")
     )
     return scored.join(existing, ["a", "b"], "left_anti")
+
+
+def functional_conflicts(
+    triples: DataFrame, max_violation_pct: int = 5
+) -> DataFrame:
+    """Functional-property conflict report — the KG publish gate for
+    predicates that SHOULD be 1:1 but aren't.
+
+    A predicate is "likely functional" when at most
+    ``max_violation_pct`` percent of its subjects carry more than one
+    distinct object (full logical object identity: lexical form +
+    language + datatype + node kind, the ``snapshot_delta`` key
+    discipline).  For each such predicate the report lists how many
+    subjects violate, the worst fan-out, and an XOR fingerprint of the
+    violating subjects — the queue an entity-resolution reviewer works
+    through before the canonical graph ships (two birth dates on one
+    person is an extraction or linking bug, not data).
+
+    Two key-bounded aggregations — (predicate, subject) then
+    (predicate) — both map-side combinable; the percent filter is
+    exact integer cross-multiplication (``n_multi * 100 <= pct *
+    n_subjects``), so the report is bit-identical at any parallelism.
+    Declared-functional predicates can be checked instead by filtering
+    ``triples`` to them first; this derivation form needs no ontology.
+    """
+    per_sub = triples.groupBy("predicate", "subject").agg(
+        F.count_distinct(
+            F.struct("object", "label", "datatype", "objecttype")
+        ).alias("_n_obj")
+    )
+    totals = per_sub.groupBy("predicate").agg(
+        F.count("*").alias("n_subjects")
+    )
+    violations = (
+        per_sub.where(F.col("_n_obj") > 1)
+        .groupBy("predicate")
+        .agg(
+            F.count("*").alias("n_multi"),
+            F.max("_n_obj").alias("max_objects"),
+            F.expr("bit_xor(xxhash64(subject))").alias("conflict_fp"),
+        )
+    )
+    return (
+        totals.join(violations, "predicate")
+        .where(
+            F.col("n_multi") * 100 <= F.lit(max_violation_pct) * F.col("n_subjects")
+        )
+        .select(
+            "predicate", "n_subjects", "n_multi", "max_objects", "conflict_fp"
+        )
+    )
