@@ -126,12 +126,27 @@ def _local_union_find(edge_rows):
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20, local_cutoff: int = 2_000_000
+    edges: DataFrame,
+    max_iterations: int = 20,
+    local_cutoff: int = 2_000_000,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """edges(src, dst) -> assignments(node, component).
 
     Isolated nodes (absent from ``edges``) are their own component and
     simply don't appear; callers outer-join and coalesce to self.
+
+    ``assume_distinct=True`` skips the defensive input dedup — a full
+    shuffle plus an eager checkpoint that is a NO-OP when the caller's
+    edges are already distinct pairs (the pipeline's
+    ``candidate_pairs`` contract: one row per distinct (src, dst),
+    src < dst).  Star rounds and the union-find tail are insensitive
+    to residual duplicates in any case (min/groupBy semantics); the
+    flag only trades the guarantee that the convergence fingerprint
+    counts distinct edges, which the contract already supplies.
+    Measured: the skipped exchange + checkpoint was ~5-6 s of the
+    components stage at the 2.8M-edge pipeline size — fixed cost that
+    does not amortize with cores.
 
     Adaptive tail: star rounds CONTRACT the edge set, so late rounds
     shuffle a few thousand rows while paying full scheduling + 4
@@ -148,12 +163,11 @@ def connected_components(
     the tail entirely.
     """
     spark = edges.sparkSession
-    cur = (
-        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-        .where(F.col("src") != F.col("dst"))
-        .dropDuplicates()
-        .localCheckpoint()
-    )
+    cur = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).where(F.col("src") != F.col("dst"))
+    if not assume_distinct:
+        cur = cur.dropDuplicates().localCheckpoint()
     if cur.isEmpty():
         return spark.createDataFrame([], "node long, component long")
 

@@ -162,7 +162,13 @@ def run_pipeline(
     )
 
     # D: connected components + canonical rewrite
-    assignments = stage("components", lambda: connected_components(edges))
+    # assume_distinct: candidate_pairs emits one row per distinct
+    # (src, dst) and verify_pairs preserves it, so CC's defensive
+    # dedup shuffle + checkpoint would be a paid no-op here
+    assignments = stage(
+        "components",
+        lambda: connected_components(edges, assume_distinct=True),
+    )
     cmap = stage("canonical_map", lambda: canonical_map(terms, assignments))
     canonical = stage(
         "canonical_triples",
