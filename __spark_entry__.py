@@ -2324,6 +2324,30 @@ def _q_functional_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("predicate")
 
 
+def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py::personalized_pagerank)
+    seeded at the 3 highest-out-degree entities: random-walk-with-
+    restart relatedness to the KG's busiest hubs — the linking prior
+    for ambiguous mentions.  Exact int64 arithmetic end to end; only
+    the seed-reachable subgraph ever carries mass."""
+    from turtle_spark.operators.graph import entity_edges, personalized_pagerank
+
+    edges = entity_edges(_corpus_triples(spark))
+    seeds = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("_deg"))
+        .orderBy(F.col("_deg").desc(), "node")
+        .limit(3)
+        .select("node")
+    )
+    ranks = personalized_pagerank(edges, seeds, iterations=10)
+    return (
+        ranks.where(F.col("rank_fp") > 0)
+        .orderBy(F.col("rank_fp").desc(), "node")
+        .limit(20)
+    )
+
+
 def _q_path_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 negated property set inside a sequence:
     ``foaf:knows/!(foaf:name|a)`` — everything a known entity links to
@@ -3720,7 +3744,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_sparql_having", "q_sparql_bind",
         "q_sparql_graph", "q_nquads_export", "q_collections",
         "q_hits", "q_link_predict", "q_trig_export", "q_jsonld_export",
-        "q_functional_conflicts",
+        "q_functional_conflicts", "q_ppr",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -3798,6 +3822,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_trig_export",
         "q_jsonld_export",
         "q_functional_conflicts",
+        "q_ppr",
     }
 )
 
@@ -3903,6 +3928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trig_export": _q_trig_export,
         "q_jsonld_export": _q_jsonld_export,
         "q_functional_conflicts": _q_functional_conflicts,
+        "q_ppr": _q_ppr,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -627,3 +627,64 @@ class TestFunctionalConflicts:
         assert "p" in got
         got4 = self._report(spark, rows, max_violation_pct=4)
         assert "p" not in got4
+
+
+def _ppr_mirror(edges, seeds, iterations=10, scale=1_000_000_000_000):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    seed_mass = 15 * scale // 100
+    base = {n: (seed_mass if n in seeds else 0) for n in nodes}
+    rank = dict(base)
+    for _ in range(iterations):
+        inflow = {n: 0 for n in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // deg[s]
+        rank = {n: base[n] + 85 * inflow[n] // 100 for n in nodes}
+    return rank
+
+
+class TestPersonalizedPagerank:
+    EDGES = [
+        ("seed", "a"), ("a", "b"), ("b", "c"),
+        ("far", "x"), ("x", "far"),
+    ]
+
+    def _run(self, spark, edges, seeds, **kw):
+        from turtle_spark.operators.graph import personalized_pagerank
+
+        e = spark.createDataFrame(edges, "src string, dst string")
+        s = spark.createDataFrame([(n,) for n in seeds], "node string")
+        return {
+            r["node"]: r["rank_fp"]
+            for r in personalized_pagerank(e, s, **kw).collect()
+        }
+
+    def test_matches_dict_mirror(self, spark):
+        got = self._run(spark, self.EDGES, {"seed"})
+        assert got == _ppr_mirror(self.EDGES, {"seed"})
+
+    def test_mass_decays_with_distance_and_skips_unreachable(self, spark):
+        got = self._run(spark, self.EDGES, {"seed"})
+        assert got["seed"] > got["a"] > got["b"] > got["c"] > 0
+        # the far/x cycle is unreachable from the seed: zero mass
+        assert got["far"] == 0 and got["x"] == 0
+
+    def test_partitioning_independence(self, spark):
+        e = self.EDGES * 1
+        a = self._run(spark, e, {"seed"}, iterations=6)
+        from turtle_spark.operators.graph import personalized_pagerank
+        df = (
+            personalized_pagerank(
+                spark.createDataFrame(e, "src string, dst string").repartition(13),
+                spark.createDataFrame([("seed",)], "node string"),
+                iterations=6,
+            )
+        )
+        assert {r["node"]: r["rank_fp"] for r in df.collect()} == a
+
+    def test_multiple_seeds_sum(self, spark):
+        got = self._run(spark, self.EDGES, {"seed", "far"})
+        assert got == _ppr_mirror(self.EDGES, {"seed", "far"})
+        assert got["x"] > 0  # now reachable

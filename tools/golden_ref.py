@@ -2976,6 +2976,33 @@ def ref_q_functional_conflicts() -> tuple[list[str], list[tuple]]:
     return ["predicate", "n_subjects", "n_multi", "max_objects", "conflict_fp"], out
 
 
+
+def ref_q_ppr() -> tuple[list[str], list[tuple]]:
+    """Personalized PageRank from the 3 highest-out-degree entities —
+    dict loops vs the engine's join/agg iterations (mirrors
+    graph.py::personalized_pagerank; exact ints both sides)."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    edges = sorted({(r[2], r[4]) for r in rows if r[7] == "iri" and r[2] != r[4]})
+    deg: dict[str, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    seeds = {n for n, _ in sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[:3]}
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    seed_mass = 15 * _PR_SCALE // 100
+    base = {n: (seed_mass if n in seeds else 0) for n in nodes}
+    rank = dict(base)
+    for _ in range(10):
+        inflow = {n: 0 for n in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // deg[s]
+        rank = {n: base[n] + 85 * inflow[n] // 100 for n in nodes}
+    top = sorted(
+        ((n, r) for n, r in rank.items() if r > 0),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:20]
+    return ["node", "rank_fp"], top
+
+
 SF_QUERIES = {
     "q_lm_quality": ref_q_lm_quality,
     "q_dsir_weights": ref_q_dsir_weights,
@@ -2996,6 +3023,7 @@ SF_QUERIES = {
 }
 
 CORPUS_QUERIES = {
+    "q_ppr": ref_q_ppr,
     "q_functional_conflicts": ref_q_functional_conflicts,
     "q_jsonld_export": ref_q_jsonld_export,
     "q_trig_export": ref_q_trig_export,
@@ -3060,6 +3088,7 @@ CORPUS_QUERIES = {
 # DuckDB column types per query — chosen to land in pandas with the
 # exact dtype the Spark query produces (the driver's hash sees dtypes)
 DUCK_TYPES = {
+    "q_ppr": {"node": "VARCHAR", "rank_fp": "BIGINT"},
     "q_functional_conflicts": {"predicate": "VARCHAR", "n_subjects": "BIGINT", "n_multi": "BIGINT", "max_objects": "BIGINT", "conflict_fp": "BIGINT"},
     "q_jsonld_export": {"bucket": "BIGINT", "n_lines": "BIGINT", "total_chars": "BIGINT", "line_fp": "BIGINT"},
     "q_trig_export": {"graph": "VARCHAR", "n_chars": "INTEGER", "block_fp": "BIGINT"},

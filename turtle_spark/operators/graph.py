@@ -948,3 +948,73 @@ def functional_conflicts(
             "predicate", "n_subjects", "n_multi", "max_objects", "conflict_fp"
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-point integer PERSONALIZED PageRank: the reset mass lands
+    only on ``seeds(node)`` instead of uniformly — the classic
+    entity-relatedness signal (how reachable is v from the seed set
+    under random walks with restart), used as a linking prior: among
+    candidate entities for an ambiguous mention, prefer the one
+    related to the document's already-linked seeds.
+
+    Same exact-arithmetic discipline as :func:`pagerank` (int64
+    micro-units, floor division, rational damping), so scores are
+    bit-identical at any parallelism.  Per iteration one shuffle join
+    + one groupBy sum; the seed membership rides as a pre-joined 0/1
+    base column, so personalization adds NO per-iteration work.
+    Non-seed nodes hold rank 0 until inflow reaches them — only the
+    seed-reachable subgraph ever carries mass.
+    """
+    from turtle_spark.operators.skew import pin
+
+    edges = pin(edges.select("src", "dst"))
+    nodes = pin(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    degree = pin(edges.groupBy("src").agg(F.count("*").alias("deg")))
+    seed_mass = F.lit((_DAMP_DEN - _DAMP_NUM) * _SCALE // _DAMP_DEN).cast("long")
+    base = pin(
+        nodes.join(
+            seeds.select(F.col("node"), F.lit(1).alias("_is_seed")).dropDuplicates(
+                ["node"]
+            ),
+            "node",
+            "left",
+        ).select(
+            "node",
+            F.when(F.col("_is_seed") == 1, seed_mass)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("base_fp"),
+        )
+    )
+    ranks = base.select("node", F.col("base_fp").alias("rank_fp"))
+    for i in range(iterations):
+        contribs = (
+            ranks.join(edges, ranks["node"] == edges["src"])
+            .join(degree, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fp div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = base.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.col("base_fp")
+                + F.expr(f"{_DAMP_NUM} * coalesce(inflow, 0L) div {_DAMP_DEN}")
+            ).cast("long").alias("rank_fp"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
