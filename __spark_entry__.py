@@ -2076,14 +2076,18 @@ _RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 def _q_bgp_typed_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL-style BGP over the materialized KG:
     ``{ ?s rdf:type ?cls . ?s ?p ?o FILTER isIRI(?o) }`` aggregated
-    per class.  The 2-constant type pattern is the broadcast anchor;
-    the join is an equi-join on ?s (bgp_select compiles the pattern
-    list — see operators/bgp.py for the planning rules)."""
-    from turtle_spark.operators.bgp import bgp_select
+    per class.  Planned with live BgpStats (predicate profile +
+    characteristic sets collected from the data): join order and
+    broadcast decisions come from estimated cardinalities — the
+    Neumann-Moerkotte star refinement path, driver-graded here
+    because order never changes results, only the plan."""
+    from turtle_spark.operators.bgp import BgpStats, bgp_select
 
+    triples = _corpus_triples(spark).persist()
     bindings = bgp_select(
-        _corpus_triples(spark),
+        triples,
         [("?s", _RDF_TYPE_IRI, "?cls", "iri"), ("?s", "?p", "?o", "iri")],
+        stats=BgpStats.from_triples(triples),
     )
     return (
         bindings.groupBy("cls")

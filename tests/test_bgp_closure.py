@@ -130,3 +130,89 @@ class TestTransitiveClosure:
         e = self._edges(spark, [(f"n{i}", f"n{i+1}") for i in range(10)])
         with pytest.raises(RuntimeError, match="fixpoint"):
             transitive_closure(e, max_rounds=2)
+
+
+class TestBgpStatsPlanner:
+    def _stats(self):
+        from turtle_spark.operators.bgp import BgpStats
+
+        # type: 1000 triples / 1000 subjects; email: 500/500;
+        # but only 3 subjects carry BOTH (correlated predicates —
+        # independence would estimate 1000*500/N)
+        return BgpStats(
+            pred_stats={
+                "type": (1000, 1000, 5),
+                "email": (500, 500, 500),
+                "knows": (8000, 400, 900),
+            },
+            char_sets=[
+                (frozenset({"type"}), 997),
+                (frozenset({"email"}), 497),
+                (frozenset({"type", "email"}), 3),
+                (frozenset({"type", "email", "knows"}), 1),
+            ],
+            total_triples=9500,
+        )
+
+    def test_star_subjects_sums_supersets(self):
+        s = self._stats()
+        assert s.star_subjects(frozenset({"type", "email"})) == 4  # 3 + 1
+        assert s.star_subjects(frozenset({"email"})) == 501
+        assert s.star_subjects(frozenset({"missing"})) == 0
+
+    def test_pattern_card(self):
+        s = self._stats()
+        assert s.pattern_card(False, "knows", False) == 8000
+        assert s.pattern_card(True, "knows", False) == 8000 / 400
+        assert s.pattern_card(False, "knows", True) == 8000 / 900
+        assert s.pattern_card(False, "absent", False) == 0.0
+
+    def test_stats_order_prefers_small_scan_and_star(self):
+        from turtle_spark.operators.bgp import plan_join_order
+
+        metas = [
+            ({"s", "o"}, 1, 8000.0, "s", "knows"),   # big scan
+            ({"s"}, 2, 1000.0 / 5, "s", "type"),      # type=Person slice
+            ({"s", "e"}, 1, 500.0, "s", "email"),     # email scan
+        ]
+        order = plan_join_order(metas, self._stats())
+        # seed = the bounded type slice (est 200); email joins next
+        # because the {type,email} star collapses to 4 subjects;
+        # the 8000-row knows scan goes last
+        assert order == [1, 2, 0]
+
+    def test_no_stats_reproduces_constant_greedy(self):
+        from turtle_spark.operators.bgp import plan_join_order
+
+        metas = [
+            ({"s", "o"}, 1, 0.0, "s", "knows"),
+            ({"s"}, 2, 0.0, "s", "type"),
+            ({"s", "e"}, 1, 0.0, "s", "email"),
+        ]
+        # seed = most constants (pattern 1), then shared-var greedy
+        # with constant-count tiebreak -> original order semantics
+        assert plan_join_order(metas, None) == [1, 0, 2]
+
+    def test_disconnected_sentinel(self):
+        from turtle_spark.operators.bgp import plan_join_order
+
+        metas = [
+            ({"a"}, 2, 1.0, None, None),
+            ({"b"}, 1, 2.0, None, None),
+        ]
+        out = plan_join_order(metas, self._stats())
+        assert out[-1] < 0
+
+    def test_stats_results_identical_and_broadcast(self, kg):
+        from turtle_spark.operators.bgp import BgpStats, bgp_select
+
+        pats = [
+            ("?s", "http://x/type", "http://x/Person"),
+            ("?s", "http://x/knows", "?o"),
+        ]
+        plain = bgp_select(kg, pats).collect()
+        stats = BgpStats.from_triples(kg)
+        with_stats = bgp_select(kg, pats, stats=stats)
+        assert sorted(map(tuple, with_stats.collect())) == sorted(map(tuple, plain))
+        # everything in the tiny KG is under the broadcast estimate
+        assert "BroadcastHashJoin" in with_stats._jdf.queryExecution().executedPlan().toString()
