@@ -254,6 +254,29 @@ FROM documents
 """
 
 
+_SQL_SCRIPT_MIX = r"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS BIGINT) AS n_latin,
+       CAST(SUM(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT) AS n_digits,
+       CAST(SUM(LENGTH(text) - LENGTH(regexp_replace(text, '[ \t\n\r]', '', 'g'))) AS BIGINT) AS n_ws,
+       CAST(SUM(LENGTH(text) - LENGTH(regexp_replace(text, '[^\x00-\x7f]', '', 'g'))) AS BIGINT) AS n_nonascii
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def _q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-class census (textstats.py::script_mix):
+    Latin/digit/whitespace/non-ASCII code-point counts — the
+    script-consistency gate of a multilingual pipeline.  Explicit
+    code-point ranges, so the Spark regex and the DuckDB twin mean
+    exactly the same thing; integer sums, hash-exact."""
+    from turtle_spark.operators.textstats import script_mix
+
+    return script_mix(_t(spark, sf_dir, "documents")).orderBy("lang")
+
+
 def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from turtle_spark.operators.textstats import language_id
 
@@ -3827,6 +3850,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_jsonld_export",
         "q_functional_conflicts",
         "q_ppr",
+        "q_script_mix",
     }
 )
 
@@ -3933,6 +3957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jsonld_export": _q_jsonld_export,
         "q_functional_conflicts": _q_functional_conflicts,
         "q_ppr": _q_ppr,
+        "q_script_mix": _q_script_mix,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -4014,6 +4039,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_set_ops": _SQL_SET_OPS,
         "q_exact_dedup_docs": _SQL_EXACT_DEDUP_DOCS,
         "q_doc_stats": _SQL_DOC_STATS,
+        "q_script_mix": _SQL_SCRIPT_MIX,
         "q_language_id": _SQL_LANGUAGE_ID,
         "q_token_counts": _SQL_TOKEN_COUNTS,
         "q_ngram_jaccard": _SQL_NGRAM_JACCARD,

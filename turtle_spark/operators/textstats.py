@@ -418,3 +418,33 @@ def vocabulary_drift(
         # the output contract is its decimal string
         .withColumn("drift", F.col("drift").cast("string"))
     )
+
+
+def script_mix(docs: DataFrame) -> DataFrame:
+    """Per-language character-class census of a document corpus:
+    Latin letters, digits, whitespace, and non-ASCII code points —
+    the script-consistency signal a multilingual training pipeline
+    gates on (a ``lang=en`` slice full of non-ASCII is a language-ID
+    failure upstream; a code-heavy slice shows up as digit/punct
+    skew).
+
+    Pure column census: each class count is ``length(text) -
+    length(regexp_replace(text, class, ''))`` — whole-stage codegen,
+    no Python, and the classes are explicit code-point ranges so the
+    same regex means the same thing in Spark (Java regex) and any
+    ANSI-SQL twin (RE2): no ``\\s``/``\\w`` dialect drift.  One
+    map-side-combinable aggregation; integer sums only, so the census
+    is bit-identical at any parallelism.
+    """
+
+    def cnt(pattern: str):
+        return F.length("text") - F.length(F.regexp_replace("text", pattern, ""))
+
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(cnt("[A-Za-z]")).alias("n_latin"),
+        F.sum(cnt("[0-9]")).alias("n_digits"),
+        F.sum(cnt("[ \\t\\n\\r]")).alias("n_ws"),
+        F.sum(cnt("[^\\x00-\\x7f]")).alias("n_nonascii"),
+    )
