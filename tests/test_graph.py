@@ -688,3 +688,53 @@ class TestPersonalizedPagerank:
         got = self._run(spark, self.EDGES, {"seed", "far"})
         assert got == _ppr_mirror(self.EDGES, {"seed", "far"})
         assert got["x"] > 0  # now reachable
+
+
+class TestContainerArrays:
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+    def _recover(self, spark, rows):
+        from turtle_spark.operators.graph import container_arrays
+
+        df = _triples(spark, rows)
+        return {
+            r["head"]: (r["n_items"], tuple(r["items"]))
+            for r in container_arrays(df).collect()
+        }
+
+    def test_order_comes_from_index_not_value(self, spark):
+        rows = [
+            ("seq1", self.RDF + "_2", "bbb", "iri"),
+            ("seq1", self.RDF + "_1", "zzz", "iri"),
+            ("seq1", self.RDF + "_10", "aaa", "iri"),
+        ]
+        got = self._recover(spark, rows)
+        # numeric index order: 1, 2, 10 (a string sort would give 1, 10, 2)
+        assert got == {"seq1": (3, ("zzz", "bbb", "aaa"))}
+
+    def test_non_member_predicates_ignored(self, spark):
+        rows = [
+            ("seq1", self.RDF + "_1", "a", "iri"),
+            ("seq1", self.RDF + "type", "Seq", "iri"),
+            ("seq1", self.RDF + "_x", "bad", "iri"),
+            ("other", "http://x/p", "v", "literal"),
+        ]
+        assert self._recover(spark, rows) == {"seq1": (1, ("a",))}
+
+    def test_duplicates_collapse_but_alternatives_kept(self, spark):
+        rows = [
+            ("s", self.RDF + "_1", "a", "iri"),
+            ("s", self.RDF + "_1", "a", "iri"),
+            ("s", self.RDF + "_1", "b", "iri"),
+            ("s", self.RDF + "_2", "c", "iri"),
+        ]
+        assert self._recover(spark, rows) == {"s": (3, ("a", "b", "c"))}
+
+    def test_partitioning_independent(self, spark):
+        from turtle_spark.operators.graph import container_arrays
+
+        rows = [(f"s{i%7}", self.RDF + f"_{i}", f"v{i}", "iri") for i in range(50)]
+        df = _triples(spark, rows)
+        a = sorted(map(tuple, container_arrays(df.repartition(11)).collect()))
+        b = sorted(map(tuple, container_arrays(df.coalesce(1)).collect()))
+        assert a == b

@@ -1018,3 +1018,35 @@ def personalized_pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+_RDF_MEMBER_RE = r"^http://www\.w3\.org/1999/02/22-rdf-syntax-ns#_([0-9]+)$"
+
+
+def container_arrays(triples: DataFrame) -> DataFrame:
+    """Recover RDF container membership (``rdf:_1, rdf:_2, ...`` on
+    ``rdf:Seq`` / ``rdf:Bag`` / ``rdf:Alt`` heads) as ORDERED arrays:
+    ``(head, n_items, items array<string>)``.
+
+    The companion of :func:`collection_arrays`: collections desugar to
+    a first/rest spine (order = pointer chain, recovered by path
+    doubling); containers carry order IN THE PREDICATE (rdf:_n), so
+    recovery is one predicate-regex scan + one groupBy(head) with an
+    in-array sort by the numeric index — no joins, no iteration, and
+    the index extraction/sort is pure codegen.  Duplicate assertions
+    of one (head, index, item) collapse; a head asserting two
+    DIFFERENT items at one index keeps both (bag semantics of the
+    underlying triple store), ordered (index, item).
+    """
+    member = triples.where(F.col("predicate").rlike(_RDF_MEMBER_RE)).select(
+        F.col("subject").alias("head"),
+        F.regexp_extract("predicate", _RDF_MEMBER_RE, 1).cast("long").alias("_i"),
+        F.col("object").alias("item"),
+    ).dropDuplicates()
+    return member.groupBy("head").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "item"))),
+            lambda x: x["item"],
+        ).alias("items"),
+    )
