@@ -2040,6 +2040,28 @@ def _q_predicate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predicate_profile(_corpus_triples(spark)).orderBy("predicate")
 
 
+def _q_sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate object cardinality: exact countDistinct next to
+    its HyperLogLog and KMV sketch estimates — the planner-statistics
+    table (operators/bgp.py consumes these) produced WITHOUT the
+    full (predicate, object) distinct shuffle.  Registers and min-k
+    states merge associatively, so the estimates are bit-identical at
+    any parallelism; the exact column exists only to grade them."""
+    from turtle_spark.operators.sketches import sketch_cardinality_report
+
+    return sketch_cardinality_report(_corpus_triples(spark)).orderBy("predicate")
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens with Count-Min estimates: the 4×1024
+    counter grid partial-aggregates map-side (the shuffle moves at
+    most 4096 rows per upstream partition regardless of corpus size)
+    and broadcasts for point queries — no second corpus scan."""
+    from turtle_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "documents"), top_n=20)
+
+
 def _q_pagerank_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 entities by fixed-point integer PageRank (10 rounds).
     Integer micro-unit arithmetic keeps every iteration bit-identical
@@ -3771,7 +3793,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_sparql_having", "q_sparql_bind",
         "q_sparql_graph", "q_nquads_export", "q_collections",
         "q_hits", "q_link_predict", "q_trig_export", "q_jsonld_export",
-        "q_functional_conflicts", "q_ppr",
+        "q_functional_conflicts", "q_ppr", "q_sketch_cardinality",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -3782,6 +3804,7 @@ _SF_GOLDENS = frozenset(
         "q_mixture_sample", "q_novelty_screen",
         "q_lm_quality", "q_dsir_weights", "q_sketch_recall",
         "q_semdedup", "q_leakage_split", "q_bpe_vocab", "q_bpe_encode",
+        "q_heavy_hitters",
     }
 )
 
@@ -3851,6 +3874,8 @@ WINDOW_OVERFLOW = frozenset(
         "q_functional_conflicts",
         "q_ppr",
         "q_script_mix",
+        "q_sketch_cardinality",
+        "q_heavy_hitters",
     }
 )
 
@@ -3958,6 +3983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_functional_conflicts": _q_functional_conflicts,
         "q_ppr": _q_ppr,
         "q_script_mix": _q_script_mix,
+        "q_sketch_cardinality": _q_sketch_cardinality,
+        "q_heavy_hitters": _q_heavy_hitters,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -3003,7 +3003,86 @@ def ref_q_ppr() -> tuple[list[str], list[tuple]]:
     return ["node", "rank_fp"], top
 
 
+# --------------------------------------------------------------------------
+# cardinality / frequency sketches (operators/sketches.py spec):
+# sequential dict loops vs the engine's register shuffle + broadcast
+# grid.  The float numerators are IMPORTED from the engine module so
+# both sides divide the same IEEE-754 constant.
+# --------------------------------------------------------------------------
+
+def _sketch_consts():
+    from turtle_spark.operators.sketches import (
+        CM_DEPTH, CM_WIDTH, HLL_M, HLL_NUM, HLL_P, KMV_K, KMV_NUM,
+    )
+
+    return CM_DEPTH, CM_WIDTH, HLL_M, HLL_NUM, HLL_P, KMV_K, KMV_NUM
+
+
+def _hll_est(values) -> float:
+    _, _, m, num, p, _, _ = _sketch_consts()
+    regs: dict[int, int] = {}
+    for v in values:
+        hu = xxh64_str(str(v)) & _M64
+        reg = hu >> (64 - p)
+        w = (hu << p) & _M64
+        rho = (64 - p + 1) if w == 0 else 65 - w.bit_length()
+        if rho > regs.get(reg, 0):
+            regs[reg] = rho
+    zeros = m - len(regs)
+    s_total = sum(1 << (53 - mj) for mj in regs.values()) + zeros * (1 << 53)
+    raw = num / float(s_total)
+    if raw <= 2.5 * m and zeros > 0:
+        est = float(m) * math.log(float(m) / float(zeros))
+    else:
+        est = raw
+    return spark_round(est, 4)
+
+
+def _kmv_est(values) -> float:
+    _, _, _, _, _, k, num = _sketch_consts()
+    hs = sorted({xxh64_str(str(v)) for v in values})
+    if len(hs) < k:
+        return float(len(hs))
+    u_k = float(hs[k - 1]) + float(1 << 63)
+    return spark_round(num / u_k, 4)
+
+
+def ref_q_sketch_cardinality() -> tuple[list[str], list[tuple]]:
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    per_pred: dict[str, list] = {}
+    for r in rows:
+        per_pred.setdefault(r[3], []).append(r[4])
+    out = [
+        (pred, len(set(objs)), _hll_est(objs), _kmv_est(objs))
+        for pred, objs in sorted(per_pred.items())
+    ]
+    return ["predicate", "n_exact", "hll_est", "kmv_est"], out
+
+
+def ref_q_heavy_hitters(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    import re
+    from collections import Counter
+
+    d, w, _, _, _, _, _ = _sketch_consts()
+    docs = _read_documents(sf_dir)
+    true_cnt: Counter = Counter()
+    grid: Counter = Counter()
+    for _doc_id, text in docs:
+        for tok in re.findall("[a-z]+", (text or "").lower()):
+            true_cnt[tok] += 1
+            for i in range(d):
+                grid[(i, pmod(xxh64_str(f"{i}|{tok}"), w))] += 1
+    out = []
+    for tok, n in sorted(true_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]:
+        est = min(
+            grid.get((i, pmod(xxh64_str(f"{i}|{tok}"), w)), 0) for i in range(d)
+        )
+        out.append((tok, n, est, est - n))
+    return ["token", "true_cnt", "cm_est", "overcount"], out
+
+
 SF_QUERIES = {
+    "q_heavy_hitters": ref_q_heavy_hitters,
     "q_lm_quality": ref_q_lm_quality,
     "q_dsir_weights": ref_q_dsir_weights,
     "q_sketch_recall": ref_q_sketch_recall,
@@ -3023,6 +3102,7 @@ SF_QUERIES = {
 }
 
 CORPUS_QUERIES = {
+    "q_sketch_cardinality": ref_q_sketch_cardinality,
     "q_ppr": ref_q_ppr,
     "q_functional_conflicts": ref_q_functional_conflicts,
     "q_jsonld_export": ref_q_jsonld_export,
@@ -3088,6 +3168,8 @@ CORPUS_QUERIES = {
 # DuckDB column types per query — chosen to land in pandas with the
 # exact dtype the Spark query produces (the driver's hash sees dtypes)
 DUCK_TYPES = {
+    "q_sketch_cardinality": {"predicate": "VARCHAR", "n_exact": "BIGINT", "hll_est": "DOUBLE", "kmv_est": "DOUBLE"},
+    "q_heavy_hitters": {"token": "VARCHAR", "true_cnt": "BIGINT", "cm_est": "BIGINT", "overcount": "BIGINT"},
     "q_ppr": {"node": "VARCHAR", "rank_fp": "BIGINT"},
     "q_functional_conflicts": {"predicate": "VARCHAR", "n_subjects": "BIGINT", "n_multi": "BIGINT", "max_objects": "BIGINT", "conflict_fp": "BIGINT"},
     "q_jsonld_export": {"bucket": "BIGINT", "n_lines": "BIGINT", "total_chars": "BIGINT", "line_fp": "BIGINT"},
