@@ -216,3 +216,48 @@ class TestBgpStatsPlanner:
         assert sorted(map(tuple, with_stats.collect())) == sorted(map(tuple, plain))
         # everything in the tiny KG is under the broadcast estimate
         assert "BroadcastHashJoin" in with_stats._jdf.queryExecution().executedPlan().toString()
+
+    def test_sketched_stats_match_exact_on_small_graphs(self, kg):
+        """HLL-backed stats must agree with exact stats wherever
+        cardinalities are far below the sketch's error floor — i.e.
+        the whole pred_stats dict on a tiny KG — and must plan the
+        same join order (results are order-independent anyway; this
+        pins that the 100 TB stats path changes nothing visible)."""
+        from turtle_spark.operators.bgp import BgpStats, bgp_select
+
+        exact = BgpStats.from_triples(kg)
+        sketched = BgpStats.from_triples_sketched(kg)
+        assert sketched.pred_stats == exact.pred_stats
+        assert sorted(sketched.char_sets) == sorted(exact.char_sets)
+        assert sketched.total_triples == exact.total_triples
+        pats = [
+            ("?s", RDF_TYPE, "Person"),
+            ("?s", "knows", "?o"),
+            ("?o", "name", "?n"),
+        ]
+        a = bgp_select(kg, pats, stats=exact).collect()
+        b = bgp_select(kg, pats, stats=sketched).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_sketched_stats_within_envelope_on_wide_graph(self, spark):
+        """On a graph with per-predicate cardinality ~2000, HLL
+        estimates must land within 5 sigma of exact (1.04/sqrt(4096)
+        std error) so the greedy planner sees the right magnitudes."""
+        import math
+
+        from turtle_spark.operators.bgp import BgpStats
+
+        n = 2000
+        tri = spark.range(0, n).selectExpr(
+            "concat('s', id) as subject",
+            "'p' as predicate",
+            "concat('o', id % 500) as object",
+            "'' as label",
+            "'' as datatype",
+            "'iri' as objecttype",
+        )
+        st = BgpStats.from_triples_sketched(tri, with_char_sets=False)
+        n_t, n_s, n_o = st.pred_stats["p"]
+        assert n_t == n
+        assert abs(n_s - n) / n < 5 * 1.04 / math.sqrt(4096)
+        assert abs(n_o - 500) / 500 < 5 * 1.04 / math.sqrt(4096)

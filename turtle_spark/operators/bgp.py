@@ -228,6 +228,57 @@ class BgpStats:
         total = sum(n for n, _, _ in prof.values())
         return cls(prof, cs, total)
 
+    @classmethod
+    def from_triples_sketched(
+        cls, triples: DataFrame, cs_min_support: int = 2, with_char_sets: bool = True
+    ) -> "BgpStats":
+        """The 100 TB stats builder: identical shape to
+        :meth:`from_triples`, but the per-predicate distinct-subject /
+        distinct-object counts come from HyperLogLog registers
+        (operators/sketches.py) instead of exact ``countDistinct``.
+
+        Exact distincts shuffle every (predicate, term) pair once per
+        column; the HLL pass shuffles at most 4096 register rows per
+        predicate per upstream partition, with map-side max-merge.
+        Estimates only ever pick the JOIN ORDER — results are
+        join-order-independent (class docstring), so the ±1.6 %
+        register error is free speed, never a correctness risk.
+
+        Characteristic sets stay exact (their cost is one subject-level
+        aggregation and their domain is bounded by graph structure);
+        pass ``with_char_sets=False`` to skip them and fall back to
+        per-predicate independence estimates for stars."""
+        from turtle_spark.operators.graph import characteristic_sets
+        from turtle_spark.operators.sketches import hll_cardinality
+
+        counts = triples.groupBy("predicate").agg(F.count("*").alias("n_t"))
+        subj = hll_cardinality(triples, ["predicate"], "subject").withColumnRenamed(
+            "hll_est", "n_s"
+        )
+        obj = hll_cardinality(triples, ["predicate"], "object").withColumnRenamed(
+            "hll_est", "n_o"
+        )
+        prof = {
+            r["predicate"]: (
+                r["n_t"],
+                max(int(round(r["n_s"])), 1),
+                max(int(round(r["n_o"])), 1),
+            )
+            for r in counts.join(subj, "predicate").join(obj, "predicate").collect()
+        }
+        cs = (
+            [
+                (frozenset(r["cs"].split(" ")), r["n_subjects"])
+                for r in characteristic_sets(
+                    triples, min_support=cs_min_support
+                ).collect()
+            ]
+            if with_char_sets
+            else []
+        )
+        total = sum(n for n, _, _ in prof.values())
+        return cls(prof, cs, total)
+
     def star_subjects(self, preds: frozenset) -> int:
         """Subjects whose predicate set contains ALL of ``preds`` =
         sum of the counts of every characteristic set ⊇ preds."""
