@@ -2287,6 +2287,63 @@ def _q_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("head")
 
 
+def _q_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF container (rdf:Seq/Bag/Alt) membership recovery
+    (operators/graph.py::container_arrays): order rides IN the
+    predicate (``rdf:_1, rdf:_2, ...``), so recovery is one regex
+    scan + one groupBy(head) with an in-array sort by the NUMERIC
+    index — the lexical trap (``rdf:_10`` < ``rdf:_2`` as strings)
+    binds on every head with >= 10 members.
+
+    The corpus carries collections but no containers, so membership
+    triples are SYNTHESIZED deterministically from the entity graph:
+    each entity with >= 2 distinct outgoing links becomes a container
+    head whose members are its link targets, and each class becomes a
+    ``urn:seq:<class>`` head whose members are its instances (the
+    registry-Seq idiom; 95 classes exceed 10 members, so the lexical
+    trap genuinely binds).  Members rank by ``(xxhash64(dst), dst)``
+    — a non-lexical order the recovery must reproduce exactly from
+    the indices alone.  The fingerprint is over the '|'-joined
+    ordered items, so one transposition fails the oracle."""
+    from pyspark.sql import Window
+
+    from turtle_spark.operators.graph import container_arrays, entity_edges
+
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#_"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    tri_all = _corpus_triples(spark)
+    cls_members = (
+        tri_all.where(
+            (F.col("predicate") == rdf_type) & (F.col("objecttype") == "iri")
+        )
+        .select(
+            F.concat(F.lit("urn:seq:"), F.col("object")).alias("src"),
+            F.col("subject").alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    edges = entity_edges(tri_all).unionByName(cls_members)
+    member = edges.withColumn(
+        "_i",
+        F.row_number().over(
+            Window.partitionBy("src").orderBy(F.xxhash64("dst"), "dst")
+        ),
+    )
+    tri = member.select(
+        F.col("src").alias("subject"),
+        F.concat(F.lit(rdf), F.col("_i")).alias("predicate"),
+        F.col("dst").alias("object"),
+    )
+    out = container_arrays(tri).where(F.col("n_items") >= 2)
+    return out.select(
+        "head",
+        "n_items",
+        F.xxhash64(F.concat_ws("|", "items")).alias("items_fp"),
+        F.element_at("items", 1).alias("first_item"),
+        F.element_at("items", -1).alias("last_item"),
+    ).orderBy("head")
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer HITS over the KG entity graph
     (operators/graph.py::hits): hub/authority scores sum-normalized in
@@ -3791,7 +3848,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_owl_entail", "q_bnode_canonical",
         "q_prefix_induction", "q_skolemize", "q_property_table",
         "q_sparql_having", "q_sparql_bind",
-        "q_sparql_graph", "q_nquads_export", "q_collections",
+        "q_sparql_graph", "q_nquads_export", "q_collections", "q_containers",
         "q_hits", "q_link_predict", "q_trig_export", "q_jsonld_export",
         "q_functional_conflicts", "q_ppr", "q_sketch_cardinality",
     }
@@ -3845,6 +3902,7 @@ def _golden_sql(name: str, sf_tag: str) -> str:
 # golden-backed, never silent.
 WINDOW_OVERFLOW = frozenset(
     {
+        "q_containers",
         "q_frame_sample",
         "q_sparql_update",
         "q_void_stats",
@@ -3975,6 +4033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_graph": _q_sparql_graph,
         "q_nquads_export": _q_nquads_export,
         "q_collections": _q_collections,
+        "q_containers": _q_containers,
         "q_vocab_drift": _q_vocab_drift,
         "q_hits": _q_hits,
         "q_link_predict": _q_link_predict,

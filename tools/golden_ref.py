@@ -2029,6 +2029,39 @@ def ref_q_sparql_graph() -> tuple[list[str], list[tuple]]:
     return ["g", "n_links", "n_subjects", "n_types"], out
 
 
+def ref_q_containers() -> tuple[list[str], list[tuple]]:
+    """RDF container recovery — entity edges (distinct iri links,
+    self-loops dropped), members ranked per head by (xxhash64, dst),
+    heads with >= 2 members; fingerprint = xxh64 of the '|'-joined
+    ordered items.  Mirrors _q_containers' deterministic synthesis +
+    graph.container_arrays recovery."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    by_src: dict[str, set[str]] = {}
+    for r in rows:
+        if r[7] != "iri":
+            continue
+        if r[2] != r[4]:
+            by_src.setdefault(r[2], set()).add(r[4])
+        if r[3] == rdf_type:
+            by_src.setdefault("urn:seq:" + r[4], set()).add(r[2])
+    out: list[tuple] = []
+    for head in sorted(by_src):
+        dsts = sorted(by_src[head], key=lambda d: (xxh64_str(d), d))
+        if len(dsts) < 2:
+            continue
+        out.append(
+            (
+                head,
+                len(dsts),
+                xxh64_str("|".join(dsts)),
+                dsts[0],
+                dsts[-1],
+            )
+        )
+    return ["head", "n_items", "items_fp", "first_item", "last_item"], out
+
+
 def ref_q_collections() -> tuple[list[str], list[tuple]]:
     """Ordered collection recovery — global first/rest maps (blank
     cells are doc-globalized by _extract_all, so no cross-doc
@@ -3145,6 +3178,7 @@ CORPUS_QUERIES = {
     "q_ntriples_export": ref_q_ntriples_export,
     "q_nquads_export": ref_q_nquads_export,
     "q_collections": ref_q_collections,
+    "q_containers": ref_q_containers,
     "q_sparql_graph": ref_q_sparql_graph,
     "q_triple_provenance": ref_q_triple_provenance,
     "q_schema_graph": ref_q_schema_graph,
@@ -3256,6 +3290,7 @@ DUCK_TYPES = {
     "q_nquads_export": {"pred_token": "VARCHAR", "n_lines": "BIGINT", "total_bytes": "BIGINT", "line_fp": "BIGINT"},
     "q_sparql_graph": {"g": "VARCHAR", "n_links": "BIGINT", "n_subjects": "BIGINT", "n_types": "BIGINT"},
     "q_collections": {"head": "VARCHAR", "n_items": "BIGINT", "items_fp": "BIGINT", "first_item": "VARCHAR", "last_item": "VARCHAR"},
+    "q_containers": {"head": "VARCHAR", "n_items": "BIGINT", "items_fp": "BIGINT", "first_item": "VARCHAR", "last_item": "VARCHAR"},
     "q_triple_provenance": {"subject": "VARCHAR", "predicate": "VARCHAR", "object": "VARCHAR", "n_docs": "BIGINT", "n_mentions": "BIGINT", "doc_fp": "BIGINT"},
     "q_schema_graph": {"s_cls": "VARCHAR", "predicate": "VARCHAR", "o_cls": "VARCHAR", "n_links": "BIGINT", "link_fp": "BIGINT"},
     "q_bfs_levels": {"level": "INTEGER", "n_nodes": "BIGINT", "node_fp": "BIGINT"},
