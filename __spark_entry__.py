@@ -3181,6 +3181,22 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic discovery + external cluster-quality report: seeded
+    bounded-sample k-means over the embedding corpus (the IVF
+    trainer's deterministic spec), then per-cluster majority-label
+    purity against the ground-truth ``label`` column.  Driver sees
+    only the capped centroid sample; assignment is one vectorized
+    matmul per Arrow batch; the report shuffles only (cluster, label)
+    partial counts."""
+    from turtle_spark.operators.similarity import cluster_label_purity
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return cluster_label_purity(e, n_centroids=10)
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode, REAL for every media type: the synthesized
     media table carries actual PPM/BMP images, RIFF/WAVE PCM16 audio,
@@ -3861,7 +3877,7 @@ _SF_GOLDENS = frozenset(
         "q_mixture_sample", "q_novelty_screen",
         "q_lm_quality", "q_dsir_weights", "q_sketch_recall",
         "q_semdedup", "q_leakage_split", "q_bpe_vocab", "q_bpe_encode",
-        "q_heavy_hitters",
+        "q_heavy_hitters", "q_kmeans_topics",
     }
 )
 
@@ -3934,6 +3950,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_script_mix",
         "q_sketch_cardinality",
         "q_heavy_hitters",
+        "q_kmeans_topics",
     }
 )
 
@@ -4044,6 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_script_mix": _q_script_mix,
         "q_sketch_cardinality": _q_sketch_cardinality,
         "q_heavy_hitters": _q_heavy_hitters,
+        "q_kmeans_topics": _q_kmeans_topics,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

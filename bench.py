@@ -141,6 +141,7 @@ HEADLINE = [
     "q_nquads_export",
     "q_collections",
     "q_vocab_drift",
+    "q_kmeans_topics",
 ]
 
 

@@ -201,3 +201,25 @@ def test_cosine_pairs_lsh_equals_brute_force(spark):
     assert got == want
     plan = gated._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_label_purity_ground_truth(spark):
+    """On well-separated clusters with labels == true cluster index,
+    k-means topic purity must recover ~1.0 purity per cluster, sizes
+    must sum to the corpus, and the report must be bit-identical at
+    1 vs 16 partitions (seeded fixed-order centroid sample + argmax
+    assignment make it parallelism-independent by construction)."""
+    from turtle_spark.operators.similarity import cluster_label_purity
+
+    e = _clustered_embeddings(spark).withColumn(
+        "label", (F.col("vec_id") / 30).cast("int")
+    )
+    rep = cluster_label_purity(e, n_centroids=4)
+    rows = rep.collect()
+    assert sum(r["size"] for r in rows) == 120
+    # every populated cluster should be dominated by one true label
+    assert all(r["purity"] >= 0.9 for r in rows), rows
+    assert {r["top_label"] for r in rows} == {0, 1, 2, 3}
+    again = cluster_label_purity(e.repartition(16), n_centroids=4).collect()
+    key = lambda rs: sorted(tuple(r) for r in rs)
+    assert key(again) == key(rows)

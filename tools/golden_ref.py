@@ -3114,7 +3114,54 @@ def ref_q_heavy_hitters(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["token", "true_cnt", "cm_est", "overcount"], out
 
 
+def ref_q_kmeans_topics(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Mirror of operators/similarity.cluster_label_purity: seeded
+    bounded-sample Lloyd k-means (the IVF trainer's spec), nearest-
+    centroid assignment, then per-cluster majority-label purity."""
+    import pandas as pd
+
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = [
+        (int(vid), np.asarray(vec, dtype=np.float32).astype(np.float64), int(lab))
+        for vid, vec, lab in zip(
+            e["vec_id"].tolist(), e["embedding"].tolist(), e["label"].tolist()
+        )
+    ]
+    # centroid training: xxhash64-ordered sample, cap 4096, seed 13, 8 iters
+    ordered = sorted(emb, key=lambda t: (xxh64_str(str(t[0])), t[0]))[:4096]
+    sample = np.stack([v for _, v, _ in ordered]).astype(np.float32)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rs = np.random.RandomState(13)
+    n_centroids = 10
+    centroids = sample[rs.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(8):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+    cents64 = centroids.astype(np.float64)
+
+    counts: dict[tuple[int, int], int] = {}
+    for _vid, v, lab in emb:
+        x = v / max(float(np.linalg.norm(v)), 1e-12)
+        cluster = int(np.argsort(-(cents64 @ x))[0])
+        counts[(cluster, lab)] = counts.get((cluster, lab), 0) + 1
+
+    out = []
+    for cluster in sorted({c for c, _ in counts}):
+        pairs = [(lab, n) for (c, lab), n in counts.items() if c == cluster]
+        size = sum(n for _, n in pairs)
+        top_label, top_n = min(pairs, key=lambda t: (-t[1], t[0]))
+        out.append((cluster, size, top_label, top_n, spark_round(top_n / size, 6)))
+    return ["cluster", "size", "top_label", "top_n", "purity"], out
+
+
 SF_QUERIES = {
+    "q_kmeans_topics": ref_q_kmeans_topics,
     "q_heavy_hitters": ref_q_heavy_hitters,
     "q_lm_quality": ref_q_lm_quality,
     "q_dsir_weights": ref_q_dsir_weights,
@@ -3235,6 +3282,7 @@ DUCK_TYPES = {
     "q_doc_fingerprints": {"doc_id": "BIGINT", "fingerprint": "BIGINT", "simhash": "BIGINT"},
     "q_lsh_topk": {"query_id": "BIGINT", "neighbor_id": "BIGINT", "cosine": "DOUBLE", "rank": "INTEGER"},
     "q_ivf_topk": {"query_id": "BIGINT", "neighbor_id": "BIGINT", "cosine": "DOUBLE", "rank": "INTEGER"},
+    "q_kmeans_topics": {"cluster": "INTEGER", "size": "BIGINT", "top_label": "INTEGER", "top_n": "BIGINT", "purity": "DOUBLE"},
     "q_media_features": {"media_type": "VARCHAR", "n_media": "BIGINT", "total_bytes": "BIGINT", "f0_sum": "DOUBLE", "px_mean_sum": "DOUBLE"},
     "q_audio_stats": {"media_ref": "VARCHAR", "duration_ms": "INTEGER", "n_bytes": "INTEGER", "duration_s": "DOUBLE", "rms": "DOUBLE", "peak": "DOUBLE", "zcr": "DOUBLE"},
     "q_frame_sample": {"media_ref": "VARCHAR", "frame_index": "INTEGER", "ts_ms": "INTEGER", "px_sum": "BIGINT"},

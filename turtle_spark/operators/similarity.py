@@ -395,3 +395,57 @@ def cosine_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
+
+
+def cluster_label_purity(
+    embeddings: DataFrame,
+    n_centroids: int = 10,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """K-means topic clustering + label-purity report.
+
+    Clusters the corpus by cosine direction (the same seeded
+    ``train_ivf_centroids`` Lloyd loop the IVF index uses, so the
+    centroids are deterministic at any parallelism) and scores each
+    cluster against a ground-truth ``label_col``: cluster size, its
+    majority label, and purity = majority count / size.  The standard
+    external cluster-quality evaluation for topic discovery over
+    training corpora.
+
+    Scale shape: centroid training is one bounded driver-side sample
+    (capped rows regardless of corpus size); assignment is one
+    vectorized matmul per Arrow batch with the centroid matrix riding
+    the UDF closure; the report aggregates over at most
+    ``n_centroids x |labels|`` groups — a two-stage partial agg with
+    no data-row shuffle beyond the (cluster, label) counts.
+
+    Ties on the majority label break to the SMALLEST label so the
+    report is deterministic; ordering is by cluster id.
+    """
+    cents = train_ivf_centroids(
+        embeddings, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col
+    )
+    assigned = ivf_assign(embeddings, cents, n_probe=1, vec_col=vec_col)
+    by = assigned.groupBy("cluster", F.col(label_col).alias("top_label")).agg(
+        F.count(F.lit(1)).alias("top_n")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("top_n").desc(), F.col("top_label").asc()
+    )
+    sizes = by.groupBy("cluster").agg(F.sum("top_n").alias("size"))
+    return (
+        by.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+        .join(sizes, "cluster")
+        .select(
+            "cluster",
+            "size",
+            "top_label",
+            "top_n",
+            F.round(F.col("top_n") / F.col("size"), 6).alias("purity"),
+        )
+        .orderBy("cluster")
+    )
