@@ -3181,6 +3181,17 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantiles from the mergeable
+    min-k-by-hash sample sketch (the order-statistics member of the
+    planner-statistics family), exact nearest-rank percentiles kept
+    alongside to grade it.  The sketch side shuffles at most 16·256
+    rows per (group, salt); only the grading columns sort full data."""
+    from turtle_spark.operators.sketches import quantile_sketch_report
+
+    return quantile_sketch_report(_t(spark, sf_dir, "documents"))
+
+
 def _q_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic discovery + external cluster-quality report: seeded
     bounded-sample k-means over the embedding corpus (the IVF
@@ -3877,7 +3888,7 @@ _SF_GOLDENS = frozenset(
         "q_mixture_sample", "q_novelty_screen",
         "q_lm_quality", "q_dsir_weights", "q_sketch_recall",
         "q_semdedup", "q_leakage_split", "q_bpe_vocab", "q_bpe_encode",
-        "q_heavy_hitters", "q_kmeans_topics",
+        "q_heavy_hitters", "q_kmeans_topics", "q_quantile_sketch",
     }
 )
 
@@ -3951,6 +3962,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_sketch_cardinality",
         "q_heavy_hitters",
         "q_kmeans_topics",
+        "q_quantile_sketch",
     }
 )
 
@@ -4062,6 +4074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sketch_cardinality": _q_sketch_cardinality,
         "q_heavy_hitters": _q_heavy_hitters,
         "q_kmeans_topics": _q_kmeans_topics,
+        "q_quantile_sketch": _q_quantile_sketch,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -142,6 +142,7 @@ HEADLINE = [
     "q_collections",
     "q_vocab_drift",
     "q_kmeans_topics",
+    "q_quantile_sketch",
 ]
 
 

@@ -127,3 +127,68 @@ def test_heavy_hitters_schema_and_order(spark, sf_dir):
     for r in rows:
         assert r["cm_est"] >= r["true_cnt"]
         assert r["overcount"] == r["cm_est"] - r["true_cnt"]
+
+
+def test_kmv_quantiles_rank_error_envelope(spark):
+    """On 6000 uniform values the k=256 sample's quantile estimates
+    must land within a ~5 sigma rank-error band (sigma ~ n/sqrt(k))."""
+    from turtle_spark.operators.sketches import kmv_quantiles
+
+    n = 6000
+    df = spark.range(0, n).select(
+        F.lit("g").alias("g"), F.col("id").alias("rid"), F.col("id").alias("val")
+    )
+    row = kmv_quantiles(df, ["g"], "val", "rid", k=256).collect()[0]
+    assert row["n_kept"] == 256
+    band = 5 * n / math.sqrt(256)  # ~1875
+    for q, col in ((0.5, "q_p5"), (0.9, "q_p9"), (0.99, "q_p99")):
+        true = q * (n - 1)
+        assert abs(row[col] - true) <= band, (col, row[col], true)
+
+
+def test_kmv_quantiles_partitioning_invariant(spark):
+    from turtle_spark.operators.sketches import kmv_quantiles
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("rid"),
+        (F.col("id") * 7 % 997).alias("val"),
+    )
+    a = sorted(tuple(r) for r in kmv_quantiles(df.coalesce(1), ["g"], "val", "rid").collect())
+    b = sorted(tuple(r) for r in kmv_quantiles(df.repartition(32), ["g"], "val", "rid").collect())
+    assert a == b
+
+
+def test_kmv_quantiles_merge_associative(spark):
+    """Sketching two halves and merging (union of kept rows -> re-take
+    min-k on the SAME ordering) must equal sketching the whole — the
+    mergeability contract that lets partial sketches compose across
+    partitions and snapshots."""
+    from turtle_spark.operators.sketches import kmv_quantiles
+
+    df = spark.range(0, 2000).select(
+        F.lit("g").alias("g"), F.col("id").alias("rid"),
+        (F.col("id") * 13 % 797).alias("val"),
+    )
+    whole = sorted(tuple(r) for r in kmv_quantiles(df, ["g"], "val", "rid", k=128).collect())
+    left = df.where(F.col("rid") < 1000)
+    right = df.where(F.col("rid") >= 1000)
+    merged = sorted(
+        tuple(r)
+        for r in kmv_quantiles(left.unionByName(right), ["g"], "val", "rid", k=128).collect()
+    )
+    assert whole == merged
+
+
+def test_kmv_quantiles_small_group_is_exact(spark):
+    """Groups below k report exact nearest-rank percentiles — the
+    sample IS the group there."""
+    from turtle_spark.operators.sketches import kmv_quantiles
+
+    df = spark.range(0, 50).select(
+        F.lit("g").alias("g"), F.col("id").alias("rid"), F.col("id").alias("val")
+    )
+    row = kmv_quantiles(df, ["g"], "val", "rid", k=256).collect()[0]
+    assert row["n_kept"] == 50
+    assert row["q_p5"] == math.floor(0.5 * 49 + 0.5)
+    assert row["q_p9"] == math.floor(0.9 * 49 + 0.5)
+    assert row["q_p99"] == math.floor(0.99 * 49 + 0.5)

@@ -3160,8 +3160,55 @@ def ref_q_kmeans_topics(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["cluster", "size", "top_label", "top_n", "purity"], out
 
 
+def ref_q_quantile_sketch(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Mirror of operators/sketches.quantile_sketch_report: min-64-
+    by-xxhash64 row sample per language (k=64 so the sampling path
+    binds at small SF), nearest-rank order statistics on the sampled
+    values, exact nearest-rank percentiles alongside."""
+    import math
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for did, lang, nc in zip(
+        d["doc_id"].tolist(), d["lang"].tolist(), d["n_chars"].tolist()
+    ):
+        by_lang.setdefault(lang, []).append((int(did), int(nc)))
+
+    def nearest_rank(vals_sorted: list[int], q: float) -> int:
+        idx = math.floor(q * (len(vals_sorted) - 1) + 0.5)
+        return vals_sorted[idx]
+
+    out = []
+    for lang in sorted(by_lang):
+        rows = by_lang[lang]
+        n_rows = len(rows)
+        exact_vals = sorted(nc for _, nc in rows)
+        # min-k sample: signed xxhash64 order, ties break by value
+        sampled = sorted(
+            ((xxh64_str(str(did)), nc) for did, nc in rows),
+            key=lambda t: (t[0], t[1]),
+        )[:64]
+        n_kept = len(sampled)
+        samp_vals = sorted(nc for _, nc in sampled)
+        out.append(
+            (
+                lang, n_rows, n_kept,
+                nearest_rank(samp_vals, 0.5), nearest_rank(exact_vals, 0.5),
+                nearest_rank(samp_vals, 0.9), nearest_rank(exact_vals, 0.9),
+                nearest_rank(samp_vals, 0.99), nearest_rank(exact_vals, 0.99),
+            )
+        )
+    return [
+        "lang", "n_rows", "n_kept",
+        "p50_est", "p50_exact", "p90_est", "p90_exact", "p99_est", "p99_exact",
+    ], out
+
+
 SF_QUERIES = {
     "q_kmeans_topics": ref_q_kmeans_topics,
+    "q_quantile_sketch": ref_q_quantile_sketch,
     "q_heavy_hitters": ref_q_heavy_hitters,
     "q_lm_quality": ref_q_lm_quality,
     "q_dsir_weights": ref_q_dsir_weights,
@@ -3283,6 +3330,11 @@ DUCK_TYPES = {
     "q_lsh_topk": {"query_id": "BIGINT", "neighbor_id": "BIGINT", "cosine": "DOUBLE", "rank": "INTEGER"},
     "q_ivf_topk": {"query_id": "BIGINT", "neighbor_id": "BIGINT", "cosine": "DOUBLE", "rank": "INTEGER"},
     "q_kmeans_topics": {"cluster": "INTEGER", "size": "BIGINT", "top_label": "INTEGER", "top_n": "BIGINT", "purity": "DOUBLE"},
+    "q_quantile_sketch": {
+        "lang": "VARCHAR", "n_rows": "BIGINT", "n_kept": "BIGINT",
+        "p50_est": "BIGINT", "p50_exact": "BIGINT", "p90_est": "BIGINT",
+        "p90_exact": "BIGINT", "p99_est": "BIGINT", "p99_exact": "BIGINT",
+    },
     "q_media_features": {"media_type": "VARCHAR", "n_media": "BIGINT", "total_bytes": "BIGINT", "f0_sum": "DOUBLE", "px_mean_sum": "DOUBLE"},
     "q_audio_stats": {"media_ref": "VARCHAR", "duration_ms": "INTEGER", "n_bytes": "INTEGER", "duration_s": "DOUBLE", "rms": "DOUBLE", "peak": "DOUBLE", "zcr": "DOUBLE"},
     "q_frame_sample": {"media_ref": "VARCHAR", "frame_index": "INTEGER", "ts_ms": "INTEGER", "px_sum": "BIGINT"},

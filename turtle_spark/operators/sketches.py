@@ -221,6 +221,124 @@ def sketch_cardinality_report(
     return exact.join(hll, predicate_col).join(kmv, predicate_col)
 
 
+KQ_K = 256
+
+
+def kmv_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    k: int = KQ_K,
+) -> DataFrame:
+    """Per-group quantile sketch from a deterministic min-k-by-hash
+    row sample (the quantile member of the mergeable-sketch family:
+    HLL for distincts, KMV for theta, Count-Min for frequencies, this
+    for order statistics).
+
+    State is the k rows whose ``xxhash64(id)`` is smallest per group —
+    a uniform row sample that merges associatively (union → re-take
+    min-k), so partial aggregation composes across partitions and
+    snapshots exactly like ``kmv_cardinality``.  Estimator is
+    nearest-rank on the sampled VALUES: index = floor(q·(n-1) + 0.5)
+    into the value-sorted sample.  Rank error is O(n/√k) w.h.p.
+
+    Determinism: hash order is global and ties break on the id, the
+    reported quantile is an ACTUAL value from the data (integer
+    domain end to end for integer columns — no interpolation, no float
+    summation), so results are bit-identical at any parallelism.
+
+    Returns (group..., n_kept, q_<pct> per requested quantile).
+    """
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.col(id_col).cast("string"))
+    hashed = df.select(*group_cols, h.alias("h"), F.col(value_col).alias("v"))
+    # two-phase min-k: salted subgroup prune bounds any single task's
+    # sort at ~k rows, the final order statistic sees at most 16k rows
+    # ties on h break by value so the kept multiset of VALUES is total-
+    # ordered (kmv_cardinality needs no tiebreak — it dedups hashes —
+    # but here two rows may legitimately share a hash-colliding h)
+    salted = Window.partitionBy(*group_cols, F.pmod(F.col("h"), F.lit(16))).orderBy(
+        "h", "v"
+    )
+    pruned = (
+        hashed.withColumn("rn", F.row_number().over(salted))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+    final = Window.partitionBy(*group_cols).orderBy("h", "v")
+    sample = (
+        pruned.withColumn("rn", F.row_number().over(final))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+    # value-rank within the kept sample; ties in v are harmless — only
+    # the value at each rank is reported, never the row identity
+    vrank = Window.partitionBy(*group_cols).orderBy("v", "h")
+    grp = Window.partitionBy(*group_cols)
+    ranked = sample.withColumn("vr", F.row_number().over(vrank)).withColumn(
+        "n_kept", F.count(F.lit(1)).over(grp)
+    )
+    aggs = [F.max("n_kept").alias("n_kept")]
+    for q in qs:
+        idx = (
+            F.floor(F.lit(float(q)) * (F.col("n_kept") - 1).cast("double") + F.lit(0.5))
+            + 1
+        )
+        label = f"q_{str(q).replace('0.', 'p')}"
+        aggs.append(F.max(F.when(F.col("vr") == idx, F.col("v"))).alias(label))
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def quantile_sketch_report(
+    docs: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = 64,
+) -> DataFrame:
+    """Per-language document-length quantiles: the sketch estimate
+    next to the exact nearest-rank percentile — the length-statistics
+    table a curation pipeline sizes its chunking/packing budgets from,
+    with the exact columns kept only to grade the sketch (at 100 TB
+    the full-data per-group sort is exactly what you run the sketch to
+    avoid).
+
+    Columns: <group>, n_rows, n_kept, p50/p90/p99 est + exact.
+    """
+    from pyspark.sql import Window
+
+    est = kmv_quantiles(docs, [group_col], value_col, id_col, k=k)
+    vrank = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    grp = Window.partitionBy(group_col)
+    ranked = docs.select(group_col, value_col, id_col).withColumn(
+        "vr", F.row_number().over(vrank)
+    ).withColumn("n_rows", F.count(F.lit(1)).over(grp))
+    exact_aggs = [F.max("n_rows").alias("n_rows")]
+    for q in (0.5, 0.9, 0.99):
+        idx = (
+            F.floor(F.lit(q) * (F.col("n_rows") - 1).cast("double") + F.lit(0.5)) + 1
+        )
+        exact_aggs.append(
+            F.max(F.when(F.col("vr") == idx, F.col(value_col))).alias(
+                f"x_{str(q).replace('0.', 'p')}"
+            )
+        )
+    exact = ranked.groupBy(group_col).agg(*exact_aggs)
+    return (
+        exact.join(est, group_col)
+        .select(
+            group_col, "n_rows", "n_kept",
+            F.col("q_p5").alias("p50_est"), F.col("x_p5").alias("p50_exact"),
+            F.col("q_p9").alias("p90_est"), F.col("x_p9").alias("p90_exact"),
+            F.col("q_p99").alias("p99_est"), F.col("x_p99").alias("p99_exact"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def heavy_hitters(
     docs: DataFrame, top_n: int = 20, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
