@@ -3181,6 +3181,21 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining over the embedding corpus:
+    every 10th vector is an anchor; its 5 most cosine-similar
+    DIFFERENT-label neighbors (IVF-bucketed, 2-cell probe) are the
+    negatives a metric-learning trainer would pair it with."""
+    from turtle_spark.operators.similarity import hard_negatives
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return hard_negatives(
+        e, e.where(F.col("vec_id") % 10 == 0), k=5, n_centroids=8, n_probe=2
+    )
+
+
 def _q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language document-length quantiles from the mergeable
     min-k-by-hash sample sketch (the order-statistics member of the
@@ -3889,6 +3904,7 @@ _SF_GOLDENS = frozenset(
         "q_lm_quality", "q_dsir_weights", "q_sketch_recall",
         "q_semdedup", "q_leakage_split", "q_bpe_vocab", "q_bpe_encode",
         "q_heavy_hitters", "q_kmeans_topics", "q_quantile_sketch",
+        "q_hard_negatives",
     }
 )
 
@@ -3963,6 +3979,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_heavy_hitters",
         "q_kmeans_topics",
         "q_quantile_sketch",
+        "q_hard_negatives",
     }
 )
 
@@ -4075,6 +4092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_heavy_hitters": _q_heavy_hitters,
         "q_kmeans_topics": _q_kmeans_topics,
         "q_quantile_sketch": _q_quantile_sketch,
+        "q_hard_negatives": _q_hard_negatives,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -143,6 +143,7 @@ HEADLINE = [
     "q_vocab_drift",
     "q_kmeans_topics",
     "q_quantile_sketch",
+    "q_hard_negatives",
 ]
 
 

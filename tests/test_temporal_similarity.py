@@ -223,3 +223,33 @@ def test_cluster_label_purity_ground_truth(spark):
     again = cluster_label_purity(e.repartition(16), n_centroids=4).collect()
     key = lambda rs: sorted(tuple(r) for r in rs)
     assert key(again) == key(rows)
+
+
+def test_hard_negatives_ground_truth(spark):
+    """Full-probe hard-negative mining must equal brute-force
+    different-label top-k exactly; no mined negative may share its
+    anchor's label."""
+    from turtle_spark.operators.similarity import hard_negatives
+
+    e = _clustered_embeddings(spark).withColumn(
+        "label", (F.col("vec_id") / 30).cast("int")
+    )
+    anchors = e.where(F.col("vec_id") % 40 == 0)
+    mined = hard_negatives(e, anchors, k=3, n_centroids=4, n_probe=4).collect()
+    labels = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    assert all(r["neg_label"] != labels[r["anchor_id"]] for r in mined)
+    # brute force: cosine against every different-label vector
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in e.collect()}
+    for a in [r["vec_id"] for r in anchors.collect()]:
+        scored = sorted(
+            (
+                (-float(vecs[n] @ vecs[a] / (np.linalg.norm(vecs[n]) * np.linalg.norm(vecs[a]))), n)
+                for n in vecs
+                if n != a and labels[n] != labels[a]
+            )
+        )[:3]
+        want = [n for _, n in scored]
+        got = [r["neg_id"] for r in sorted(mined, key=lambda r: r["rank"]) if r["anchor_id"] == a]
+        assert got == want, (a, got, want)

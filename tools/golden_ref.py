@@ -3160,6 +3160,66 @@ def ref_q_kmeans_topics(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["cluster", "size", "top_label", "top_n", "purity"], out
 
 
+def ref_q_hard_negatives(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Mirror of operators/similarity.hard_negatives: IVF cells from
+    the seeded trainer (n_centroids=8), anchors = vec_id % 10 == 0
+    probing 2 cells, k=5 nearest DIFFERENT-label corpus vectors."""
+    import pandas as pd
+
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = [
+        (int(vid), np.asarray(vec, dtype=np.float32).astype(np.float64), int(lab))
+        for vid, vec, lab in zip(
+            e["vec_id"].tolist(), e["embedding"].tolist(), e["label"].tolist()
+        )
+    ]
+    vecs = {vid: v for vid, v, _ in emb}
+    labels = {vid: lab for vid, _, lab in emb}
+    # centroid training: identical spec to ref_q_ivf_topk at k=8
+    ordered = sorted(emb, key=lambda t: (xxh64_str(str(t[0])), t[0]))[:4096]
+    sample = np.stack([v for _, v, _ in ordered]).astype(np.float32)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rs = np.random.RandomState(13)
+    centroids = sample[rs.choice(len(sample), size=min(8, len(sample)), replace=False)]
+    for _ in range(8):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+    cents64 = centroids.astype(np.float64)
+
+    def probe(v, n_probe: int) -> list[int]:
+        x = v / max(float(np.linalg.norm(v)), 1e-12)
+        return list(np.argsort(-(cents64 @ x))[:n_probe])
+
+    cells: dict[int, list[int]] = {}
+    for vid, v, _ in emb:
+        cells.setdefault(probe(v, 1)[0], []).append(vid)
+    anchors = [vid for vid, _, _ in emb if vid % 10 == 0]
+    out = []
+    for a in sorted(anchors):
+        cand = set()
+        for c in probe(vecs[a], 2):
+            cand.update(cells.get(c, []))
+        cand.discard(a)
+        cand = {n for n in cand if labels[n] != labels[a]}
+        scored = []
+        for nid in cand:
+            cos = spark_round(
+                seq_dot(vecs[nid], vecs[a]) / (seq_norm(vecs[nid]) * seq_norm(vecs[a])),
+                6,
+            )
+            scored.append((-cos, nid))
+        scored.sort()
+        for rank, (negcos, nid) in enumerate(scored[:5], start=1):
+            out.append((a, nid, labels[nid], -negcos, rank))
+    return ["anchor_id", "neg_id", "neg_label", "cosine", "rank"], out
+
+
 def ref_q_quantile_sketch(sf_dir: str) -> tuple[list[str], list[tuple]]:
     """Mirror of operators/sketches.quantile_sketch_report: min-64-
     by-xxhash64 row sample per language (k=64 so the sampling path
@@ -3209,6 +3269,7 @@ def ref_q_quantile_sketch(sf_dir: str) -> tuple[list[str], list[tuple]]:
 SF_QUERIES = {
     "q_kmeans_topics": ref_q_kmeans_topics,
     "q_quantile_sketch": ref_q_quantile_sketch,
+    "q_hard_negatives": ref_q_hard_negatives,
     "q_heavy_hitters": ref_q_heavy_hitters,
     "q_lm_quality": ref_q_lm_quality,
     "q_dsir_weights": ref_q_dsir_weights,
@@ -3334,6 +3395,10 @@ DUCK_TYPES = {
         "lang": "VARCHAR", "n_rows": "BIGINT", "n_kept": "BIGINT",
         "p50_est": "BIGINT", "p50_exact": "BIGINT", "p90_est": "BIGINT",
         "p90_exact": "BIGINT", "p99_est": "BIGINT", "p99_exact": "BIGINT",
+    },
+    "q_hard_negatives": {
+        "anchor_id": "BIGINT", "neg_id": "BIGINT", "neg_label": "INTEGER",
+        "cosine": "DOUBLE", "rank": "INTEGER",
     },
     "q_media_features": {"media_type": "VARCHAR", "n_media": "BIGINT", "total_bytes": "BIGINT", "f0_sum": "DOUBLE", "px_mean_sum": "DOUBLE"},
     "q_audio_stats": {"media_ref": "VARCHAR", "duration_ms": "INTEGER", "n_bytes": "INTEGER", "duration_s": "DOUBLE", "rms": "DOUBLE", "peak": "DOUBLE", "zcr": "DOUBLE"},

@@ -397,6 +397,68 @@ def cosine_pairs(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the ``k``
+    most cosine-similar corpus vectors whose ``label_col`` DIFFERS
+    from the anchor's — the negatives that sit closest to the decision
+    boundary, which is what contrastive/metric-learning training (DPR,
+    SimCSE-style) wants instead of random negatives.
+
+    Scale shape is the IVF path's: corpus inverted once into coarse
+    cells (n_probe=1), anchors probe their ``n_probe`` nearest cells,
+    so each anchor scores n_probe/n_centroids of the corpus through an
+    equi-join on ``cluster`` — never an all-pairs product.  Centroids
+    come from the seeded fixed-order sample, so the mined pairs are
+    bit-identical at any parallelism.
+
+    Returns (anchor_id, neg_id, neg_label, cosine, rank), rank 1..k
+    by cosine desc with neg_id as the deterministic tiebreak.
+    """
+    cents = train_ivf_centroids(embeddings, n_centroids, vec_col=vec_col, id_col=id_col)
+    corpus = ivf_assign(embeddings, cents, n_probe=1, vec_col=vec_col).select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("_cvec"),
+        "cluster",
+    )
+    qs = ivf_assign(anchors, cents, n_probe=n_probe, vec_col=vec_col).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("_albl"),
+        F.col(vec_col).alias("_qvec"),
+        "cluster",
+    )
+    cands = (
+        corpus.join(qs, "cluster")
+        .drop("cluster")
+        .dropDuplicates(["anchor_id", "neg_id"])
+        .where(F.col("neg_id") != F.col("anchor_id"))
+        .where(F.col("neg_label") != F.col("_albl"))
+    )
+    scored = cands.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("_cvec"), F.col("_qvec"))
+            / (_norm(F.col("_cvec")) * _norm(F.col("_qvec"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), F.col("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("anchor_id", "neg_id", "neg_label", "cosine", "rank")
+    )
+
+
 def cluster_label_purity(
     embeddings: DataFrame,
     n_centroids: int = 10,
