@@ -56,3 +56,57 @@ def test_triple_pr_perfect_and_degraded(spark):
     )
     pr3 = triple_set_pr(corrupted, actual)
     assert pr3.precision < 1.0
+
+
+def test_exact_jaccard_kernel_equals_naive_join(spark):
+    """The inverted-index bincount kernel must reproduce the naive
+    cross-join + array_intersect ground truth exactly, including the
+    empty-set pair (union empty -> Jaccard 1.0)."""
+    from pyspark.sql import functions as F
+
+    from turtle_spark.operators.linking import shingle_profiles
+    from turtle_spark.operators.metrics import exact_jaccard_pairs_sampled
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghij klmnop"),
+            (2, "abcdefghij klmnoX"),   # near-dup of 1
+            (3, "zzzzz totally other text here"),
+            (4, ""),                     # empty
+            (5, ""),                     # empty
+            (6, "abcdefghij klmnop"),    # exact dup of 1
+        ],
+        "term_id long, term string",
+    )
+    profiles = shingle_profiles(docs, 5)
+    got = {
+        (r["t1"], r["t2"])
+        for r in exact_jaccard_pairs_sampled(profiles, 0.5).collect()
+    }
+    a = profiles.select(F.col("term_id").alias("t1"), F.col("shs").alias("s1"), F.col("nw").alias("n1"))
+    b = profiles.select(F.col("term_id").alias("t2"), F.col("shs").alias("s2"), F.col("nw").alias("n2"))
+    inter = F.size(F.array_intersect("s1", "s2"))
+    union = F.col("n1") + F.col("n2") - inter
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union.cast("double"))
+    want = {
+        (r["t1"], r["t2"])
+        for r in a.join(b, F.col("t1") < F.col("t2")).where(jac >= 0.5).collect()
+    }
+    assert got == want
+    assert (4, 5) in got  # empty-vs-empty pair
+
+
+def test_exact_jaccard_kernel_bounded_contract(spark):
+    from pyspark.sql import functions as F
+
+    from turtle_spark.operators.linking import shingle_profiles
+    from turtle_spark.operators.metrics import exact_jaccard_pairs_sampled
+
+    docs = spark.range(0, 10).select(
+        F.col("id").alias("term_id"), F.lit("some text body").alias("term")
+    )
+    profiles = shingle_profiles(docs, 5)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bounded by contract"):
+        exact_jaccard_pairs_sampled(profiles, 0.5, max_docs=5).collect()
