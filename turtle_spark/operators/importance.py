@@ -35,25 +35,34 @@ from pyspark.sql import functions as F
 DSIR_BUCKETS = 4096
 
 
-def _trigrams(text_col: str) -> F.Column:
-    """Array of character trigrams of the lowercased text (empty when
-    the text is shorter than 3 chars — sequence() would otherwise
-    count DOWN and fabricate windows)."""
+def _trigrams_of(lowered_col: str) -> F.Column:
+    """Array of character trigrams of an ALREADY-LOWERCASED column
+    (empty when shorter than 3 chars — sequence() would otherwise
+    count DOWN and fabricate windows).  Takes the materialized column
+    by name: referencing ``lower(text)`` inline would re-lowercase the
+    whole string once PER TRIGRAM inside the transform lambda (lambda
+    bodies are re-evaluated per element, no common-subexpression
+    elimination across them) — O(len²) character copies per doc."""
     return F.expr(
-        f"CASE WHEN char_length(lower({text_col})) >= 3 THEN "
-        f"transform(sequence(1, char_length(lower({text_col})) - 2),"
-        f" i -> substring(lower({text_col}), i, 3)) "
+        f"CASE WHEN char_length({lowered_col}) >= 3 THEN "
+        f"transform(sequence(1, char_length({lowered_col}) - 2),"
+        f" i -> substring({lowered_col}, i, 3)) "
         "ELSE CAST(array() AS array<string>) END"
     )
 
 
-def _word_bigrams(text_col: str) -> F.Column:
-    """Array of lowercase ASCII word bigrams ('a b')."""
+def _word_bigrams_of(words_col: str) -> F.Column:
+    """Array of word bigrams ('a b') from an ALREADY-MATERIALIZED
+    words-array column.  ``zip_with`` over two slices touches each
+    word once; the previous inline form re-ran ``regexp_extract_all``
+    over the full text once per bigram element (same lambda
+    re-evaluation trap as ``_trigrams_of``) — measured 24.5 s -> ~3 s
+    for q_dsir_weights at sf0.1."""
     return F.expr(
-        f"CASE WHEN size(regexp_extract_all(lower({text_col}), '[a-z]+', 0)) >= 2 THEN "
-        f"transform(sequence(1, size(regexp_extract_all(lower({text_col}), '[a-z]+', 0)) - 1),"
-        f" i -> concat(element_at(regexp_extract_all(lower({text_col}), '[a-z]+', 0), i),"
-        f" ' ', element_at(regexp_extract_all(lower({text_col}), '[a-z]+', 0), i + 1))) "
+        f"CASE WHEN size({words_col}) >= 2 THEN "
+        f"zip_with(slice({words_col}, 1, size({words_col}) - 1),"
+        f" slice({words_col}, 2, size({words_col}) - 1),"
+        f" (a, b) -> concat(a, ' ', b)) "
         "ELSE CAST(array() AS array<string>) END"
     )
 
@@ -76,8 +85,8 @@ def lm_quality(
     = more familiar; OOV grams contribute 0.
     """
     grams = docs.select(
-        F.col(id_col), F.explode(_trigrams(text_col)).alias("gram")
-    )
+        F.col(id_col), F.lower(F.col(text_col)).alias("_lt")
+    ).select(F.col(id_col), F.explode(_trigrams_of("_lt")).alias("gram"))
     model = (
         grams.where(F.col(id_col) % train_mod == 0)
         .groupBy("gram")
@@ -116,11 +125,23 @@ def dsir_weights(
     floor_log2(1+raw_count) per bigram occurrence, and ``dsir_w``
     normalizes by the document's bigram count.
     """
-    grams = docs.select(
-        F.col(id_col),
-        target_filter.alias("_is_target"),
-        F.explode(_word_bigrams(text_col)).alias("bg"),
-    ).withColumn("bucket", F.pmod(F.xxhash64("bg"), F.lit(n_buckets)))
+    grams = (
+        docs.select(
+            F.col(id_col),
+            target_filter.alias("_is_target"),
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)").alias("_w"),
+        )
+        .select(
+            F.col(id_col), "_is_target",
+            F.explode(_word_bigrams_of("_w")).alias("bg"),
+        )
+        .withColumn("bucket", F.pmod(F.xxhash64("bg"), F.lit(n_buckets)))
+    )
+    # both the model build and the scoring join consume grams — pin so
+    # the tokenize+explode subtree runs once, not once per consumer
+    from turtle_spark.operators.skew import pin
+
+    grams = pin(grams)
     model = grams.groupBy("bucket").agg(
         F.count("*").alias("raw_cnt"),
         F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tgt_cnt"),
