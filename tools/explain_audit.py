@@ -87,6 +87,11 @@ AUDITED = [
     "q_leakage_split",
     "q_nquads_export",
     "q_collections",
+    "q_kmeans_topics",
+    "q_quantile_sketch",
+    "q_hard_negatives",
+    "q_sketch_recall",
+    "q_dsir_weights",
 ]
 
 
