@@ -1809,6 +1809,17 @@ def _q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_lift(_t(spark, sf_dir, "documents"), window=3, top_k=100)
 
 
+_SQL_SNAPSHOT_TRAVEL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS total_value
+FROM events
+WHERE event_id % 3 < 2
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 _SQL_COOCCUR = r"""
 WITH d AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
@@ -3181,6 +3192,37 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_snapshot_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-catalog time travel (sources/snapshots.py, the
+    mini-Iceberg materialization layer): three commits — append
+    (event_id % 3 == 0), append (% 3 == 1), overwrite (% 3 == 2) —
+    then a TIME-TRAVEL read at version 2 aggregated per event type.
+    Matching the oracle requires the v3 overwrite to be invisible to
+    the v2 read: snapshot isolation, not just file listing.  Oracle is
+    PLAIN SQL over the source table (no golden)."""
+    import tempfile
+
+    from turtle_spark.sources.snapshots import SnapshotCatalog
+
+    events = _t(spark, sf_dir, "events")
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="snap_travel_"))
+    cat.commit(events.where(F.col("event_id") % 3 == 0))
+    v2 = cat.commit(events.where(F.col("event_id") % 3 == 1))
+    cat.commit(events.where(F.col("event_id") % 3 == 2), op="overwrite")
+    return (
+        cat.read(spark, v2)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining over the embedding corpus:
     every 10th vector is an anchor; its 5 most cosine-similar
@@ -3980,6 +4022,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_kmeans_topics",
         "q_quantile_sketch",
         "q_hard_negatives",
+        "q_snapshot_travel",
     }
 )
 
@@ -4093,6 +4136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans_topics": _q_kmeans_topics,
         "q_quantile_sketch": _q_quantile_sketch,
         "q_hard_negatives": _q_hard_negatives,
+        "q_snapshot_travel": _q_snapshot_travel,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -4162,6 +4206,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
     }
     return goldens | {
         "q_vocab_drift": _SQL_VOCAB_DRIFT,
+        "q_snapshot_travel": _SQL_SNAPSHOT_TRAVEL,
         "q_cooccur": _SQL_COOCCUR,
         "q_lineitem_agg": _SQL_LINEITEM_AGG,
         "q_revenue_by_nation": _SQL_REVENUE_BY_NATION,

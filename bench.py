@@ -144,6 +144,7 @@ HEADLINE = [
     "q_kmeans_topics",
     "q_quantile_sketch",
     "q_hard_negatives",
+    "q_snapshot_travel",
 ]
 
 

@@ -1,0 +1,132 @@
+"""Snapshot catalog (mini-Iceberg) semantics: time travel, atomic
+commit, optimistic concurrency, incremental reads, rollback, orphan
+detection, bucket-pruned subject reads."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from turtle_spark.sources.snapshots import (
+    CommitConflictError,
+    SnapshotCatalog,
+    read_subject_at,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("s"), F.col("id")).alias("subject"),
+        F.lit("p").alias("predicate"),
+        F.col("id").cast("string").alias("object"),
+    )
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    cat = SnapshotCatalog(tmp_path / "t")
+    v1 = cat.commit(_df(spark, 0, 10))
+    v2 = cat.commit(_df(spark, 10, 30))
+    assert (v1, v2) == (1, 2)
+    assert cat.read(spark, 1).count() == 10
+    assert cat.read(spark, 2).count() == 30
+    assert cat.read(spark).count() == 30  # current == v2
+    hist = cat.history()
+    assert [(s.version, s.op, s.rows) for s in hist] == [
+        (1, "append", 10), (2, "append", 30)
+    ]
+
+
+def test_overwrite_resets_segments(spark, tmp_path):
+    cat = SnapshotCatalog(tmp_path / "t")
+    cat.commit(_df(spark, 0, 10))
+    cat.commit(_df(spark, 0, 5), op="overwrite")
+    assert cat.read(spark).count() == 5
+    assert cat.read(spark, 1).count() == 10  # old snapshot intact
+    assert len(cat.snapshot().segments) == 1
+
+
+def test_incremental_reads_only_new_segments(spark, tmp_path):
+    cat = SnapshotCatalog(tmp_path / "t")
+    cat.commit(_df(spark, 0, 10))
+    cat.commit(_df(spark, 10, 25))
+    cat.commit(_df(spark, 25, 30))
+    inc = cat.incremental(spark, 1, 3)
+    got = sorted(r["object"] for r in inc.collect())
+    assert got == sorted(str(i) for i in range(10, 30))
+    with pytest.raises(ValueError):
+        cat.incremental(spark, 2, 2)
+
+
+def test_incremental_refuses_overwrite_range(spark, tmp_path):
+    cat = SnapshotCatalog(tmp_path / "t")
+    cat.commit(_df(spark, 0, 10))
+    cat.commit(_df(spark, 0, 5), op="overwrite")
+    with pytest.raises(ValueError, match="overwrite"):
+        cat.incremental(spark, 1, 2)
+
+
+def test_rollback_and_rollforward(spark, tmp_path):
+    cat = SnapshotCatalog(tmp_path / "t")
+    cat.commit(_df(spark, 0, 10))
+    cat.commit(_df(spark, 10, 20))
+    cat.rollback(1)
+    assert cat.current_version() == 1
+    assert cat.read(spark).count() == 10
+    cat.rollback(2)  # snapshots stay on disk: re-rollforward works
+    assert cat.read(spark).count() == 20
+
+
+def test_crashed_commit_leaves_table_readable(spark, tmp_path):
+    """Crash between data write (step 1) and snapshot publish (step
+    2): the prior snapshot stays current and the debris segment is
+    reported as an orphan."""
+    cat = SnapshotCatalog(tmp_path / "t")
+    cat.commit(_df(spark, 0, 10))
+    # simulate the crash: segment dir written, no snapshot manifest
+    _df(spark, 99, 120).write.parquet(
+        str(cat.root / "data" / "seg-00002-append-deadbeef")
+    )
+    assert cat.current_version() == 1
+    assert cat.read(spark).count() == 10
+    assert cat.orphans() == ["seg-00002-append-deadbeef"]
+    # the next real commit is oblivious: distinct segment name, and
+    # the crashed writer never published a manifest to conflict with
+    v = cat.commit(_df(spark, 10, 15))
+    assert v == 2
+    assert cat.read(spark).count() == 15
+    assert cat.orphans() == ["seg-00002-append-deadbeef"]
+
+
+def test_optimistic_concurrency_conflict(spark, tmp_path):
+    cat = SnapshotCatalog(tmp_path / "t")
+    cat.commit(_df(spark, 0, 10))
+    # a competing writer publishes snapshot 2 first
+    (cat.root / "metadata" / "snap-00002.json").write_text(
+        json.dumps(
+            {"version": 2, "op": "append", "parent": 1,
+             "segments": ["seg-00001-append"], "rows": 10}
+        )
+    )
+    with pytest.raises(CommitConflictError):
+        cat.commit(_df(spark, 10, 20))
+
+
+def test_bucket_pruned_subject_read(spark, tmp_path):
+    from turtle_spark.sources.storage import with_bucket
+
+    cat = SnapshotCatalog(tmp_path / "t")
+    cat.commit(with_bucket(_df(spark, 0, 200)).repartition("bucket"))
+    out = read_subject_at(cat, spark, "s7")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["object"] == "7"
+    # the bucket equality must reach the scan as a pushed filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
+
+
+def test_rejects_uri_paths(tmp_path):
+    with pytest.raises(ValueError, match="local filesystem"):
+        SnapshotCatalog("hdfs://nn/warehouse/t")
