@@ -179,3 +179,39 @@ def test_chunked_extract_partition_resume(spark, tmp_path):
     assert rec["status"] == "committed"
     assert rec["partitions"] == len(rec["partition_lineage"])
     assert sum(e["rows"] for e in rec["partition_lineage"]) == rec["rows"]
+
+
+def test_pipeline_publishes_snapshot_idempotently(spark, tmp_path):
+    """With snapshot_dir set, the pipeline publishes its canonical
+    table to the snapshot catalog exactly once per input fingerprint:
+    a resumed re-run reuses the published version; a new fingerprint
+    appends version 2, and the catalog's time travel still serves v1."""
+    from turtle_spark.sources.snapshots import SnapshotCatalog
+
+    docs = generate_docs(spark, 20, seed=11)
+    wd = str(tmp_path / "work")
+    sd = str(tmp_path / "snaps")
+
+    r1 = run_pipeline(
+        spark, docs, wd, input_fingerprint="fp-1", n_buckets=8, snapshot_dir=sd
+    )
+    assert r1.metrics["snapshot"] == {"version": 1, "resumed": False}
+    cat = SnapshotCatalog(sd)
+    v1_rows = cat.read(spark, 1).count()
+    assert v1_rows == r1.triples.count()
+
+    # same fingerprint -> no second snapshot
+    r2 = run_pipeline(
+        spark, docs, wd, input_fingerprint="fp-1", n_buckets=8, snapshot_dir=sd
+    )
+    assert r2.metrics["snapshot"] == {"version": 1, "resumed": True}
+    assert cat.current_version() == 1
+
+    # new fingerprint -> append; v1 unchanged under the new current
+    r3 = run_pipeline(
+        spark, docs, wd, input_fingerprint="fp-2", n_buckets=8, snapshot_dir=sd
+    )
+    assert r3.metrics["snapshot"] == {"version": 2, "resumed": False}
+    assert cat.read(spark, 1).count() == v1_rows
+    assert cat.read(spark).count() == 2 * v1_rows
+    assert cat.snapshot(2).properties["input_fingerprint"] == "fp-2"

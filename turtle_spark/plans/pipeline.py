@@ -94,6 +94,8 @@ def run_pipeline(
     bucket_cap: int = linking.DEFAULT_BUCKET_CAP,
     src_degree_cap: int | None = 8,
     extract_chunks: int | None = None,
+    snapshot_dir: str | None = None,
+    snapshot_op: str = "append",
 ) -> PipelineResult:
     """Run (or resume) the full pipeline over a docs table.
 
@@ -189,5 +191,31 @@ def run_pipeline(
         ),
         partition_by=["bucket"],
     )
+
+    # F (optional): publish the canonical table as a catalog snapshot
+    # (sources/snapshots.py — the versioned materialization target).
+    # Idempotent on resume: a snapshot whose input_fingerprint property
+    # matches this run's is reused, so re-running a committed pipeline
+    # never double-publishes.
+    if snapshot_dir is not None:
+        from turtle_spark.sources.snapshots import SnapshotCatalog
+
+        cat = SnapshotCatalog(snapshot_dir)
+        existing = next(
+            (
+                s.version
+                for s in cat.history()
+                if s.properties.get("input_fingerprint") == input_fingerprint
+            ),
+            None,
+        )
+        if existing is None:
+            version = cat.commit(
+                final, op=snapshot_op,
+                properties={"input_fingerprint": input_fingerprint},
+            )
+            metrics["snapshot"] = {"version": version, "resumed": False}
+        else:
+            metrics["snapshot"] = {"version": existing, "resumed": True}
 
     return PipelineResult(triples=final, stages_resumed=resumed, metrics=metrics)

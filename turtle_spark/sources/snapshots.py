@@ -57,6 +57,7 @@ class Snapshot:
     parent: int | None
     segments: list[str]         # segment dir names under data/, in commit order
     rows: int
+    properties: dict            # writer-supplied, e.g. input_fingerprint
 
 
 class SnapshotCatalog:
@@ -91,6 +92,7 @@ class SnapshotCatalog:
         return Snapshot(
             version=spec["version"], op=spec["op"], parent=spec["parent"],
             segments=list(spec["segments"]), rows=spec["rows"],
+            properties=dict(spec.get("properties", {})),
         )
 
     def history(self) -> list[Snapshot]:
@@ -104,7 +106,9 @@ class SnapshotCatalog:
 
     # ---------------- commit ----------------
 
-    def commit(self, df: DataFrame, op: str = "append") -> int:
+    def commit(
+        self, df: DataFrame, op: str = "append", properties: dict | None = None
+    ) -> int:
         """Write ``df`` as a new immutable segment and atomically
         publish the next snapshot.  ``append`` unions with the parent
         snapshot's segments; ``overwrite`` starts a fresh segment
@@ -135,6 +139,7 @@ class SnapshotCatalog:
             "parent": parent,
             "segments": [*prev_segments, seg],
             "rows": rows_written + prev_rows,
+            "properties": dict(properties or {}),
         }
         # step 2: exclusive snapshot manifest — the optimistic lock
         try:
