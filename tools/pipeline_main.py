@@ -33,6 +33,11 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--extract-chunks", type=int, default=0,
                     help="partition-granular extract commit (0 = stage-level)")
+    ap.add_argument("--snapshot-dir", default=None,
+                    help="snapshot-catalog table dir: publish the canonical "
+                         "table as a new version (idempotent per fingerprint)")
+    ap.add_argument("--snapshot-op", default="append",
+                    choices=["append", "overwrite"])
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
 
@@ -66,6 +71,8 @@ def main() -> None:
         input_fingerprint=args.fingerprint,
         n_buckets=args.buckets,
         extract_chunks=args.extract_chunks or None,
+        snapshot_dir=args.snapshot_dir,
+        snapshot_op=args.snapshot_op,
     )
     summary = {
         "rows": result.triples.count(),
