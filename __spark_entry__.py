@@ -3192,6 +3192,24 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join report (operators/bloom.py): lineitem
+    rows screened against the p_size=50 part keys through a 512-bit
+    deterministic bloom (sized to FORCE false positives at test scale
+    so the report pins them); the corpus side is never shuffled — one
+    mergeable bit_or build over the key side, one closure-broadcast
+    vectorized probe."""
+    from turtle_spark.operators.bloom import bloom_prune_report
+
+    return bloom_prune_report(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part").where(F.col("p_size") == 50),
+        "l_partkey",
+        "p_partkey",
+        n_bits=512,
+    )
+
+
 def _q_snapshot_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-catalog time travel (sources/snapshots.py, the
     mini-Iceberg materialization layer): three commits — append
@@ -3946,7 +3964,7 @@ _SF_GOLDENS = frozenset(
         "q_lm_quality", "q_dsir_weights", "q_sketch_recall",
         "q_semdedup", "q_leakage_split", "q_bpe_vocab", "q_bpe_encode",
         "q_heavy_hitters", "q_kmeans_topics", "q_quantile_sketch",
-        "q_hard_negatives",
+        "q_hard_negatives", "q_bloom_prune",
     }
 )
 
@@ -4023,6 +4041,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_quantile_sketch",
         "q_hard_negatives",
         "q_snapshot_travel",
+        "q_bloom_prune",
     }
 )
 
@@ -4137,6 +4156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_sketch": _q_quantile_sketch,
         "q_hard_negatives": _q_hard_negatives,
         "q_snapshot_travel": _q_snapshot_travel,
+        "q_bloom_prune": _q_bloom_prune,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -145,6 +145,7 @@ HEADLINE = [
     "q_quantile_sketch",
     "q_hard_negatives",
     "q_snapshot_travel",
+    "q_bloom_prune",
 ]
 
 

@@ -3220,6 +3220,39 @@ def ref_q_hard_negatives(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["anchor_id", "neg_id", "neg_label", "cosine", "rank"], out
 
 
+def ref_q_bloom_prune(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Mirror of operators/bloom.bloom_prune_report at n_bits=512,
+    n_hashes=4: every bit position re-derived as
+    xxh64("<i>|<key-as-string>") mod n_bits."""
+    import pandas as pd
+
+    n_bits, n_hashes = 512, 4
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    keys = sorted(set(int(k) for k in part.loc[part["p_size"] == 50, "p_partkey"]))
+    bits = [False] * n_bits
+    for k in keys:
+        for i in range(n_hashes):
+            bits[pmod(xxh64_str(f"{i}|{k}"), n_bits)] = True
+    keyset = set(keys)
+    n_total = n_pass = n_true = 0
+    for pk in li["l_partkey"].tolist():
+        pk = int(pk)
+        n_total += 1
+        ok = all(
+            bits[pmod(xxh64_str(f"{i}|{pk}"), n_bits)] for i in range(n_hashes)
+        )
+        if ok:
+            n_pass += 1
+        if pk in keyset:
+            n_true += 1
+    fp = n_pass - n_true
+    rate = spark_round(fp / max(n_total - n_true, 1), 6)
+    return ["n_total", "n_bloom_pass", "n_true", "n_false_pos", "fp_rate"], [
+        (n_total, n_pass, n_true, fp, rate)
+    ]
+
+
 def ref_q_quantile_sketch(sf_dir: str) -> tuple[list[str], list[tuple]]:
     """Mirror of operators/sketches.quantile_sketch_report: min-64-
     by-xxhash64 row sample per language (k=64 so the sampling path
@@ -3270,6 +3303,7 @@ SF_QUERIES = {
     "q_kmeans_topics": ref_q_kmeans_topics,
     "q_quantile_sketch": ref_q_quantile_sketch,
     "q_hard_negatives": ref_q_hard_negatives,
+    "q_bloom_prune": ref_q_bloom_prune,
     "q_heavy_hitters": ref_q_heavy_hitters,
     "q_lm_quality": ref_q_lm_quality,
     "q_dsir_weights": ref_q_dsir_weights,
@@ -3399,6 +3433,10 @@ DUCK_TYPES = {
     "q_hard_negatives": {
         "anchor_id": "BIGINT", "neg_id": "BIGINT", "neg_label": "INTEGER",
         "cosine": "DOUBLE", "rank": "INTEGER",
+    },
+    "q_bloom_prune": {
+        "n_total": "BIGINT", "n_bloom_pass": "BIGINT", "n_true": "BIGINT",
+        "n_false_pos": "BIGINT", "fp_rate": "DOUBLE",
     },
     "q_media_features": {"media_type": "VARCHAR", "n_media": "BIGINT", "total_bytes": "BIGINT", "f0_sum": "DOUBLE", "px_mean_sum": "DOUBLE"},
     "q_audio_stats": {"media_ref": "VARCHAR", "duration_ms": "INTEGER", "n_bytes": "INTEGER", "duration_s": "DOUBLE", "rms": "DOUBLE", "peak": "DOUBLE", "zcr": "DOUBLE"},
