@@ -130,3 +130,26 @@ def test_bucket_pruned_subject_read(spark, tmp_path):
 def test_rejects_uri_paths(tmp_path):
     with pytest.raises(ValueError, match="local filesystem"):
         SnapshotCatalog("hdfs://nn/warehouse/t")
+
+
+def test_compact_preserves_rows_and_history(spark, tmp_path):
+    cat = SnapshotCatalog(tmp_path / "t")
+    for lo, hi in ((0, 10), (10, 30), (30, 35)):
+        cat.commit(_df(spark, lo, hi))
+    before = sorted(r["object"] for r in cat.read(spark).collect())
+    v = cat.compact(spark, target_partitions=1)
+    assert v == 4
+    snap = cat.snapshot()
+    assert snap.op == "compact" and len(snap.segments) == 1
+    assert snap.properties["compacted_segments"] == 3
+    after = sorted(r["object"] for r in cat.read(spark).collect())
+    assert after == before
+    # time travel to the pre-compaction version still reads 3 segments
+    assert cat.read(spark, 3).count() == 35
+    # appends continue on top of the compacted layout
+    cat.commit(_df(spark, 35, 40))
+    assert cat.read(spark).count() == 40
+    with pytest.raises(ValueError, match="compact"):
+        cat.incremental(spark, 2, 5)
+    # but a post-compaction append range is incrementally scannable
+    assert cat.incremental(spark, 4, 5).count() == 5

@@ -187,9 +187,9 @@ class SnapshotCatalog:
         v = to_version
         while v is not None and v > from_version:
             snap = self.snapshot(v)
-            if snap.op == "overwrite":
+            if snap.op != "append":
                 raise ValueError(
-                    f"snapshot {v} is an overwrite; incremental append scan "
+                    f"snapshot {v} is a {snap.op}; incremental append scan "
                     f"is undefined across it"
                 )
             new_segments.append(snap.segments[-1])
@@ -198,6 +198,47 @@ class SnapshotCatalog:
         return spark.read.parquet(*paths)
 
     # ---------------- maintenance ----------------
+
+    def compact(self, spark: SparkSession, target_partitions: int | None = None) -> int:
+        """Rewrite the current snapshot's segments into ONE segment
+        (Iceberg's ``rewrite_data_files``): the small-files debt of
+        many append commits is paid once, reads before the compaction
+        version still see the original segments (time travel intact),
+        and the rewritten table is byte-identical row-wise.  Publishes
+        an ``op='compact'`` snapshot; ``incremental`` refuses to scan
+        across it, exactly like an overwrite."""
+        import uuid
+
+        parent = self.current_version()
+        if parent is None:
+            raise FileNotFoundError(f"nothing to compact in {self.root}")
+        cur = self.snapshot(parent)
+        df = self.read(spark, parent)
+        if target_partitions:
+            df = df.repartition(target_partitions)
+        version = parent + 1
+        seg = f"seg-{version:05d}-compact-{uuid.uuid4().hex[:8]}"
+        df.write.mode("error").parquet(str(self.root / "data" / seg))
+        spec = {
+            "version": version,
+            "op": "compact",
+            "parent": parent,
+            "segments": [seg],
+            "rows": cur.rows,
+            "properties": {"compacted_segments": len(cur.segments)},
+        }
+        try:
+            fd = os.open(self._snap_path(version), os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError as exc:
+            raise CommitConflictError(
+                f"snapshot {version} already committed by another writer"
+            ) from exc
+        with os.fdopen(fd, "w") as f:
+            json.dump(spec, f)
+        tmp = self.root / "metadata" / ".CURRENT.tmp"
+        tmp.write_text(str(version))
+        os.replace(tmp, self.root / "metadata" / "CURRENT")
+        return version
 
     def rollback(self, version: int) -> None:
         """Point CURRENT back at an earlier snapshot (its manifest
