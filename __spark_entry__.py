@@ -2205,6 +2205,16 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(entity_edges(_corpus_triples(spark))).orderBy("node")
 
 
+def _q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the KG entity graph
+    (operators/graph.py::clustering_coefficient): exact integer
+    triangle/degree counts through the same O(sqrt(E))-bounded wedge
+    machinery as q_triangle_count, one final division."""
+    from turtle_spark.operators.graph import clustering_coefficient, entity_edges
+
+    return clustering_coefficient(entity_edges(_corpus_triples(spark))).orderBy("node")
+
+
 def _q_kg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental KG maintenance: per-predicate (added, removed)
     triple deltas between two doc-hash snapshots of the corpus —
@@ -3953,6 +3963,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_sparql_graph", "q_nquads_export", "q_collections", "q_containers",
         "q_hits", "q_link_predict", "q_trig_export", "q_jsonld_export",
         "q_functional_conflicts", "q_ppr", "q_sketch_cardinality",
+        "q_clustering_coef",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -4042,6 +4053,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_hard_negatives",
         "q_snapshot_travel",
         "q_bloom_prune",
+        "q_clustering_coef",
     }
 )
 
@@ -4157,6 +4169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hard_negatives": _q_hard_negatives,
         "q_snapshot_travel": _q_snapshot_travel,
         "q_bloom_prune": _q_bloom_prune,
+        "q_clustering_coef": _q_clustering_coef,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

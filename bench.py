@@ -146,6 +146,7 @@ HEADLINE = [
     "q_hard_negatives",
     "q_snapshot_travel",
     "q_bloom_prune",
+    "q_clustering_coef",
 ]
 
 

@@ -738,3 +738,21 @@ class TestContainerArrays:
         a = sorted(map(tuple, container_arrays(df.repartition(11)).collect()))
         b = sorted(map(tuple, container_arrays(df.coalesce(1)).collect()))
         assert a == b
+
+
+def test_clustering_coefficient_ground_truth(spark):
+    """Triangle a-b-c with pendant d on a: lcc(a) = 2·1/(3·2),
+    lcc(b) = lcc(c) = 1.0, d (degree 1) omitted."""
+    from turtle_spark.operators.graph import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("b", "a")],  # dup dir
+        "src string, dst string",
+    )
+    got = {r["node"]: (r["deg"], r["n_triangles"], r["lcc"])
+           for r in clustering_coefficient(edges).collect()}
+    assert got == {
+        "a": (3, 1, 0.333333),
+        "b": (2, 1, 1.0),
+        "c": (2, 1, 1.0),
+    }

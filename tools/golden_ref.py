@@ -1247,6 +1247,35 @@ def ref_q_triangle_count() -> tuple[list[str], list[tuple]]:
     return ["node", "n_triangles"], sorted(tri.items())
 
 
+def ref_q_clustering_coef() -> tuple[list[str], list[tuple]]:
+    """Per-node local clustering coefficient — adjacency-set loop,
+    no join machinery shared with the engine."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    nbrs: dict[str, set] = {}
+    und = set()
+    for r in rows:
+        if r[7] == "iri" and r[2] != r[4]:
+            a, b = min(r[2], r[4]), max(r[2], r[4])
+            und.add((a, b))
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    tri: dict[str, int] = {}
+    for a, b in sorted(und):
+        for c in nbrs[a] & nbrs[b]:
+            if c > b:
+                for n in (a, b, c):
+                    tri[n] = tri.get(n, 0) + 1
+    out = []
+    for node in sorted(nbrs):
+        d = len(nbrs[node])
+        if d < 2:
+            continue
+        t = tri.get(node, 0)
+        out.append((node, d, t, spark_round(2 * t / (d * (d - 1)), 6)))
+    return ["node", "deg", "n_triangles", "lcc"], out
+
+
 def ref_q_kg_delta() -> tuple[list[str], list[tuple]]:
     """Per-predicate triple delta between two doc-hash snapshots —
     plain Python set difference vs the engine's anti-joins."""
@@ -3332,6 +3361,7 @@ CORPUS_QUERIES = {
     "q_hits": ref_q_hits,
     "q_link_predict": ref_q_link_predict,
     "q_triangle_count": ref_q_triangle_count,
+    "q_clustering_coef": ref_q_clustering_coef,
     "q_kg_extract": ref_q_kg_extract,
     "q_triples_two_hop": ref_q_triples_two_hop,
     "q_serialize_roundtrip": ref_q_serialize_roundtrip,
@@ -3416,6 +3446,7 @@ DUCK_TYPES = {
     "q_mixture_sample": {"source": "VARCHAR", "n_docs": "BIGINT", "doc_fp": "BIGINT", "sum_chars": "BIGINT"},
     "q_novelty_screen": {"doc_id": "BIGINT", "status": "VARCHAR", "matched_id": "BIGINT", "jaccard": "DOUBLE"},
     "q_triangle_count": {"node": "VARCHAR", "n_triangles": "BIGINT"},
+    "q_clustering_coef": {"node": "VARCHAR", "deg": "BIGINT", "n_triangles": "BIGINT", "lcc": "DOUBLE"},
     "q_kg_extract": {"objecttype": "VARCHAR", "n_triples": "BIGINT", "n_subjects": "BIGINT"},
     "q_triples_two_hop": {"p1": "VARCHAR", "p2": "VARCHAR", "n_paths": "BIGINT"},
     "q_serialize_roundtrip": {"subject_initial": "VARCHAR", "n_subjects": "BIGINT", "total_bytes": "BIGINT"},

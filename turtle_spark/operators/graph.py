@@ -380,6 +380,52 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
 
 
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected view
+    of ``edges(src, dst)``: lcc = 2·T / (deg·(deg−1)) — how close a
+    node's neighborhood is to a clique, the standard local cohesion
+    metric for entity graphs (hub detection, community seeding).
+
+    Triangle counts come from ``triangle_count`` (degree-ordered wedge
+    enumeration — the O(√E) fan-out bound is what makes this safe on
+    celebrity nodes); degrees are one narrow aggregation.  Every
+    quantity is an exact integer until the single final division, so
+    the report is bit-identical at any parallelism.  Nodes of degree
+    < 2 are omitted (their lcc is trivially 0 — no wedge to close);
+    zero-triangle nodes of degree >= 2 are kept, a completeness
+    difference from ``triangle_count``'s nonzero-only output.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = triangle_count(edges)
+    t = F.coalesce(F.col("n_triangles"), F.lit(0))
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            t.alias("n_triangles"),
+            F.round(
+                (F.lit(2) * t).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+                6,
+            ).alias("lcc"),
+        )
+    )
+
+
 _TRIPLE_KEY = ["subject", "predicate", "object", "label", "datatype", "objecttype"]
 
 
