@@ -288,3 +288,45 @@ def stream_novelty_screen(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_commit_snapshots(
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+    transform=None,
+):
+    """Stream micro-batches into the snapshot catalog
+    (sources/snapshots.py) — each trigger commits ONE append snapshot,
+    so readers get transactional visibility (a half-written batch is
+    never observable) and time travel across ingestion history.
+
+    Delivery: ``foreachBatch`` is AT-LEAST-ONCE; idempotency comes
+    from the catalog itself — every commit records its ``batch_id``
+    property, and a replayed micro-batch whose batch_id already
+    appears in the snapshot history is SKIPPED, not re-appended.
+    That is the catalog-transaction version of the dynamic-partition-
+    overwrite trick the parquet sinks here use.
+
+    ``transform``: optional batch_df -> DataFrame hook (e.g.
+    extraction) applied inside the batch before the commit.
+    """
+    from turtle_spark.sources.snapshots import SnapshotCatalog
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cat = SnapshotCatalog(table_dir)
+        if any(
+            s.properties.get("batch_id") == batch_id for s in cat.history()
+        ):
+            return  # replayed batch: already committed
+        out = transform(batch_df) if transform is not None else batch_df
+        cat.commit(out, op="append", properties={"batch_id": batch_id})
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
