@@ -2205,6 +2205,21 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(entity_edges(_corpus_triples(spark))).orderBy("node")
 
 
+def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization curation pass (operators/curation.py::
+    normalize_text) over a deterministic unicode-damaged corpus: NFC
+    composition, zero-width/bidi strip, control strip, CRLF fold,
+    whitespace collapse — one vectorized Arrow pass, no shuffle.  The
+    norm_text values only match the golden if every codepoint-level
+    transform is exact."""
+    from turtle_spark.operators.curation import normalize_text
+    from turtle_spark.sources.corpus import generate_messy_docs
+
+    return normalize_text(generate_messy_docs(spark, 40)).select(
+        "doc_id", "norm_text", "n_raw_chars", "n_norm_chars", "changed"
+    ).orderBy("doc_id")
+
+
 def _q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node local clustering coefficient over the KG entity graph
     (operators/graph.py::clustering_coefficient): exact integer
@@ -3963,7 +3978,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_sparql_graph", "q_nquads_export", "q_collections", "q_containers",
         "q_hits", "q_link_predict", "q_trig_export", "q_jsonld_export",
         "q_functional_conflicts", "q_ppr", "q_sketch_cardinality",
-        "q_clustering_coef",
+        "q_clustering_coef", "q_text_normalize",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -4054,6 +4069,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_snapshot_travel",
         "q_bloom_prune",
         "q_clustering_coef",
+        "q_text_normalize",
     }
 )
 
@@ -4170,6 +4186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_travel": _q_snapshot_travel,
         "q_bloom_prune": _q_bloom_prune,
         "q_clustering_coef": _q_clustering_coef,
+        "q_text_normalize": _q_text_normalize,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -147,6 +147,7 @@ HEADLINE = [
     "q_snapshot_travel",
     "q_bloom_prune",
     "q_clustering_coef",
+    "q_text_normalize",
 ]
 
 

@@ -220,3 +220,25 @@ class TestLineDedup:
         )
         # removal joins on fixed-width md5 keys, never raw line text
         assert "LeftAnti" in plan or "left_anti" in plan.lower()
+
+
+def test_normalize_text_ground_truth(spark):
+    from turtle_spark.operators.curation import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "café ​plus﻿"),       # NFD + zero-width junk
+            (2, "a\r\nb\rc"),                          # CRLF / CR folding
+            (3, "x\x07y\tz   w"),                      # control + ws runs
+            (4, "  already clean  "),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["norm_text"], r["changed"])
+           for r in normalize_text(docs).collect()}
+    assert got[1] == ("café plus", True)
+    assert got[2] == ("a\nb\nc", True)
+    assert got[3] == ("xy z w", True)
+    assert got[4] == ("already clean", True)
+    assert got[5][0] is None

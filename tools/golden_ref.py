@@ -1247,6 +1247,50 @@ def ref_q_triangle_count() -> tuple[list[str], list[tuple]]:
     return ["node", "n_triangles"], sorted(tri.items())
 
 
+def ref_q_text_normalize() -> tuple[list[str], list[tuple]]:
+    """Mirror of operators/curation.normalize_text over the messy-doc
+    spec (sources/corpus.messy_text): independent re-implementation of
+    both the synthesis and the normalization chain."""
+    import re
+    import unicodedata
+
+    def messy(i: int) -> str:
+        base = (
+            f"Doc {i}: cafe\u0301 nai\u0308ve re\u0301sume\u0301 "
+            + "word " * (i % 5)
+            + "end"
+        )
+        kind = i % 4
+        if kind == 0:
+            return base.replace(" ", " \u200b") + "\r\nsecond line"
+        if kind == 1:
+            return "\x07" + base.replace(" ", "  ") + "\x1b tail  "
+        if kind == 2:
+            return "\u202e" + base.replace(" ", "\t") + "\ufeff"
+        return base
+
+    zw = re.compile("[\u200b-\u200f\u202a-\u202e\u2060\ufeff]")
+    ctrl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]")
+    ws = re.compile("[ \t]+")
+    edge = re.compile(" ?\n ?")
+
+    def norm(s: str) -> str:
+        s = unicodedata.normalize("NFC", s)
+        s = s.replace("\r\n", "\n").replace("\r", "\n")
+        s = zw.sub("", s)
+        s = ctrl.sub("", s)
+        s = ws.sub(" ", s)
+        s = edge.sub("\n", s)
+        return s.strip()
+
+    out = []
+    for i in range(40):
+        raw = messy(i)
+        nt = norm(raw)
+        out.append((i, nt, len(raw), len(nt), raw != nt))
+    return ["doc_id", "norm_text", "n_raw_chars", "n_norm_chars", "changed"], out
+
+
 def ref_q_clustering_coef() -> tuple[list[str], list[tuple]]:
     """Per-node local clustering coefficient — adjacency-set loop,
     no join machinery shared with the engine."""
@@ -3362,6 +3406,7 @@ CORPUS_QUERIES = {
     "q_link_predict": ref_q_link_predict,
     "q_triangle_count": ref_q_triangle_count,
     "q_clustering_coef": ref_q_clustering_coef,
+    "q_text_normalize": ref_q_text_normalize,
     "q_kg_extract": ref_q_kg_extract,
     "q_triples_two_hop": ref_q_triples_two_hop,
     "q_serialize_roundtrip": ref_q_serialize_roundtrip,
@@ -3447,6 +3492,7 @@ DUCK_TYPES = {
     "q_novelty_screen": {"doc_id": "BIGINT", "status": "VARCHAR", "matched_id": "BIGINT", "jaccard": "DOUBLE"},
     "q_triangle_count": {"node": "VARCHAR", "n_triangles": "BIGINT"},
     "q_clustering_coef": {"node": "VARCHAR", "deg": "BIGINT", "n_triangles": "BIGINT", "lcc": "DOUBLE"},
+    "q_text_normalize": {"doc_id": "BIGINT", "norm_text": "VARCHAR", "n_raw_chars": "BIGINT", "n_norm_chars": "BIGINT", "changed": "BOOLEAN"},
     "q_kg_extract": {"objecttype": "VARCHAR", "n_triples": "BIGINT", "n_subjects": "BIGINT"},
     "q_triples_two_hop": {"p1": "VARCHAR", "p2": "VARCHAR", "n_paths": "BIGINT"},
     "q_serialize_roundtrip": {"subject_initial": "VARCHAR", "n_subjects": "BIGINT", "total_bytes": "BIGINT"},

@@ -16,6 +16,7 @@ stats) or a *broadcast semi-join against a tiny reference set*
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -353,3 +354,61 @@ def split_corpus(
     cutoff = F.lit(_cutoff_hex(eval_fraction))
     h = sample_hash(id_col)
     return docs.where(~(h < cutoff)), docs.where(h < cutoff)
+
+
+def normalize_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode normalization + junk-codepoint cleanup — the first
+    transform of every web-crawl curation pipeline (ftfy-lite):
+
+    1. NFC normalization (combining sequences -> precomposed forms,
+       so 'e' + U+0301 and U+00E9 dedup/shingle identically);
+    2. strip zero-width & bidi-control codepoints (U+200B..U+200F,
+       U+202A..U+202E, U+2060, U+FEFF) — invisible characters that
+       break exact dedup and token counts;
+    3. strip C0/C1 controls except \\t and \\n; CRLF/CR -> LF;
+    4. collapse runs of spaces/tabs to one space, trim line edges.
+
+    Runs as ONE vectorized Arrow pass (pandas ``str`` ops are the
+    right seam here: Spark has no NFC builtin, and a JVM regex can't
+    do normalization) — no shuffle, no per-row Python.  Returns
+    (id, text, norm_text, n_raw_chars, n_norm_chars, changed).
+
+    Spark-side alternatives were measured and rejected: a translate()
+    chain can delete codepoints but cannot compose NFC.
+    """
+    import re
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    zw = re.compile("[\u200b-\u200f\u202a-\u202e\u2060\ufeff]")
+    ctrl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]")
+    ws = re.compile("[ \t]+")
+    edge = re.compile(" ?\n ?")
+
+    @pandas_udf(T.StringType())
+    def norm_udf(texts: pd.Series) -> pd.Series:
+        s = texts.str.normalize("NFC")
+        s = s.str.replace("\r\n", "\n", regex=False).str.replace(
+            "\r", "\n", regex=False
+        )
+        s = s.str.replace(zw, "", regex=True)
+        s = s.str.replace(ctrl, "", regex=True)
+        s = s.str.replace(ws, " ", regex=True)
+        s = s.str.replace(edge, "\n", regex=True)
+        return s.str.strip()
+
+    return docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("text"),
+        norm_udf(F.col(text_col)).alias("norm_text"),
+    ).select(
+        id_col,
+        "text",
+        "norm_text",
+        F.length("text").cast("long").alias("n_raw_chars"),
+        F.length("norm_text").cast("long").alias("n_norm_chars"),
+        (F.col("text") != F.col("norm_text")).alias("changed"),
+    )

@@ -231,3 +231,27 @@ def fixture_docs(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 2), schema=DOCS_SCHEMA
     )
+
+
+def messy_text(i: int) -> str:
+    """Deterministic unicode-damaged text #i — the synthetic input for
+    the normalization operator (NFD sequences, zero-width/bidi junk,
+    control chars, CRLF, whitespace runs), varied by i % 4."""
+    base = (
+        f"Doc {i}: cafe\u0301 nai\u0308ve re\u0301sume\u0301 "
+        + "word " * (i % 5)
+        + "end"
+    )
+    kind = i % 4
+    if kind == 0:
+        return base.replace(" ", " \u200b") + "\r\nsecond line"
+    if kind == 1:
+        return "\x07" + base.replace(" ", "  ") + "\x1b tail  "
+    if kind == 2:
+        return "\u202e" + base.replace(" ", "\t") + "\ufeff"
+    return base
+
+
+def generate_messy_docs(spark: SparkSession, n_docs: int = 40) -> DataFrame:
+    rows = [(i, messy_text(i)) for i in range(n_docs)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
