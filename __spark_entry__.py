@@ -1809,6 +1809,64 @@ def _q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_lift(_t(spark, sf_dir, "documents"), window=3, top_k=100)
 
 
+_SQL_EVENT_ANOMALIES = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+), stats AS (
+  SELECT event_type, COUNT(*) AS n_days, SUM(n_events) AS s1,
+         SUM(n_events * n_events) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n_events,
+       CAST(ROUND(CAST(s.s1 AS DOUBLE) / CAST(s.n_days AS DOUBLE), 4) AS DOUBLE) AS mean_daily,
+       (s.n_days * d.n_events - s.s1) * (s.n_days * d.n_events - s.s1)
+         > 4 * (s.n_days * s.s2 - s.s1 * s.s1) AS anomalous
+FROM daily d JOIN stats s USING (event_type)
+WHERE (s.n_days * d.n_events - s.s1) * (s.n_days * d.n_events - s.s1)
+        > 4 * (s.n_days * s.s2 - s.s1 * s.s1)
+ORDER BY d.event_type, d.day
+"""
+
+_SQL_COHORT_RETENTION = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+), tagged AS (
+  SELECT e.user_id,
+         CAST(FLOOR((f.first_day - DATE '2024-01-01') / 7) AS INT) AS cohort_week,
+         CAST(FLOOR((CAST(e.ts AS DATE) - DATE '2024-01-01') / 7) AS INT)
+           - CAST(FLOOR((f.first_day - DATE '2024-01-01') / 7) AS INT) AS week_offset
+  FROM events e JOIN firsts f USING (user_id)
+)
+SELECT cohort_week, week_offset,
+       COUNT(DISTINCT user_id) AS n_active
+FROM tagged
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+_SQL_EVENT_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id
+), s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS stage, 'signup' AS event_type, (SELECT COUNT(*) FROM s1) AS n_users
+  UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+  UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)
+  UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)
+) ORDER BY stage
+"""
+
 _SQL_SNAPSHOT_TRAVEL = """
 SELECT event_type,
        COUNT(*) AS n_events,
@@ -2203,6 +2261,95 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from turtle_spark.operators.graph import entity_edges, triangle_count
 
     return triangle_count(entity_edges(_corpus_triples(spark))).orderBy("node")
+
+
+def _q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-count anomaly flags per event type: a day is
+    anomalous when |count − mean| > 2σ over the type's daily series.
+    The 2σ test is evaluated ENTIRELY in integer arithmetic —
+    (n·c − Σ)² > 4·(n·Σc² − Σ²) — so the flag is bit-exact in both
+    engines (a float stddev would be summation-order-dependent).
+    Two shuffles: daily count, then a per-type stats broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    dev = F.col("n_days") * F.col("n_events") - F.col("s1")
+    var_n2 = F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.round(F.col("s1").cast("double") / F.col("n_days").cast("double"), 4)
+            .alias("mean_daily"),
+            (dev * dev > F.lit(4) * var_n2).alias("anomalous"),
+        )
+        .where(F.col("anomalous"))
+        .orderBy("event_type", "day")
+    )
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    distinct actives per (cohort_week, week_offset).  The firsts table
+    is one user-keyed aggregation broadcast back over the events scan;
+    the matrix aggregation shuffles (cohort, offset, user) partials —
+    at web scale both shuffles key on user_id first, so the broadcast
+    side stays bounded by the user dimension, never the event count."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.lit("2024-01-01").cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    week = lambda d: F.floor(F.datediff(d, epoch) / 7).cast("int")
+    tagged = ev.join(F.broadcast(firsts), "user_id").select(
+        "user_id",
+        week(F.col("first_day")).alias("cohort_week"),
+        (week(F.to_date("ts")) - week(F.col("first_day"))).alias("week_offset"),
+    )
+    return (
+        tagged.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> view -> click -> purchase:
+    stage N counts users whose earliest qualifying stage-N event is
+    strictly after their stage-(N-1) time.  Four chained user-keyed
+    conditional-min aggregations — each stage's user set only shrinks,
+    and every join is user-keyed equi (broadcastable once the funnel
+    narrows).  The classic product-analytics operator."""
+    ev = _t(spark, sf_dir, "events")
+    stages = ["signup", "view", "click", "purchase"]
+    cur = None
+    counts = []
+    for et in stages:
+        side = ev.where(F.col("event_type") == et)
+        if cur is None:
+            cur = side.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                side.join(cur, "user_id")
+                .where(F.col("ts") > F.col("t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t2"))
+                .withColumnRenamed("t2", "t")
+            )
+        counts.append(cur.agg(F.count(F.lit(1)).alias("n_users")))
+    out = None
+    for i, (et, c) in enumerate(zip(stages, counts), start=1):
+        row = c.select(
+            F.lit(i).alias("stage"), F.lit(et).alias("event_type"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage")
 
 
 def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4070,6 +4217,9 @@ WINDOW_OVERFLOW = frozenset(
         "q_bloom_prune",
         "q_clustering_coef",
         "q_text_normalize",
+        "q_event_anomalies",
+        "q_cohort_retention",
+        "q_event_funnel",
     }
 )
 
@@ -4187,6 +4337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_prune": _q_bloom_prune,
         "q_clustering_coef": _q_clustering_coef,
         "q_text_normalize": _q_text_normalize,
+        "q_event_anomalies": _q_event_anomalies,
+        "q_cohort_retention": _q_cohort_retention,
+        "q_event_funnel": _q_event_funnel,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -4257,6 +4410,9 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
     return goldens | {
         "q_vocab_drift": _SQL_VOCAB_DRIFT,
         "q_snapshot_travel": _SQL_SNAPSHOT_TRAVEL,
+        "q_event_anomalies": _SQL_EVENT_ANOMALIES,
+        "q_cohort_retention": _SQL_COHORT_RETENTION,
+        "q_event_funnel": _SQL_EVENT_FUNNEL,
         "q_cooccur": _SQL_COOCCUR,
         "q_lineitem_agg": _SQL_LINEITEM_AGG,
         "q_revenue_by_nation": _SQL_REVENUE_BY_NATION,

@@ -148,6 +148,9 @@ HEADLINE = [
     "q_bloom_prune",
     "q_clustering_coef",
     "q_text_normalize",
+    "q_event_anomalies",
+    "q_cohort_retention",
+    "q_event_funnel",
 ]
 
 
