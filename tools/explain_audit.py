@@ -92,6 +92,13 @@ AUDITED = [
     "q_hard_negatives",
     "q_sketch_recall",
     "q_dsir_weights",
+    "q_bloom_prune",
+    "q_clustering_coef",
+    "q_text_normalize",
+    "q_event_anomalies",
+    "q_cohort_retention",
+    "q_event_funnel",
+    "q_snapshot_travel",
 ]
 
 
