@@ -2263,6 +2263,16 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(entity_edges(_corpus_triples(spark))).orderBy("node")
 
 
+def _q_length_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-distribution flattening (operators/sampling.py::
+    length_matched_sample): sketch-quantile bins, every bin
+    downsampled to the smallest via the two-phase md5 capper; kept_fp
+    pins the exact selection."""
+    from turtle_spark.operators.sampling import length_matched_sample
+
+    return length_matched_sample(_t(spark, sf_dir, "documents"))
+
+
 def _q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily event-count anomaly flags per event type: a day is
     anomalous when |count − mean| > 2σ over the type's daily series.
@@ -4137,7 +4147,7 @@ _SF_GOLDENS = frozenset(
         "q_lm_quality", "q_dsir_weights", "q_sketch_recall",
         "q_semdedup", "q_leakage_split", "q_bpe_vocab", "q_bpe_encode",
         "q_heavy_hitters", "q_kmeans_topics", "q_quantile_sketch",
-        "q_hard_negatives", "q_bloom_prune",
+        "q_hard_negatives", "q_bloom_prune", "q_length_matched",
     }
 )
 
@@ -4220,6 +4230,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_event_anomalies",
         "q_cohort_retention",
         "q_event_funnel",
+        "q_length_matched",
     }
 )
 
@@ -4340,6 +4351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_anomalies": _q_event_anomalies,
         "q_cohort_retention": _q_cohort_retention,
         "q_event_funnel": _q_event_funnel,
+        "q_length_matched": _q_length_matched,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -151,6 +151,7 @@ HEADLINE = [
     "q_event_anomalies",
     "q_cohort_retention",
     "q_event_funnel",
+    "q_length_matched",
 ]
 
 

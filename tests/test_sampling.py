@@ -264,3 +264,25 @@ def test_vocabulary_drift_exact_cross_multiplication(spark):
         for r in vocabulary_drift(old.repartition(5), new.repartition(3), min_count=1).collect()
     }
     assert out2 == {w: r["drift"] for w, r in out.items()}
+
+
+def test_length_matched_sample_flattens(spark):
+    """Every bin downsamples to the smallest bin's size, and the
+    report (including exact-selection fingerprints) is identical at 1
+    vs 16 partitions."""
+    from pyspark.sql import functions as F
+
+    from turtle_spark.operators.sampling import length_matched_sample
+
+    # skewed lengths: quadratic growth concentrates mass in low bins
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * F.col("id")) % 997).alias("n_chars"),
+    )
+    rep = length_matched_sample(docs).collect()
+    target = min(r["n_before"] for r in rep)
+    assert all(r["n_after"] == target for r in rep)
+    assert sum(r["n_before"] for r in rep) == 400
+    again = length_matched_sample(docs.repartition(16)).collect()
+    key = lambda rs: sorted(tuple(r) for r in rs)
+    assert key(again) == key(rep)

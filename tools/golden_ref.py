@@ -3293,6 +3293,45 @@ def ref_q_hard_negatives(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["anchor_id", "neg_id", "neg_label", "cosine", "rank"], out
 
 
+def ref_q_length_matched(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Mirror of operators/sampling.length_matched_sample at 10 bins,
+    k=256: sketch-quantile boundaries, per-bin md5-order downsample to
+    the smallest bin, XOR fingerprint of the kept ids."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = [(int(i), int(n)) for i, n in zip(d["doc_id"], d["n_chars"])]
+    qs = [i / 10 for i in range(1, 10)]
+    sampled = sorted(
+        ((xxh64_str(str(did)), nc) for did, nc in rows), key=lambda t: (t[0], t[1])
+    )[:256]
+    samp_vals = sorted(nc for _, nc in sampled)
+    n = len(samp_vals)
+    bounds = [samp_vals[math.floor(q * (n - 1) + 0.5)] for q in qs]
+
+    def bin_of(v: int) -> int:
+        return sum(1 for b in bounds if v > b)
+
+    bins: dict[int, list[int]] = {}
+    for did, nc in rows:
+        bins.setdefault(bin_of(nc), []).append(did)
+    target = min(len(v) for v in bins.values())
+    out = []
+    for b in sorted(bins):
+        ids = bins[b]
+        kept = sorted(
+            ids, key=lambda did: (hashlib.md5(str(did).encode()).hexdigest()[:8], did)
+        )[:target]
+        fp = 0
+        for did in kept:
+            fp ^= xxh64_str(str(did)) & 0xFFFFFFFFFFFFFFFF
+        out.append((b, len(ids), len(kept), _signed64(fp)))
+    return ["bin", "n_before", "n_after", "kept_fp"], out
+
+
 def ref_q_bloom_prune(sf_dir: str) -> tuple[list[str], list[tuple]]:
     """Mirror of operators/bloom.bloom_prune_report at n_bits=512,
     n_hashes=4: every bit position re-derived as
@@ -3377,6 +3416,7 @@ SF_QUERIES = {
     "q_quantile_sketch": ref_q_quantile_sketch,
     "q_hard_negatives": ref_q_hard_negatives,
     "q_bloom_prune": ref_q_bloom_prune,
+    "q_length_matched": ref_q_length_matched,
     "q_heavy_hitters": ref_q_heavy_hitters,
     "q_lm_quality": ref_q_lm_quality,
     "q_dsir_weights": ref_q_dsir_weights,
@@ -3514,6 +3554,10 @@ DUCK_TYPES = {
     "q_bloom_prune": {
         "n_total": "BIGINT", "n_bloom_pass": "BIGINT", "n_true": "BIGINT",
         "n_false_pos": "BIGINT", "fp_rate": "DOUBLE",
+    },
+    "q_length_matched": {
+        "bin": "INTEGER", "n_before": "BIGINT", "n_after": "BIGINT",
+        "kept_fp": "BIGINT",
     },
     "q_media_features": {"media_type": "VARCHAR", "n_media": "BIGINT", "total_bytes": "BIGINT", "f0_sum": "DOUBLE", "px_mean_sum": "DOUBLE"},
     "q_audio_stats": {"media_ref": "VARCHAR", "duration_ms": "INTEGER", "n_bytes": "INTEGER", "duration_s": "DOUBLE", "rms": "DOUBLE", "peak": "DOUBLE", "zcr": "DOUBLE"},

@@ -203,3 +203,57 @@ def sample_sql_predicate(key_cols: list[str], fraction: float) -> str:
         f"substr(md5(concat_ws('|', {joined})), 1, {_HEX_DIGITS})"
         f" < '{_cutoff_hex(fraction)}'"
     )
+
+
+def length_matched_sample(
+    docs: DataFrame,
+    n_bins: int = 10,
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    sketch_k: int = 256,
+) -> DataFrame:
+    """Flatten the corpus' length distribution: bin documents by
+    sketch-estimated length quantiles, then downsample every bin to
+    the smallest bin's size — the curriculum/balance resampler that
+    stops a length-skewed crawl from teaching the model only one
+    document shape.  (Temperature-flattening over an arbitrary
+    covariate is this same shape with a different per-bin target.)
+
+    Composition of two existing scale primitives:
+
+    1. bin BOUNDARIES come from the mergeable min-k quantile sketch
+       (one bounded shuffle; never a global sort — ``ntile`` over the
+       whole corpus would serialize the largest reducer);
+    2. per-bin downsampling reuses ``cap_per_source``'s two-phase
+       md5-cutoff + bounded ``row_number``, so the largest bin never
+       hot-keys a reducer either.
+
+    Returns the per-bin report (bin, n_before, n_after, kept_fp) —
+    ``kept_fp`` is the XOR of xxhash64 over the KEPT ids, pinning the
+    exact selection, not just its size.
+    """
+    from turtle_spark.operators.curation import cap_per_source
+    from turtle_spark.operators.sketches import kmv_quantiles
+
+    qs = tuple(i / n_bins for i in range(1, n_bins))
+    row = kmv_quantiles(
+        docs.select(F.lit("g").alias("_g"), id_col, value_col),
+        ["_g"], value_col, id_col, qs=qs, k=sketch_k,
+    ).collect()[0]
+    bounds = [row[f"q_{str(q).replace('0.', 'p')}"] for q in qs]
+    bin_expr = sum(
+        (F.col(value_col) > F.lit(b)).cast("int") for b in bounds
+    ).alias("_bin")
+    binned = docs.select(F.col(id_col), F.col(value_col), bin_expr)
+    counts = binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("n_before"))
+    target = min(r["n_before"] for r in counts.collect())
+    kept = cap_per_source(binned, cap=target, source_col="_bin", key_col=id_col)
+    report = kept.groupBy("_bin").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.expr(f"bit_xor(xxhash64(cast({id_col} AS string)))").alias("kept_fp"),
+    )
+    return (
+        counts.join(report, "_bin")
+        .select(F.col("_bin").alias("bin"), "n_before", "n_after", "kept_fp")
+        .orderBy("bin")
+    )
