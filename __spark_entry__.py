@@ -1809,6 +1809,49 @@ def _q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_lift(_t(spark, sf_dir, "documents"), window=3, top_k=100)
 
 
+_SQL_TRAINING_MANIFEST = rf"""
+WITH flags AS (
+  SELECT doc_id, lang,
+         doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text)) AS is_canonical,
+         CASE WHEN substr(md5(concat_ws('|', COALESCE(CAST(doc_id AS VARCHAR), ''))), 1, 8)
+                   < '1999999a'
+              THEN 'eval' ELSE 'train' END AS split
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_ws_tokens
+  FROM documents
+),
+qb AS (
+  SELECT doc_id,
+         GREATEST(LENGTH(text), 1) AS n_chars,
+         LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+         GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                       ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END, 1) AS n_ws,
+         {_marker_sql(' the ')} + {_marker_sql(' and ')} + {_marker_sql(' of ')} AS stop_hits
+  FROM documents
+),
+qual AS (
+  SELECT doc_id,
+         ROUND(0.4 * LEAST(stop_hits / CAST(n_ws AS DOUBLE) * 5, 1.0)
+               + 0.4 * (n_alpha / CAST(n_chars AS DOUBLE))
+               + 0.2 * (1.0 - n_upper / CAST(GREATEST(n_alpha, 1) AS DOUBLE)), 6) AS score
+  FROM qb
+)
+SELECT f.split, f.lang,
+       CAST(SUM(CASE WHEN f.is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f.is_canonical THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_dropped,
+       CAST(SUM(CASE WHEN f.is_canonical THEN t.n_ws_tokens ELSE 0 END) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN f.is_canonical THEN CAST(q.score AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS quality_mass
+FROM flags f JOIN toks t USING (doc_id) JOIN qual q USING (doc_id)
+GROUP BY f.split, f.lang
+ORDER BY f.split, f.lang
+"""
+
 _SQL_EVENT_ANOMALIES = """
 WITH daily AS (
   SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events
@@ -2261,6 +2304,54 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from turtle_spark.operators.graph import entity_edges, triangle_count
 
     return triangle_count(entity_edges(_corpus_triples(spark))).orderBy("node")
+
+
+def _q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integrated per-(split, lang) training manifest — what a
+    pipeline actually exports before a run: exact-dedup canonical
+    flags, deterministic 10% eval split (md5 cutoff), whitespace token
+    budget and quality mass, all composed from the same operators the
+    individual queries grade.  Every component is SQL-expressible, so
+    the oracle is one PLAIN SQL statement re-deriving the whole
+    manifest — an end-to-end integration check, not a golden."""
+    from pyspark.sql import Window
+
+    from turtle_spark.operators.sampling import _cutoff_hex, sample_hash
+    from turtle_spark.operators.textstats import quality_score, token_counts
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.sha2(F.col("text"), 256)
+    w = Window.partitionBy(h)
+    flagged = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+        F.when(sample_hash("doc_id") < F.lit(_cutoff_hex(0.1)), "eval")
+        .otherwise("train")
+        .alias("split"),
+    )
+    toks = token_counts(d).select("doc_id", "n_ws_tokens")
+    qual = quality_score(d).select("doc_id", "score")
+    joined = flagged.join(toks, "doc_id").join(qual, "doc_id")
+    canon = F.col("is_canonical")
+    return (
+        joined.groupBy("split", "lang")
+        .agg(
+            F.sum(F.when(canon, 1).otherwise(0)).alias("n_docs"),
+            F.sum(F.when(~canon, 1).otherwise(0)).alias("n_dup_dropped"),
+            F.sum(F.when(canon, F.col("n_ws_tokens")).otherwise(0)).alias(
+                "total_tokens"
+            ),
+            F.sum(
+                F.when(canon, F.col("score").cast("decimal(18,6)")).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            )
+            .cast("double")
+            .alias("quality_mass"),
+        )
+        .orderBy("split", "lang")
+    )
 
 
 def _q_length_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4231,6 +4322,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_cohort_retention",
         "q_event_funnel",
         "q_length_matched",
+        "q_training_manifest",
     }
 )
 
@@ -4352,6 +4444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort_retention": _q_cohort_retention,
         "q_event_funnel": _q_event_funnel,
         "q_length_matched": _q_length_matched,
+        "q_training_manifest": _q_training_manifest,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -4425,6 +4518,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_event_anomalies": _SQL_EVENT_ANOMALIES,
         "q_cohort_retention": _SQL_COHORT_RETENTION,
         "q_event_funnel": _SQL_EVENT_FUNNEL,
+        "q_training_manifest": _SQL_TRAINING_MANIFEST,
         "q_cooccur": _SQL_COOCCUR,
         "q_lineitem_agg": _SQL_LINEITEM_AGG,
         "q_revenue_by_nation": _SQL_REVENUE_BY_NATION,

@@ -152,6 +152,7 @@ HEADLINE = [
     "q_cohort_retention",
     "q_event_funnel",
     "q_length_matched",
+    "q_training_manifest",
 ]
 
 
