@@ -2306,6 +2306,24 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(entity_edges(_corpus_triples(spark))).orderBy("node")
 
 
+def _q_doc_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input quarantine gate (operators/extract.py::
+    lint_docs over core/lint.py): per-document structural diagnostics
+    — unterminated statement, unclosed literal/group, undeclared
+    prefix — over a corpus whose defects are planted BY CONSTRUCTION
+    (sources/corpus.broken_turtle), so the oracle knows exactly which
+    issue set every document must report.  The lenient parse stays
+    lenient; this is the 'know what you salvaged' production gate."""
+    from turtle_spark.operators.extract import lint_docs
+    from turtle_spark.sources.corpus import generate_broken_docs
+
+    return lint_docs(generate_broken_docs(spark, 50)).select(
+        "doc_id",
+        F.array_join("issues", ",").alias("issues_csv"),
+        "quarantined",
+    ).orderBy("doc_id")
+
+
 def _q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The integrated per-(split, lang) training manifest — what a
     pipeline actually exports before a run: exact-dedup canonical
@@ -4226,7 +4244,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_sparql_graph", "q_nquads_export", "q_collections", "q_containers",
         "q_hits", "q_link_predict", "q_trig_export", "q_jsonld_export",
         "q_functional_conflicts", "q_ppr", "q_sketch_cardinality",
-        "q_clustering_coef", "q_text_normalize",
+        "q_clustering_coef", "q_text_normalize", "q_doc_lint",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -4323,6 +4341,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_event_funnel",
         "q_length_matched",
         "q_training_manifest",
+        "q_doc_lint",
     }
 )
 
@@ -4445,6 +4464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_funnel": _q_event_funnel,
         "q_length_matched": _q_length_matched,
         "q_training_manifest": _q_training_manifest,
+        "q_doc_lint": _q_doc_lint,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -153,6 +153,7 @@ HEADLINE = [
     "q_event_funnel",
     "q_length_matched",
     "q_training_manifest",
+    "q_doc_lint",
 ]
 
 

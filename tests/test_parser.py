@@ -90,3 +90,24 @@ def test_corpus_precision_recall() -> None:
     precision = tp / (tp + fp)
     recall = tp / (tp + fn)
     assert precision == 1.0 and recall == 1.0, (precision, recall)
+
+
+def test_lint_document_edge_cases():
+    from turtle_spark.core.lint import lint_document
+
+    assert lint_document("") == []
+    assert lint_document("@prefix x: <u> . x:a x:b x:c .") == []
+    assert lint_document('<a> <b> """multi\nline""" .') == []
+    assert lint_document("_:b <p> <o> .") == []          # blank nodes exempt
+    assert lint_document("<a> a <c> .") == []            # 'a' keyword
+    assert lint_document("<a> <b> <c>") == ["unterminated-statement"]
+    assert lint_document('<a> <b> "x" ;') == ["unterminated-statement"]
+    assert lint_document("<a> <b> ( <c> .") == ["unclosed-group"]
+    assert lint_document('q:x <p> "v" .', seed_prefixes=("q",)) == []
+    assert lint_document('q:x <p> "v" .') == ["undeclared-prefix"]
+    # lenient parse still salvages while lint reports
+    from turtle_spark.core.parser import parse_document
+
+    src = '<a> <b> "ok" . <c> <d> "unclosed'
+    assert len(parse_document(src).triples) >= 1
+    assert "unclosed-literal" in lint_document(src)

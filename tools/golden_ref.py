@@ -1247,6 +1247,24 @@ def ref_q_triangle_count() -> tuple[list[str], list[tuple]]:
     return ["node", "n_triangles"], sorted(tri.items())
 
 
+def ref_q_doc_lint() -> tuple[list[str], list[tuple]]:
+    """Expected lint issues derived FROM THE GENERATION SPEC (i % 5
+    defect classes), not by re-linting — the engine must detect
+    exactly the defect each document was planted with."""
+    expected = {
+        0: [],
+        1: ["unterminated-statement"],
+        2: ["undeclared-prefix"],
+        3: ["unclosed-group"],
+        4: ["unclosed-literal", "unterminated-statement"],
+    }
+    out = []
+    for i in range(50):
+        iss = expected[i % 5]
+        out.append((f"bad-{i:06d}", ",".join(iss), bool(iss)))
+    return ["doc_id", "issues_csv", "quarantined"], out
+
+
 def ref_q_text_normalize() -> tuple[list[str], list[tuple]]:
     """Mirror of operators/curation.normalize_text over the messy-doc
     spec (sources/corpus.messy_text): independent re-implementation of
@@ -3447,6 +3465,7 @@ CORPUS_QUERIES = {
     "q_triangle_count": ref_q_triangle_count,
     "q_clustering_coef": ref_q_clustering_coef,
     "q_text_normalize": ref_q_text_normalize,
+    "q_doc_lint": ref_q_doc_lint,
     "q_kg_extract": ref_q_kg_extract,
     "q_triples_two_hop": ref_q_triples_two_hop,
     "q_serialize_roundtrip": ref_q_serialize_roundtrip,
@@ -3533,6 +3552,7 @@ DUCK_TYPES = {
     "q_triangle_count": {"node": "VARCHAR", "n_triangles": "BIGINT"},
     "q_clustering_coef": {"node": "VARCHAR", "deg": "BIGINT", "n_triangles": "BIGINT", "lcc": "DOUBLE"},
     "q_text_normalize": {"doc_id": "BIGINT", "norm_text": "VARCHAR", "n_raw_chars": "BIGINT", "n_norm_chars": "BIGINT", "changed": "BOOLEAN"},
+    "q_doc_lint": {"doc_id": "VARCHAR", "issues_csv": "VARCHAR", "quarantined": "BOOLEAN"},
     "q_kg_extract": {"objecttype": "VARCHAR", "n_triples": "BIGINT", "n_subjects": "BIGINT"},
     "q_triples_two_hop": {"p1": "VARCHAR", "p2": "VARCHAR", "n_paths": "BIGINT"},
     "q_serialize_roundtrip": {"subject_initial": "VARCHAR", "n_subjects": "BIGINT", "total_bytes": "BIGINT"},

@@ -210,3 +210,42 @@ def media_triples(docs: DataFrame) -> DataFrame:
 def with_subject_hash(triples: DataFrame) -> DataFrame:
     """Add the 64-bit subject hash used for bucketed materialization."""
     return triples.withColumn("subject_hash", F.xxhash64("subject"))
+
+
+def lint_docs(docs: DataFrame) -> DataFrame:
+    """Quarantine gate: per-document structural lint over the token
+    stream (core/lint.py) WITHOUT disturbing the lenient parse —
+    (doc_id, issues array<string>, quarantined).
+
+    Same scale shape as extraction: span assembly stays JVM-side, one
+    flat string column crosses Arrow, the lint is an embarrassingly
+    parallel narrow map.  At 100 TB the quarantined slice is tiny by
+    construction, so sinking it separately (dead-letter table) costs
+    one filtered write, never a shuffle.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("issues", T.ArrayType(T.StringType())),
+            T.StructField("quarantined", T.BooleanType()),
+        ]
+    )
+
+    def lint_batches(batches):
+        from turtle_spark.core.lint import lint_document
+
+        for pdf in batches:
+            issues = [lint_document(t or "") for t in pdf["doc_text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "issues": issues,
+                    "quarantined": [bool(i) for i in issues],
+                }
+            )
+
+    flat = docs.select("doc_id", assembled_text_col().alias("doc_text"))
+    return flat.mapInPandas(lint_batches, schema=schema)

@@ -255,3 +255,35 @@ def messy_text(i: int) -> str:
 def generate_messy_docs(spark: SparkSession, n_docs: int = 40) -> DataFrame:
     rows = [(i, messy_text(i)) for i in range(n_docs)]
     return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def broken_turtle(i: int) -> str:
+    """Deterministic Turtle text #i with a structural defect chosen by
+    i % 5 (0 = well-formed) — the synthetic input for the quarantine
+    lint gate."""
+    base = (
+        f"@prefix ex: <http://ex.org/> .\n"
+        f'ex:s{i} ex:p{i} "v{i}" .\n'
+        f"ex:s{i} ex:q <http://ex.org/o{i}> ."
+    )
+    kind = i % 5
+    if kind == 1:
+        return base.rstrip(" .")          # dropped final dot
+    if kind == 2:
+        return base + f'\nzz{i}:bad ex:p "x" .'   # undeclared prefix
+    if kind == 3:
+        return base + '\nex:s ex:p [ ex:q "v" .'  # unclosed group
+    if kind == 4:
+        return base + '\nex:s ex:p "never closed'  # unclosed literal
+    return base
+
+
+def generate_broken_docs(spark: SparkSession, n_docs: int = 50) -> DataFrame:
+    rows = [
+        (
+            f"bad-{i:06d}",
+            [{"kind": "text", "text": broken_turtle(i), "media_ref": "", "offset": 0}],
+        )
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
