@@ -2306,6 +2306,52 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(entity_edges(_corpus_triples(spark))).orderBy("node")
 
 
+def _q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected-components maintenance (operators/cc.py::
+    incremental_components): a deterministic hash-generated graph is
+    split 3:1 into base edges and a delta batch; the assignment is
+    maintained through the delta (contract → tiny CC → merge) and the
+    summary pins the final table with an XOR fingerprint — only equal
+    to the golden if maintenance is bit-identical to full recompute."""
+    from turtle_spark.operators.cc import (
+        apply_component_delta,
+        connected_components,
+        incremental_components,
+    )
+
+    n_nodes, n_draws = 500, 700
+    ids = spark.range(0, n_draws)
+    h = lambda tag: F.pmod(
+        F.xxhash64(F.concat(F.col("id").cast("string"), F.lit(f"|{tag}"))),
+        F.lit(n_nodes),
+    )
+    edges = (
+        ids.select(h("a").alias("x"), h("b").alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("src"), F.greatest("x", "y").alias("dst"))
+        .distinct()
+    )
+    split = F.pmod(
+        F.xxhash64(
+            F.concat(F.col("src").cast("string"), F.lit("|"), F.col("dst").cast("string"))
+        ),
+        F.lit(4),
+    )
+    base = edges.where(split != 0)
+    delta = edges.where(split == 0)
+    a0 = connected_components(base, assume_distinct=True)
+    d = incremental_components(a0, delta)
+    maintained = apply_component_delta(a0, d)
+    return maintained.crossJoin(d.agg(F.count(F.lit(1)).alias("n_delta_rows"))).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.countDistinct("component").alias("n_components"),
+        F.max("n_delta_rows").alias("n_delta_rows"),
+        F.expr(
+            "bit_xor(xxhash64(concat(cast(node AS string), ':', cast(component AS string))))"
+        ).alias("assign_fp"),
+    )
+
+
 def _q_doc_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-input quarantine gate (operators/extract.py::
     lint_docs over core/lint.py): per-document structural diagnostics
@@ -4245,6 +4291,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_hits", "q_link_predict", "q_trig_export", "q_jsonld_export",
         "q_functional_conflicts", "q_ppr", "q_sketch_cardinality",
         "q_clustering_coef", "q_text_normalize", "q_doc_lint",
+        "q_cc_incremental",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -4342,6 +4389,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_length_matched",
         "q_training_manifest",
         "q_doc_lint",
+        "q_cc_incremental",
     }
 )
 
@@ -4465,6 +4513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_length_matched": _q_length_matched,
         "q_training_manifest": _q_training_manifest,
         "q_doc_lint": _q_doc_lint,
+        "q_cc_incremental": _q_cc_incremental,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

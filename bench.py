@@ -154,6 +154,7 @@ HEADLINE = [
     "q_length_matched",
     "q_training_manifest",
     "q_doc_lint",
+    "q_cc_incremental",
 ]
 
 

@@ -269,3 +269,56 @@ def test_cc_local_tail_equals_distributed(spark):
         for r in connected_components(df, local_cutoff=0).collect()
     }
     assert local == dist and len(local) > 0
+
+
+def _rand_edges(spark, n_nodes, n_edges, seed):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, n_edges)
+        .select(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(n_nodes)).alias("x"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(n_nodes)).alias("y"),
+        )
+        .where(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("src"), F.greatest("x", "y").alias("dst"))
+        .distinct()
+    )
+
+
+def test_incremental_components_equals_recompute(spark):
+    """Maintaining the assignment through a delta batch must be
+    bit-identical to recomputing CC over old ∪ new edges."""
+    from pyspark.sql import functions as F
+
+    from turtle_spark.operators.cc import (
+        apply_component_delta,
+        connected_components,
+        incremental_components,
+    )
+
+    base = _rand_edges(spark, 300, 400, seed=7)
+    delta = _rand_edges(spark, 360, 120, seed=99)  # includes unseen nodes
+    a0 = connected_components(base, assume_distinct=True)
+    d = incremental_components(a0, delta)
+    maintained = {
+        (r["node"], r["component"])
+        for r in apply_component_delta(a0, d).collect()
+    }
+    full = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            base.unionByName(delta).distinct(), assume_distinct=True
+        ).collect()
+    }
+    assert maintained == full
+
+
+def test_incremental_components_noop_batch_is_empty(spark):
+    from turtle_spark.operators.cc import connected_components, incremental_components
+
+    base = _rand_edges(spark, 100, 150, seed=3)
+    a0 = connected_components(base, assume_distinct=True)
+    # a batch of edges already internal to existing components
+    internal = base.limit(20)
+    assert incremental_components(a0, internal).count() == 0

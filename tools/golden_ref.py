@@ -1247,6 +1247,49 @@ def ref_q_triangle_count() -> tuple[list[str], list[tuple]]:
     return ["node", "n_triangles"], sorted(tri.items())
 
 
+def ref_q_cc_incremental() -> tuple[list[str], list[tuple]]:
+    """Mirror of q_cc_incremental: re-derive the hash graph, compute
+    BOTH the base and the full assignment with a plain union-find
+    (min-id components), and express the delta as their difference —
+    independent of the engine's contract-and-merge path."""
+    n_nodes, n_draws = 500, 700
+    edges = set()
+    for i in range(n_draws):
+        x = pmod(xxh64_str(f"{i}|a"), n_nodes)
+        y = pmod(xxh64_str(f"{i}|b"), n_nodes)
+        if x != y:
+            edges.add((min(x, y), max(x, y)))
+    base = {e for e in edges if pmod(xxh64_str(f"{e[0]}|{e[1]}"), 4) != 0}
+    delta = edges - base
+
+    def components(es: set) -> dict[int, int]:
+        parent: dict[int, int] = {}
+
+        def find(v: int) -> int:
+            while parent.get(v, v) != v:
+                parent[v] = parent.get(parent[v], parent[v])
+                v = parent[v]
+            return v
+
+        for a, b in sorted(es):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    a0 = components(base)
+    full = components(edges)
+    n_delta = sum(1 for n, c in full.items() if a0.get(n) != c)
+    fp = 0
+    for n, c in full.items():
+        fp ^= xxh64_str(f"{n}:{c}") & 0xFFFFFFFFFFFFFFFF
+    return ["n_assigned", "n_components", "n_delta_rows", "assign_fp"], [
+        (len(full), len(set(full.values())), n_delta, _signed64(fp))
+    ]
+
+
 def ref_q_doc_lint() -> tuple[list[str], list[tuple]]:
     """Expected lint issues derived FROM THE GENERATION SPEC (i % 5
     defect classes), not by re-linting — the engine must detect
@@ -3466,6 +3509,7 @@ CORPUS_QUERIES = {
     "q_clustering_coef": ref_q_clustering_coef,
     "q_text_normalize": ref_q_text_normalize,
     "q_doc_lint": ref_q_doc_lint,
+    "q_cc_incremental": ref_q_cc_incremental,
     "q_kg_extract": ref_q_kg_extract,
     "q_triples_two_hop": ref_q_triples_two_hop,
     "q_serialize_roundtrip": ref_q_serialize_roundtrip,
@@ -3553,6 +3597,7 @@ DUCK_TYPES = {
     "q_clustering_coef": {"node": "VARCHAR", "deg": "BIGINT", "n_triangles": "BIGINT", "lcc": "DOUBLE"},
     "q_text_normalize": {"doc_id": "BIGINT", "norm_text": "VARCHAR", "n_raw_chars": "BIGINT", "n_norm_chars": "BIGINT", "changed": "BOOLEAN"},
     "q_doc_lint": {"doc_id": "VARCHAR", "issues_csv": "VARCHAR", "quarantined": "BOOLEAN"},
+    "q_cc_incremental": {"n_assigned": "BIGINT", "n_components": "BIGINT", "n_delta_rows": "BIGINT", "assign_fp": "BIGINT"},
     "q_kg_extract": {"objecttype": "VARCHAR", "n_triples": "BIGINT", "n_subjects": "BIGINT"},
     "q_triples_two_hop": {"p1": "VARCHAR", "p2": "VARCHAR", "n_paths": "BIGINT"},
     "q_serialize_roundtrip": {"subject_initial": "VARCHAR", "n_subjects": "BIGINT", "total_bytes": "BIGINT"},

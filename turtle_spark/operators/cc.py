@@ -206,3 +206,70 @@ def connected_components(
     return assignments.union(roots).groupBy("node").agg(
         F.min("component").alias("component")
     )
+
+
+def incremental_components(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    **cc_kwargs,
+) -> DataFrame:
+    """O(delta) maintenance of a connected-components assignment when
+    a batch of NEW edges arrives — the canonicalization companion to
+    the triple-level ``snapshot_delta``: a re-crawl must not re-run
+    CC over 10^12 documents' mention graph to absorb one day's edges.
+
+    The delta batch is CONTRACTED through the existing assignment
+    first: each endpoint maps to its current component (itself when
+    previously unseen), edges already internal to one component drop
+    out, and full ``connected_components`` runs only on the contracted
+    remainder — a graph bounded by the components the delta actually
+    touches, not the corpus.  Component ids stay on the same
+    convention (min member id), so the maintained table is
+    BIT-IDENTICAL to a from-scratch recompute over old ∪ new edges
+    (pinned by test against random graphs).
+
+    Returns the DELTA rows only — (node, component) for existing
+    nodes whose component changed plus first-seen nodes — ready to
+    MERGE into the stored assignment (``apply_component_delta``).
+    """
+    a_src = assignments.select(F.col("node").alias("src"), F.col("component").alias("_cs"))
+    a_dst = assignments.select(F.col("node").alias("dst"), F.col("component").alias("_cd"))
+    contracted = (
+        new_edges.join(a_src, "src", "left")
+        .join(a_dst, "dst", "left")
+        .select(
+            F.coalesce("_cs", F.col("src")).alias("a"),
+            F.coalesce("_cd", F.col("dst")).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
+        .distinct()
+    )
+    merged = connected_components(contracted, assume_distinct=True, **cc_kwargs)
+    # existing members of re-canonicalized clusters
+    upd = (
+        assignments.join(
+            merged.select(
+                F.col("node").alias("component"), F.col("component").alias("_new")
+            ),
+            "component",
+        )
+        .where(F.col("_new") != F.col("component"))
+        .select("node", F.col("_new").alias("component"))
+    )
+    # first-seen nodes (in the delta's edges, absent from the table)
+    fresh = merged.join(
+        assignments.select("node"), "node", "left_anti"
+    ).select("node", "component")
+    return upd.unionByName(fresh)
+
+
+def apply_component_delta(assignments: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge an ``incremental_components`` delta into the stored
+    assignment: delta rows win, untouched rows pass through."""
+    d = delta.select(F.col("node"), F.col("component").alias("_dc"))
+    return (
+        assignments.join(d, "node", "left")
+        .select("node", F.coalesce("_dc", F.col("component")).alias("component"))
+        .unionByName(delta.join(assignments.select("node"), "node", "left_anti"))
+    )
