@@ -1796,6 +1796,102 @@ ORDER BY d.doc_id
 _SQL_DUP_SPANS = _sql_dup_spans()
 
 
+def _q_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring REMOVAL (the apply step of Lee et
+    al. substring dedup; `q_dup_spans` is the measure step): word
+    8-gram windows occurring >= 2 times in the whole corpus are merged
+    into maximal covered runs (gaps-and-islands window functions) and
+    cut from the text — all JVM-side, grams travel as md5 prefixes
+    (operators/dedup.py::substring_clean).  The rebuilt text rides as
+    a 16-byte md5 so the oracle pins the actual removal, not just the
+    counts."""
+    from turtle_spark.operators.dedup import substring_clean
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        substring_clean(docs, k=_DUP_SPAN_N)
+        .select(
+            "doc_id", "n_tokens", "n_dup_windows", "n_spans",
+            "removed_tokens", "kept_tokens", "removed_frac",
+            F.substring(F.md5("cleaned_text"), 1, 16).alias("cleaned_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_substring_clean() -> str:
+    k = _DUP_SPAN_N
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(TRIM(text), '\s+') END AS w
+  FROM documents
+), t AS (
+  SELECT doc_id, w, LEN(w) AS nt FROM w
+), gp AS (
+  SELECT doc_id, u.pos AS pos, u.gram_h AS gram_h FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN nt >= {k} THEN
+              list_transform(range(1, nt - {k} + 2),
+                i -> struct_pack(pos := i,
+                     gram_h := substr(md5(array_to_string(w[i : i + {k - 1}], ' ')), 1, 16)))
+              ELSE CAST([] AS STRUCT(pos BIGINT, gram_h VARCHAR)[]) END) AS u
+    FROM t)
+), cnt AS (
+  SELECT gram_h, COUNT(*) AS occ FROM gp GROUP BY gram_h
+), dup AS (
+  SELECT doc_id, pos FROM gp JOIN cnt USING (gram_h) WHERE occ >= 2
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos) OVER wprev IS NULL
+                OR pos - max(pos) OVER wprev > {k} THEN 1 ELSE 0 END AS new_isl
+  FROM dup
+  WINDOW wprev AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl2 AS (
+  SELECT doc_id, pos,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {k - 1} AS e, COUNT(*) AS n_win
+  FROM isl2 GROUP BY doc_id, island
+), spanlist AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
+  FROM spans GROUP BY doc_id
+), perdoc AS (
+  SELECT doc_id, SUM(n_win) AS n_dup_windows, COUNT(*) AS n_spans,
+         SUM(e - s + 1) AS removed_tokens
+  FROM spans GROUP BY doc_id
+), cleaned AS (
+  SELECT t.doc_id,
+         -- DuckDB's array_to_string([]) is NULL, Spark's array_join([])
+         -- is '' — coalesce to match Spark
+         COALESCE(array_to_string(
+           list_transform(
+             list_filter(range(1, nt + 1),
+               i -> sp IS NULL
+                    OR len(list_filter(sp, x -> i >= x.s AND i <= x.e)) = 0),
+             i -> w[i]), ' '), '') AS cleaned_text
+  FROM t LEFT JOIN spanlist USING (doc_id)
+)
+SELECT t.doc_id,
+       CAST(nt AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(removed_tokens, 0) AS BIGINT) AS removed_tokens,
+       CAST(nt - COALESCE(removed_tokens, 0) AS BIGINT) AS kept_tokens,
+       CASE WHEN nt = 0 THEN 0.0
+            ELSE CAST(COALESCE(removed_tokens, 0) AS DOUBLE) / nt END AS removed_frac,
+       substr(md5(cleaned_text), 1, 16) AS cleaned_hash
+FROM t LEFT JOIN perdoc USING (doc_id) LEFT JOIN cleaned USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+_SQL_SUBSTRING_CLEAN = _sql_substring_clean()
+
 
 def _q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram co-occurrence with exact-integer lift (observed /
@@ -4390,6 +4486,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_training_manifest",
         "q_doc_lint",
         "q_cc_incremental",
+        "q_substring_clean",
     }
 )
 
@@ -4514,6 +4611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_training_manifest": _q_training_manifest,
         "q_doc_lint": _q_doc_lint,
         "q_cc_incremental": _q_cc_incremental,
+        "q_substring_clean": _q_substring_clean,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -4588,6 +4686,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_cohort_retention": _SQL_COHORT_RETENTION,
         "q_event_funnel": _SQL_EVENT_FUNNEL,
         "q_training_manifest": _SQL_TRAINING_MANIFEST,
+        "q_substring_clean": _SQL_SUBSTRING_CLEAN,
         "q_cooccur": _SQL_COOCCUR,
         "q_lineitem_agg": _SQL_LINEITEM_AGG,
         "q_revenue_by_nation": _SQL_REVENUE_BY_NATION,

@@ -174,3 +174,72 @@ def test_entity_cards_bag_semantics(spark):
     ).collect()[0]
     assert twice.n_triples == 2 * once.n_triples
     assert once.card_fp != 0 and twice.card_fp == 0  # x ^ x == 0
+
+
+# --------------------------------------------------------------------------
+# substring_clean (duplicated-span removal)
+# --------------------------------------------------------------------------
+
+def test_substring_clean_hand_built(spark):
+    # doc 0 and doc 1 share the 4-gram "a b c d" (positions 1 in both);
+    # doc 2 repeats "p q r s" twice WITHIN itself (within-doc repeat
+    # counts); doc 3 is clean.
+    rows = [
+        (0, "src", "a b c d x y z w"),
+        (1, "src", "q a b c d k l m"),
+        (2, "src", "p q r s p q r s"),
+        (3, "src", "u v w x u2 v2 w2 x2"),
+    ]
+    from turtle_spark.operators.dedup import substring_clean
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in substring_clean(df, k=4).orderBy("doc_id").collect()
+    }
+    # doc 0: window at pos 1 ("a b c d") duplicated -> tokens 1-4 removed
+    assert out[0]["n_dup_windows"] == 1 and out[0]["removed_tokens"] == 4
+    assert out[0]["cleaned_text"] == "x y z w"
+    # doc 1: same gram at pos 2 -> tokens 2-5 removed
+    assert out[1]["removed_tokens"] == 4
+    assert out[1]["cleaned_text"] == "q k l m"
+    # doc 2: windows at pos 1 and pos 5 both read "p q r s" (within-doc
+    # repeat, occ=2). They are CONTIGUOUS (pos 5 = prev 1 + k) so they
+    # merge into ONE span covering the whole doc.
+    assert out[2]["n_dup_windows"] == 2 and out[2]["n_spans"] == 1
+    assert out[2]["removed_tokens"] == 8 and out[2]["cleaned_text"] == ""
+    assert out[2]["removed_frac"] == 1.0
+    # doc 3: nothing duplicated
+    assert out[3]["removed_tokens"] == 0
+    assert out[3]["cleaned_text"] == "u v w x u2 v2 w2 x2"
+
+
+def test_substring_clean_overlap_merges(spark):
+    # the shared run is 5 tokens long -> two OVERLAPPING dup windows
+    # (pos 1 and pos 2) merge into one 5-token span
+    rows = [
+        (0, "a b c d e x x1 x2 x3"),
+        (1, "y a b c d e z z1 z2"),
+    ]
+    from turtle_spark.operators.dedup import substring_clean
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in substring_clean(df, k=4).orderBy("doc_id").collect()
+    }
+    assert out[0]["n_dup_windows"] == 2 and out[0]["n_spans"] == 1
+    assert out[0]["removed_tokens"] == 5
+    assert out[0]["cleaned_text"] == "x x1 x2 x3"
+    assert out[1]["cleaned_text"] == "y z z1 z2"
+
+
+def test_substring_clean_empty_and_short_docs(spark):
+    rows = [(0, "   "), (1, "a b"), (2, "")]
+    from turtle_spark.operators.dedup import substring_clean
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_clean(df, k=4).orderBy("doc_id").collect()
+    assert [r["n_tokens"] for r in out] == [0, 2, 0]
+    assert all(r["removed_tokens"] == 0 for r in out)
+    assert all(r["removed_frac"] == 0.0 for r in out)

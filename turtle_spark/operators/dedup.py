@@ -651,3 +651,131 @@ def screen_against_index(
             ).alias("jaccard"),
         )
     )
+
+
+def substring_clean(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_text: bool = True,
+) -> DataFrame:
+    """Exact duplicated-substring REMOVAL (the apply step of Lee et
+    al.'s substring dedup — ``duplicate_spans`` is the measure step):
+    every word ``k``-gram window whose gram occurs >= 2 times in the
+    WHOLE corpus (cross-doc or within-doc) is a duplicated window; the
+    tokens it covers are merged into maximal covered runs (overlapping
+    or contiguous windows coalesce) and cut out of the document.
+
+    Plan shape at scale — all JVM-side, two shuffles plus one window:
+
+    1. narrow pass: split + in-array window transform + ``posexplode``
+       -> (doc, pos, gram_h) postings, grams travelling as 16-byte md5
+       prefixes (never strings);
+    2. ``groupBy(gram_h)`` corpus-occurrence counts (map-side partial
+       agg), joined back to the pinned postings — one shuffle each
+       side of the join, both on the 16-byte key;
+    3. gaps-and-islands per doc entirely with window functions: a new
+       run starts when ``pos - max(prev pos) > k`` (the previous
+       window's last covered token is ``prev + k - 1``, so a window at
+       ``prev + k`` is contiguous and coalesces); run extents via one
+       ``groupBy(doc, island)``.
+
+    The cleaned text is rebuilt in-array (``filter`` over token index
+    against the doc's merged spans — spans per doc are few, so the
+    nested ``exists`` is O(tokens * spans) with tiny constants), never
+    in Python.
+
+    Returns (id_col, n_tokens, n_dup_windows, n_spans, removed_tokens,
+    kept_tokens, removed_frac[, cleaned_text]).
+    """
+    from turtle_spark.operators.curation import _words
+
+    toks = docs.select(F.col(id_col), _words(text_col).alias("w")).select(
+        id_col, "w", F.size("w").alias("n_tokens")
+    )
+    postings = (
+        toks.select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"CASE WHEN size(w) >= {k} THEN "
+                    f"transform(sequence(1, size(w) - {k} + 1),"
+                    f" i -> substring(md5(array_join(slice(w, i, {k}), ' ')), 1, 16)) "
+                    "ELSE CAST(array() AS array<string>) END"
+                )
+            ).alias("pos0", "gram_h"),
+        )
+        # 1-based window start (matches the SQL twin's range(1, ...))
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "gram_h")
+    )
+    # pinned: the corpus-count aggregate and the postings join both
+    # descend from this subtree; the pin stops the split/explode pass
+    # (the expensive narrow stage) from running twice
+    postings = skew.pin(postings)
+    cnt = postings.groupBy("gram_h").agg(F.count("*").alias("occ"))
+    dup = (
+        postings.join(cnt.where(F.col("occ") >= 2), "gram_h")
+        .select(id_col, "pos")
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = (
+        dup.withColumn("_prev", F.max("pos").over(w_prev))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("_new").over(w_run))
+    )
+    spans = islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(k - 1)).alias("e"),
+        F.count("*").alias("n_win"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("n_win").alias("n_dup_windows"),
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("removed_tokens"),
+        F.collect_list(F.struct("s", "e")).alias("_spans"),
+    )
+    out = toks.join(per_doc, id_col, "left").select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("removed_tokens", F.lit(0)).cast("long").alias("removed_tokens"),
+        (F.col("n_tokens") - F.coalesce("removed_tokens", F.lit(0)))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.coalesce("removed_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens")
+        )
+        .alias("removed_frac"),
+        "w",
+        "_spans",
+    )
+    if with_text:
+        out = out.withColumn(
+            "cleaned_text",
+            F.expr(
+                "array_join(filter(transform(w, (t, i) -> "
+                "CASE WHEN _spans IS NULL THEN t "
+                "WHEN exists(_spans, sp -> i + 1 >= sp.s AND i + 1 <= sp.e) "
+                "THEN CAST(NULL AS STRING) ELSE t END), t -> t IS NOT NULL), ' ')"
+            ),
+        )
+    return out.drop("w", "_spans")
