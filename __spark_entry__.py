@@ -1893,6 +1893,74 @@ ORDER BY t.doc_id
 _SQL_SUBSTRING_CLEAN = _sql_substring_clean()
 
 
+def _q_events_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel LTTB downsampling (largest-triangle-three-buckets with
+    bucket-mean anchors — the variant whose buckets are independent, so
+    it parallelizes): each event_type series reduced to 60
+    shape-preserving points.  Integer-exact selection (epoch-microsecond
+    times, fixed-point values, exact bucket sums divided once) so the
+    argmax is parallelism-invariant and the DuckDB twin hash-matches
+    (operators/downsample.py::lttb_downsample)."""
+    from turtle_spark.operators.downsample import lttb_downsample
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        lttb_downsample(events, n_out=60)
+        .select(
+            "event_type",
+            F.col("bucket").cast("long").alias("bucket"),
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+            "v_fixed",
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+_SQL_EVENTS_LTTB = """
+WITH pts AS (
+  SELECT event_type, event_id, epoch_us(ts) AS t_us,
+         -- trunc: Spark's double->bigint cast truncates toward zero,
+         -- DuckDB's rounds
+         CAST(trunc(value * 1000) AS BIGINT) AS v_fixed,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt,
+         epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY event_type) AS t_rel
+  FROM events
+), bk AS (
+  SELECT *,
+         CASE WHEN cnt <= 60 THEN idx
+              WHEN idx = 0 THEN 0
+              WHEN idx = cnt - 1 THEN 59
+              ELSE 1 + CAST(FLOOR((idx - 1) * 58 / (cnt - 2)) AS INT) END AS bucket
+  FROM pts
+), bstats AS (
+  SELECT event_type, bucket,
+         SUM(t_rel) AS st, SUM(v_fixed) AS sv, COUNT(*) AS c
+  FROM bk GROUP BY event_type, bucket
+), anchors AS (
+  SELECT event_type, bucket,
+         LAG(st)  OVER w / LAG(c)  OVER w AS tp,
+         LAG(sv)  OVER w / LAG(c)  OVER w AS vp,
+         LEAD(st) OVER w / LEAD(c) OVER w AS tn,
+         LEAD(sv) OVER w / LEAD(c) OVER w AS vn
+  FROM bstats
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+), scored AS (
+  SELECT bk.*, ABS((tp - tn) * (CAST(v_fixed AS DOUBLE) - vp)
+                 - (tp - CAST(t_rel AS DOUBLE)) * (vn - vp)) AS area
+  FROM bk JOIN anchors USING (event_type, bucket)
+), picked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                               ORDER BY area DESC NULLS LAST, event_id) AS rn
+  FROM scored
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket, event_id, t_us, v_fixed
+FROM picked WHERE rn = 1
+ORDER BY event_type, bucket
+"""
+
+
 def _q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram co-occurrence with exact-integer lift (observed /
     expected ratio — log of it is PMI, monotone so rankings agree):
@@ -4487,6 +4555,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_doc_lint",
         "q_cc_incremental",
         "q_substring_clean",
+        "q_events_lttb",
     }
 )
 
@@ -4612,6 +4681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_lint": _q_doc_lint,
         "q_cc_incremental": _q_cc_incremental,
         "q_substring_clean": _q_substring_clean,
+        "q_events_lttb": _q_events_lttb,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -4687,6 +4757,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_event_funnel": _SQL_EVENT_FUNNEL,
         "q_training_manifest": _SQL_TRAINING_MANIFEST,
         "q_substring_clean": _SQL_SUBSTRING_CLEAN,
+        "q_events_lttb": _SQL_EVENTS_LTTB,
         "q_cooccur": _SQL_COOCCUR,
         "q_lineitem_agg": _SQL_LINEITEM_AGG,
         "q_revenue_by_nation": _SQL_REVENUE_BY_NATION,
