@@ -3693,6 +3693,21 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py::pq_topk):
+    corpus compressed to 8 one-byte codes per vector, queries score
+    candidates via asymmetric-distance LUT lookups evaluated entirely
+    in whole-stage codegen (`aggregate` over the codes array) — the
+    memory-bandwidth scale path where brute force reads 64 floats per
+    row.  Golden-oracled against an independent numpy mirror."""
+    from turtle_spark.operators.similarity import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return pq_topk(e, e.where(F.col("vec_id") < 3), k=5, m=8, n_codes=16)
+
+
 def _q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned semi-join report (operators/bloom.py): lineitem
     rows screened against the p_size=50 part keys through a 512-bit
@@ -4468,6 +4483,7 @@ _SF_GOLDENS = frozenset(
         "q_semdedup", "q_leakage_split", "q_bpe_vocab", "q_bpe_encode",
         "q_heavy_hitters", "q_kmeans_topics", "q_quantile_sketch",
         "q_hard_negatives", "q_bloom_prune", "q_length_matched",
+        "q_pq_topk",
     }
 )
 
@@ -4556,6 +4572,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_cc_incremental",
         "q_substring_clean",
         "q_events_lttb",
+        "q_pq_topk",
     }
 )
 
@@ -4682,6 +4699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cc_incremental": _q_cc_incremental,
         "q_substring_clean": _q_substring_clean,
         "q_events_lttb": _q_events_lttb,
+        "q_pq_topk": _q_pq_topk,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

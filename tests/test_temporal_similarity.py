@@ -253,3 +253,52 @@ def test_hard_negatives_ground_truth(spark):
         want = [n for _, n in scored]
         got = [r["neg_id"] for r in sorted(mined, key=lambda r: r["rank"]) if r["anchor_id"] == a]
         assert got == want, (a, got, want)
+
+
+def test_pq_topk_retrieves_from_the_right_cluster(spark):
+    from turtle_spark.operators.similarity import pq_topk
+
+    # PQ collapses near-identical vectors to the same codes, so WITHIN
+    # a tight cluster the fine order is quantization-limited by design;
+    # the property PQ promises is cluster-level retrieval: every
+    # neighbor must come from the query's own cluster (inter-cluster
+    # scores are far apart).  vec_id // 30 is the generating cluster.
+    e = _clustered_embeddings(spark)
+    q = e.where(F.col("vec_id") % 40 == 0)
+    out = pq_topk(e, q, k=5, m=4, n_codes=16).collect()
+    assert len(out) == len({r["query_id"] for r in out}) * 5
+    for r in out:
+        assert r["neighbor_id"] // 30 == r["query_id"] // 30, (
+            r["query_id"], r["neighbor_id"])
+
+
+def test_pq_encode_shape_and_range(spark):
+    from turtle_spark.operators.similarity import pq_encode, train_pq_codebooks
+
+    e = _clustered_embeddings(spark)
+    books = train_pq_codebooks(e, m=4, n_codes=8)
+    assert books.shape == (4, 8, 4)
+    codes = pq_encode(e, books).select("codes").collect()
+    assert all(len(r["codes"]) == 4 for r in codes)
+    assert all(0 <= c < 8 for r in codes for c in r["codes"])
+
+
+def test_pq_topk_partition_invariance(spark):
+    from turtle_spark.operators.similarity import pq_topk
+
+    e = _clustered_embeddings(spark)
+    q = e.where(F.col("vec_id") % 40 == 0)
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["score"]) for r in rows
+    )
+    one = key(pq_topk(e.coalesce(1), q, k=5, m=4, n_codes=16).collect())
+    many = key(pq_topk(e.repartition(8), q, k=5, m=4, n_codes=16).collect())
+    assert one == many
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    from turtle_spark.operators.similarity import train_pq_codebooks
+
+    e = _clustered_embeddings(spark, dim=10)
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(e, m=4, n_codes=8)

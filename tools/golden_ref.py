@@ -508,6 +508,69 @@ def ref_q_ivf_topk(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["query_id", "neighbor_id", "cosine", "rank"], _topk_rerank(cands, vecs, 5)
 
 
+def ref_q_pq_topk(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Independent mirror of operators/similarity.py::pq_topk (m=8
+    subspaces, 16 codes, seed 29): per-subspace L2 k-means codebooks
+    from the deterministic (xxh64(str(id)), id)-ordered sample, per-
+    vector encoding, ADC scoring via a per-query LUT with a Python
+    left-fold sum matching Spark's `aggregate` fold order."""
+    emb = _read_embeddings(sf_dir)
+    queries = [vid for vid, _ in emb if vid < 3]
+    m, n_codes, seed, k = 8, 16, 29, 5
+    ordered = sorted(emb, key=lambda t: (xxh64_str(str(t[0])), t[0]))[:4096]
+    sample = np.stack([v for _, v in ordered]).astype(np.float32)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    d = sample.shape[1]
+    dsub = d // m
+    books = []
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        rs = np.random.RandomState(seed + j)
+        cb = sub[rs.choice(len(sub), size=min(n_codes, len(sub)), replace=False)].copy()
+        for _ in range(8):
+            d2 = (cb**2).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cb)):
+                members = sub[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books.append(cb)
+    b64 = [cb.astype(np.float64) for cb in books]
+
+    def norm64(v) -> np.ndarray:
+        x = np.asarray(v, dtype=np.float64)
+        return x / max(float(np.linalg.norm(x)), 1e-12)
+
+    def encode(v) -> list[int]:
+        x = norm64(v)
+        # batch-of-one through the same (1, dsub) @ (dsub, n_codes)
+        # matmul shape the engine's Arrow batches use
+        codes = []
+        for j in range(m):
+            sub = x[j * dsub : (j + 1) * dsub][None, :]
+            d2 = (b64[j] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ b64[j].T)
+            codes.append(int(np.argmin(d2[0])))
+        return codes
+
+    corpus = [(vid, encode(v)) for vid, v in emb]
+    out = []
+    for qid in queries:
+        q = norm64(dict(emb)[qid])
+        lut = np.concatenate([b64[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)])
+        scored = []
+        for nid, codes in corpus:
+            if nid == qid:
+                continue
+            s = 0.0
+            for j in range(m):
+                s += float(lut[j * n_codes + codes[j]])
+            scored.append((-spark_round(s, 6), nid))
+        scored.sort()
+        for rank, (negs, nid) in enumerate(scored[:k], start=1):
+            out.append((qid, nid, -negs, rank))
+    return ["query_id", "neighbor_id", "score", "rank"], out
+
+
 def _synth_image_pixels(w: int, h: int, s0: int, s1: int, s2: int) -> np.ndarray:
     """Independent reimplementation of the engine's synthetic test
     pattern: channel c at (row, col) = (seed_c + 31*row + 7*col) % 256.
@@ -3490,6 +3553,7 @@ SF_QUERIES = {
     "q_doc_fingerprints": ref_q_doc_fingerprints,
     "q_lsh_topk": ref_q_lsh_topk,
     "q_ivf_topk": ref_q_ivf_topk,
+    "q_pq_topk": ref_q_pq_topk,
     "q_dedup_clusters": ref_q_dedup_clusters,
     "q_semdedup": ref_q_semdedup,
     "q_leakage_split": ref_q_leakage_split,
@@ -3606,6 +3670,7 @@ DUCK_TYPES = {
     "q_doc_fingerprints": {"doc_id": "BIGINT", "fingerprint": "BIGINT", "simhash": "BIGINT"},
     "q_lsh_topk": {"query_id": "BIGINT", "neighbor_id": "BIGINT", "cosine": "DOUBLE", "rank": "INTEGER"},
     "q_ivf_topk": {"query_id": "BIGINT", "neighbor_id": "BIGINT", "cosine": "DOUBLE", "rank": "INTEGER"},
+    "q_pq_topk": {"query_id": "BIGINT", "neighbor_id": "BIGINT", "score": "DOUBLE", "rank": "INTEGER"},
     "q_kmeans_topics": {"cluster": "INTEGER", "size": "BIGINT", "top_label": "INTEGER", "top_n": "BIGINT", "purity": "DOUBLE"},
     "q_quantile_sketch": {
         "lang": "VARCHAR", "n_rows": "BIGINT", "n_kept": "BIGINT",
