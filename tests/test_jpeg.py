@@ -1,0 +1,172 @@
+"""Baseline JPEG codec (functions/jpeg.py): the entropy layer must be
+LOSSLESS (decode == the ideal DCT-quantize-dequantize pipeline,
+bit-for-bit) and the whole codec must round-trip through the Spark
+multimodal seam like every other real format."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from turtle_spark.functions.imaging import (
+    decode_image,
+    media_resizer,
+    sniff_format,
+    synth_pixels,
+)
+from turtle_spark.functions.jpeg import (
+    _DCT,
+    _QT_CHROMA,
+    _QT_LUMA,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _ideal_pipeline(img: np.ndarray) -> np.ndarray:
+    """The mathematically expected lossy result: color transform +
+    per-block DCT -> quantize -> dequantize -> IDCT, with the same
+    rounding rules the codec documents — everything EXCEPT the zigzag/
+    Huffman/bitstream layer, which must therefore be exactly lossless."""
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    h, w = img.shape[:2]
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    outs = []
+    for ci, p in enumerate(planes):
+        q = np.empty((ph, pw))
+        q[:h, :w] = p
+        q[h:, :w] = p[h - 1 : h, :]
+        q[:, w:] = q[:, w - 1 : w]
+        q = np.clip(q, 0.0, 255.0)
+        qt = _QT_LUMA if ci == 0 else _QT_CHROMA
+        rec = np.empty_like(q)
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                blk = q[by : by + 8, bx : bx + 8] - 128.0
+                coeffs = _DCT @ blk @ _DCT.T
+                quant = np.floor(coeffs / qt + 0.5)
+                rec[by : by + 8, bx : bx + 8] = _DCT.T @ (quant * qt) @ _DCT + 128.0
+        outs.append(rec[:h, :w])
+    y, cb, cr = outs
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def test_entropy_layer_is_lossless():
+    # high-frequency sawtooth content (worst case for the bitstream:
+    # long symbol runs, big coefficients, byte stuffing)
+    img = synth_pixels(37, 29, 10, 99, 200)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img)), _ideal_pipeline(img))
+
+
+def test_constant_color_roundtrips_exactly():
+    img = np.full((24, 40, 3), 200, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_smooth_gradient_near_lossless():
+    grad = np.tile(np.arange(64, dtype=np.uint8) * 2, (64, 1))
+    img = np.stack([grad, grad, grad], axis=-1)
+    out = decode_jpeg(encode_jpeg(img))
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_grayscale_path():
+    g = synth_pixels(16, 16, 7, 7, 7)[:, :, 0]
+    out = decode_jpeg(encode_jpeg(g))
+    assert out.shape == (16, 16)
+    # same plane through the 3-channel ideal pipeline's luma
+    img3 = np.stack([g, g, g], axis=-1)
+    assert np.array_equal(np.stack([out] * 3, axis=-1), _ideal_pipeline(img3))
+
+
+def test_byte_stuffing_roundtrip():
+    # write enough all-ones runs to force 0xFF bytes; the writer must
+    # stuff 0x00 after each and the reader must un-stuff them
+    from turtle_spark.functions.jpeg import _BitReader, _BitWriter
+
+    w = _BitWriter()
+    pattern = [(0xFFFF, 16), (0x0, 3), (0xFF, 8), (0x5, 3), (0x1FF, 9)]
+    for code, n in pattern:
+        w.put(code, n)
+    data = w.flush()
+    assert b"\xff\x00" in data
+    r = _BitReader(data)
+    for code, n in pattern:
+        assert r.bits(n) == code
+
+
+def test_decoder_rejects_progressive_and_subsampled():
+    img = synth_pixels(16, 16, 1, 2, 3)
+    data = bytearray(encode_jpeg(img))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # pretend SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(data))
+    data = bytearray(encode_jpeg(img))
+    i = data.index(b"\xff\xc0")
+    data[i + 11] = 0x22  # luma sampling 2x2 => subsampled chroma
+    with pytest.raises(NotImplementedError, match="sampling"):
+        decode_jpeg(bytes(data))
+
+
+def test_sniff_and_seam_dispatch():
+    img = synth_pixels(20, 12, 9, 9, 9)
+    data = encode_jpeg(img)
+    assert sniff_format(data) == "jpeg"
+    assert np.array_equal(decode_image(data), _ideal_pipeline(img))
+
+
+def test_media_resizer_keeps_jpeg_format():
+    img = synth_pixels(32, 32, 4, 8, 15)
+    resized = media_resizer(encode_jpeg(img), 16, 16)
+    assert sniff_format(resized) == "jpeg"
+    assert decode_image(resized).shape == (16, 16, 3)
+
+
+def test_decode_features_real_jpeg_stats(spark):
+    """The Arrow seam computes REAL pixel statistics for JPEG payloads
+    via the injected media_decoder — the same path PPM/BMP/PNG use."""
+    from turtle_spark.functions.imaging import image_features, media_decoder
+    from turtle_spark.operators.multimodal import decode_features
+
+    payloads = [
+        (
+            f"m{i}",
+            str(i),
+            "image/jpeg",
+            bytearray(encode_jpeg(synth_pixels(24, 16, i, 2 * i, 3 * i))),
+        )
+        for i in range(4)
+    ]
+    media = spark.createDataFrame(
+        payloads, "media_ref string, doc_id string, media_type string, payload binary"
+    )
+    out = {
+        r["media_ref"]: r["features"]
+        for r in decode_features(media, dim=16, decoder=media_decoder)
+        .select("media_ref", "features")
+        .collect()
+    }
+    for ref, _i, _t, payload in payloads:
+        img = decode_jpeg(bytes(payload))
+        expected = image_features(img, 16)
+        got = np.asarray(out[ref], dtype=np.float32)
+        assert np.array_equal(got, expected), ref
+        # and they are REAL stats of the decoded pixels
+        assert got[2] == pytest.approx(img[..., 0].astype(np.float64).mean() / 255.0, abs=1e-6)

@@ -7,10 +7,11 @@ BMP need no external libraries, so they make the Arrow decode path
 REAL end-to-end: synthesize payload bytes -> sniff magic -> decode to
 an (h, w, 3) uint8 array -> compute actual pixel statistics -> resize
 by nearest-neighbor -> re-encode.  PNG (RGB8, stdlib zlib) decodes
-too, and video ships in the PVID frame container below, so every
-synthetic media type round-trips through real byte-level codecs;
-formats needing true external codecs (JPEG/H.264/MP3) still raise at
-the seam, by design.
+too, baseline JPEG has a real pure-numpy DCT/Huffman codec in
+`functions/jpeg.py`, and video ships in the PVID frame container
+below, so every synthetic media type round-trips through real
+byte-level codecs; formats needing true external codecs (H.264/MP3,
+progressive/subsampled JPEG) still raise at the seam, by design.
 
 Determinism contract: every function here is pure and single-threaded
 numpy; `tools/golden_ref.py` reimplements the decode + feature math
@@ -178,6 +179,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -189,9 +192,16 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "png":
         return decode_png(payload)
+    if fmt == "jpeg":
+        from turtle_spark.functions.jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)
+        # grayscale JPEGs widen to (h, w, 3) so every caller sees the
+        # same channel shape
+        return np.stack([img] * 3, axis=-1) if img.ndim == 2 else img
     raise NotImplementedError(
-        "only PPM/BMP/PNG(RGB8) decode in this environment (no image codec "
-        "libraries); payload magic = " + repr(payload[:2])
+        "only PPM/BMP/PNG(RGB8)/baseline-JPEG decode in this environment "
+        "(no image codec libraries); payload magic = " + repr(payload[:2])
     )
 
 
@@ -228,7 +238,7 @@ def resize_nearest(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
 
 def media_resizer(payload: bytes, new_w: int, new_h: int) -> bytes:
     """REAL resizer for `operators.multimodal.resize_media`: decodes
-    PPM/BMP/PNG, nearest-neighbor resizes, re-encodes in the same
+    PPM/BMP/PNG/JPEG, nearest-neighbor resizes, re-encodes in the same
     format; PVID videos resize frame-by-frame; other payloads pass
     through unchanged."""
     if sniff_pvid(payload or b""):
@@ -240,6 +250,10 @@ def media_resizer(payload: bytes, new_w: int, new_h: int) -> bytes:
     if fmt is None:
         return payload
     img = resize_nearest(decode_image(payload), new_w, new_h)
+    if fmt == "jpeg":
+        from turtle_spark.functions.jpeg import encode_jpeg
+
+        return encode_jpeg(img)
     return {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}[fmt](img)
 
 
