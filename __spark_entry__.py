@@ -2230,14 +2230,24 @@ def _corpus_triples(spark: SparkSession) -> DataFrame:
     from turtle_spark.operators.extract import extract_triples, media_triples
     from turtle_spark.sources.corpus import fixture_docs, generate_docs
 
+    from turtle_spark.operators import skew
+
     docs = (
         generate_docs(spark, 200, seed=42)
         .unionByName(fixture_docs(spark))
         .coalesce(8)
         .persist()
     )
-    return globalize_blank_nodes(
-        extract_triples(docs).unionByName(media_triples(docs))
+    # pinned: nearly every KG query fans this subtree into several
+    # join/union branches (edges + nodes + profiles), and Catalyst
+    # evaluates the Python extraction once PER BRANCH without it —
+    # measured 3-6 redundant extraction passes in the walk/centrality
+    # queries.  The pin is the O(corpus-projection) triple table, not
+    # raw documents.
+    return skew.pin(
+        globalize_blank_nodes(
+            extract_triples(docs).unionByName(media_triples(docs))
+        )
     )
 
 
