@@ -1961,6 +1961,85 @@ ORDER BY event_type, bucket
 """
 
 
+_BM25_QUERIES = [
+    ("q1", ["scan", "join", "merge"]),
+    ("q2", ["window", "order", "key"]),
+    ("q3", ["slow", "spark", "dup"]),
+]
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text ranking (operators/textstats.py::bm25_search):
+    three fixed keyword queries over the documents table, top-10 docs
+    each.  Rational idf keeps every operand integer-exact so the score
+    is a fixed chain of correctly-rounded IEEE arithmetic, and the
+    cross-term sum folds in term-sorted order — bit-identical to the
+    DuckDB twin AND across partitionings."""
+    from turtle_spark.operators.textstats import bm25_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id string, term string",
+    )
+    return bm25_search(docs, qt, top_k=10).orderBy("query_id", "rank")
+
+
+def _sql_bm25_search() -> str:
+    qrows = ",\n    ".join(
+        f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    k1, b = 1.2, 0.75
+    return rf"""
+WITH qt AS (
+  SELECT * FROM (VALUES
+    {qrows}
+  ) AS v(query_id, term)
+), words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(TRIM(text), '\s+')) AS term
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl
+), posted AS (
+  SELECT qt.query_id, tf.doc_id, tf.term, tf.tf, dl.dl,
+         COUNT(*) OVER (PARTITION BY tf.term) AS df,
+         stats.n_docs, stats.total_len
+  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+), scored AS (
+  SELECT query_id, doc_id, term,
+         (n_docs - df + 0.5) / (df + 0.5)
+           * (tf * {k1 + 1.0}) /
+             (tf + {k1} * ({1.0 - b} + {b} * dl / (total_len / n_docs))) AS s
+  FROM posted
+), agged AS (
+  SELECT query_id, doc_id,
+         list_reduce(
+           list_transform(
+             list_sort(list(struct_pack(t := term, s := s))), x -> x.s),
+           (a, b) -> a + b) AS score_raw,
+         COUNT(*) AS n_terms_matched
+  FROM scored GROUP BY query_id, doc_id
+), ranked AS (
+  SELECT query_id, doc_id, n_terms_matched, score_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_raw DESC, doc_id) AS rank
+  FROM agged
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+       CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+       ROUND(score_raw, 6) AS score
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+_SQL_BM25_SEARCH = _sql_bm25_search()
+
+
 def _q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram co-occurrence with exact-integer lift (observed /
     expected ratio — log of it is PMI, monotone so rankings agree):
@@ -4583,6 +4662,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_substring_clean",
         "q_events_lttb",
         "q_pq_topk",
+        "q_bm25_search",
     }
 )
 
@@ -4710,6 +4790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_substring_clean": _q_substring_clean,
         "q_events_lttb": _q_events_lttb,
         "q_pq_topk": _q_pq_topk,
+        "q_bm25_search": _q_bm25_search,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -4786,6 +4867,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_training_manifest": _SQL_TRAINING_MANIFEST,
         "q_substring_clean": _SQL_SUBSTRING_CLEAN,
         "q_events_lttb": _SQL_EVENTS_LTTB,
+        "q_bm25_search": _SQL_BM25_SEARCH,
         "q_cooccur": _SQL_COOCCUR,
         "q_lineitem_agg": _SQL_LINEITEM_AGG,
         "q_revenue_by_nation": _SQL_REVENUE_BY_NATION,

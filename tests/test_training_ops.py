@@ -431,3 +431,75 @@ def test_cooccurrence_lift_window_bound_and_determinism(spark):
     a = cooccurrence_lift(docs.repartition(7), window=1, top_k=100).collect()
     b = cooccurrence_lift(docs.coalesce(1), window=1, top_k=100).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --------------------------------------------------------------------------
+# bm25_search
+# --------------------------------------------------------------------------
+
+def _bm25_docs(spark):
+    rows = [
+        (0, "apple apple apple banana"),
+        (1, "apple banana cherry cherry"),
+        (2, "banana banana banana banana"),
+        (3, "durian cherry"),
+        (4, "apple durian durian durian durian durian durian durian"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    from turtle_spark.operators.textstats import bm25_search
+
+    docs = _bm25_docs(spark)
+    qt = spark.createDataFrame(
+        [("q", "durian"), ("q", "banana")], "query_id string, term string"
+    )
+    out = {r["doc_id"]: r for r in bm25_search(docs, qt, top_k=10).collect()}
+    # durian appears in 2 docs, banana in 3 -> rational idf makes the
+    # short durian-only doc 3 beat the all-banana doc 2
+    assert out[3]["score"] > out[2]["score"]
+    # doc 3 matched one term, doc 1 none (no durian/banana? it has banana)
+    assert out[3]["n_terms_matched"] == 1
+    assert 1 in out and out[1]["n_terms_matched"] == 1
+
+
+def test_bm25_tf_saturates(spark):
+    from turtle_spark.operators.textstats import bm25_search
+
+    # doc 0 has tf=3 for apple, doc 1 tf=1; same query — doc 0 ranks
+    # first but with less than 3x the score (k1 saturation)
+    docs = _bm25_docs(spark)
+    qt = spark.createDataFrame([("q", "apple")], "query_id string, term string")
+    out = {r["doc_id"]: r["score"] for r in bm25_search(docs, qt, top_k=10).collect()}
+    assert out[0] > out[1]
+    assert out[0] < 3 * out[1]
+
+
+def test_bm25_ranks_and_topk(spark):
+    from turtle_spark.operators.textstats import bm25_search
+
+    docs = _bm25_docs(spark)
+    qt = spark.createDataFrame(
+        [("q", "apple"), ("q", "cherry")], "query_id string, term string"
+    )
+    out = bm25_search(docs, qt, top_k=2).orderBy("rank").collect()
+    assert [r["rank"] for r in out] == [1, 2]
+    # doc 1 matches both terms — multi-term accumulation wins
+    assert out[0]["doc_id"] == 1 and out[0]["n_terms_matched"] == 2
+
+
+def test_bm25_partition_invariance(spark):
+    from turtle_spark.operators.textstats import bm25_search
+
+    docs = _bm25_docs(spark)
+    qt = spark.createDataFrame(
+        [("q", "apple"), ("q", "banana"), ("q", "cherry")],
+        "query_id string, term string",
+    )
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
+    )
+    one = key(bm25_search(docs.coalesce(1), qt, top_k=10).collect())
+    many = key(bm25_search(docs.repartition(7), qt, top_k=10).collect())
+    assert one == many

@@ -448,3 +448,104 @@ def script_mix(docs: DataFrame) -> DataFrame:
         F.sum(cnt("[ \\t\\n\\r]")).alias("n_ws"),
         F.sum(cnt("[^\\x00-\\x7f]")).alias("n_nonascii"),
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 full-text ranking with RATIONAL idf (same device as
+    ``tfidf_keywords``): per query, the ``top_k`` documents by
+
+        sum over matched terms of
+            idf_r(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    where ``idf_r = (N - df + 0.5)/(df + 0.5)`` — the inside of
+    Lucene's ``ln(1 + ...)`` idf, kept UN-logged on purpose: every
+    operand (N, df, tf, dl) is an exact integer, so the score is a
+    fixed chain of correctly-rounded IEEE +,-,*,/ and the DuckDB twin
+    hash-matches bit-for-bit, where a transcendental ``ln`` could
+    drift a ulp between libms.  (The un-logged variant weights rare
+    terms more steeply than classic BM25 — a documented monotone-
+    per-term substitution, not an approximation error.)
+
+    ``query_terms``: (query_id, term) rows — the workload side, small
+    by assumption, broadcast into the posting join.
+
+    Plan shape at scale: ONE corpus scan -> (doc, term) tf aggregation;
+    df via a COUNT window over the tf rows (not a self-join — exchange
+    reuse does not fire across differently-keyed aggs); dl/avgdl from
+    the same tf rows (sum of tf == token count, so no second scan);
+    the query join touches only postings of queried terms.  Shuffles:
+    tf agg, term window, per-(query,doc) agg, ranking window.
+    """
+    from pyspark.sql import Window
+
+    from turtle_spark.operators.skew import pin
+
+    words = docs.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    tf = pin(words.groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    posted = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        .join(F.broadcast(query_terms.select("query_id", "term")), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(stats))
+    )
+    score_term = (
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b)
+                * F.col("dl")
+                / (F.col("total_len") / F.col("n_docs"))
+            )
+        )
+    )
+    # the cross-term sum folds in TERM-SORTED order (collect -> sort ->
+    # left fold), not a bare SUM of doubles: float addition is not
+    # associative, so an aggregation-order sum could differ across
+    # partitionings (and vs the oracle) on the last ulp — the same
+    # reason the golden mirrors use left-fold float order
+    per_doc = (
+        posted.withColumn("_s", score_term)
+        .groupBy("query_id", id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "_s"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_s"],
+            ).alias("_score"),
+            F.count("*").alias("n_terms_matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col(id_col)
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            id_col,
+            "n_terms_matched",
+            F.round("_score", 6).alias("score"),
+        )
+    )
