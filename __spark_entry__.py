@@ -2040,6 +2040,34 @@ ORDER BY query_id, rank
 _SQL_BM25_SEARCH = _sql_bm25_search()
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (operators/sessions.py::event_transitions): counts int64, one
+    int/int division for the probability — hash-exact vs the twin."""
+    from turtle_spark.operators.sessions import event_transitions
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_transitions(events).orderBy("from_type", "to_type")
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), cnt AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS prob
+FROM cnt
+ORDER BY from_type, to_type
+"""
+
+
 def _q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram co-occurrence with exact-integer lift (observed /
     expected ratio — log of it is PMI, monotone so rankings agree):
@@ -4663,6 +4691,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_events_lttb",
         "q_pq_topk",
         "q_bm25_search",
+        "q_event_transitions",
     }
 )
 
@@ -4791,6 +4820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_lttb": _q_events_lttb,
         "q_pq_topk": _q_pq_topk,
         "q_bm25_search": _q_bm25_search,
+        "q_event_transitions": _q_event_transitions,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -4868,6 +4898,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_substring_clean": _SQL_SUBSTRING_CLEAN,
         "q_events_lttb": _SQL_EVENTS_LTTB,
         "q_bm25_search": _SQL_BM25_SEARCH,
+        "q_event_transitions": _SQL_EVENT_TRANSITIONS,
         "q_cooccur": _SQL_COOCCUR,
         "q_lineitem_agg": _SQL_LINEITEM_AGG,
         "q_revenue_by_nation": _SQL_REVENUE_BY_NATION,

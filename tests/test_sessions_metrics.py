@@ -110,3 +110,36 @@ def test_exact_jaccard_kernel_bounded_contract(spark):
 
     with _pytest.raises(ValueError, match="bounded by contract"):
         exact_jaccard_pairs_sampled(profiles, 0.5, max_docs=5).collect()
+
+
+def test_event_transitions_counts_and_probs(spark):
+    import datetime as dt
+
+    from turtle_spark.operators.sessions import event_transitions
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a -> c ; user 2: a -> b
+        (1, 1, base + dt.timedelta(minutes=0), "a", 0.0),
+        (2, 1, base + dt.timedelta(minutes=1), "b", 0.0),
+        (3, 1, base + dt.timedelta(minutes=2), "a", 0.0),
+        (4, 1, base + dt.timedelta(minutes=3), "c", 0.0),
+        (5, 2, base + dt.timedelta(minutes=0), "a", 0.0),
+        (6, 2, base + dt.timedelta(minutes=1), "b", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        (r["from_type"], r["to_type"]): r
+        for r in event_transitions(df).collect()
+    }
+    assert out[("a", "b")]["n"] == 2
+    assert out[("a", "c")]["n"] == 1
+    assert out[("b", "a")]["n"] == 1
+    # a -> {b: 2, c: 1}: probabilities normalize per from_type
+    assert out[("a", "b")]["prob"] == 2 / 3
+    assert out[("a", "c")]["prob"] == 1 / 3
+    assert out[("b", "a")]["prob"] == 1.0
+    # no cross-user pair (user1 c -> user2 a must not appear)
+    assert ("c", "a") not in out

@@ -70,3 +70,43 @@ def sessionize_native(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .drop("w")
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for each ordered (from_type -> to_type) pair of
+    CONSECUTIVE events of the same user, the transition count and
+    probability — the product-analytics companion to the funnel query
+    (which fixes the path; this measures all of them).
+
+    One window (lead over the user's time-ordered stream, tie-broken
+    on the id so ordering is total) + one map-side-combined count
+    aggregation; the probability denominator is a second tiny window
+    over the COUNTED rows (distinct type pairs), never the events.
+    Counts stay int64; the single int/int division makes `prob`
+    bit-identical in any engine.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.sum("n").over(w_from)).alias("prob"),
+    )
