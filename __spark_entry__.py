@@ -2836,6 +2836,25 @@ def _q_kg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_delta(t.where(h != 0), t.where(h != 1)).orderBy("predicate")
 
 
+def _q_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PageRank maintenance: the OLD doc-hash snapshot's
+    converged ranks warm-start 4 integer fixed-point iterations on the
+    NEW snapshot's graph (operators/graph.py::pagerank_resume) — the
+    O(delta-mixing) upkeep path vs a full 10-round recompute.  Same
+    snapshot convention as q_kg_delta; resume-continuity
+    (resume(e, pr(e,6), 4) == pr(e,10) bit-exact) is pinned in
+    tests/test_graph.py.  Top 20 maintained ranks."""
+    from turtle_spark.operators.graph import entity_edges, pagerank, pagerank_resume
+
+    t = _corpus_triples(spark)
+    h = F.pmod(F.xxhash64(F.concat(F.col("doc_id"), F.lit("#snap"))), F.lit(4))
+    old_edges = entity_edges(t.where(h != 0))
+    new_edges = entity_edges(t.where(h != 1))
+    prev = pagerank(old_edges, iterations=10)
+    maintained = pagerank_resume(new_edges, prev, iterations=4)
+    return maintained.orderBy(F.col("rank_fp").desc(), "node").limit(20)
+
+
 def _q_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-serving materialization: per-entity summary cards
     (triple count, predicate vocabulary, literal/link mix, XOR content
@@ -4568,7 +4587,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_kg_extract", "q_serialize_roundtrip", "q_media_features",
         "q_audio_stats", "q_frame_sample", "q_triples_two_hop",
         "q_predicate_profile",
-        "q_pagerank_kg", "q_entity_ids", "q_kg_negative_samples",
+        "q_pagerank_kg", "q_pagerank_incremental", "q_entity_ids", "q_kg_negative_samples",
         "q_bgp_typed_links", "q_bgp_note_chain", "q_kg_closure",
         "q_triangle_count", "q_kg_delta", "q_entity_cards",
         "q_path_social", "q_path_members", "q_rdfs_entail", "q_kcore",
@@ -4692,6 +4711,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_pq_topk",
         "q_bm25_search",
         "q_event_transitions",
+        "q_pagerank_incremental",
     }
 )
 
@@ -4821,6 +4841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_topk": _q_pq_topk,
         "q_bm25_search": _q_bm25_search,
         "q_event_transitions": _q_event_transitions,
+        "q_pagerank_incremental": _q_pagerank_incremental,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -756,3 +756,62 @@ def test_clustering_coefficient_ground_truth(spark):
         "b": (2, 1, 1.0),
         "c": (2, 1, 1.0),
     }
+
+
+def test_pagerank_resume_equals_uninterrupted_run(spark):
+    from turtle_spark.operators.graph import pagerank, pagerank_resume
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        "src string, dst string",
+    )
+    full = {r["node"]: r["rank_fp"] for r in pagerank(edges, iterations=10).collect()}
+    resumed = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_resume(
+            edges, pagerank(edges, iterations=6), iterations=4
+        ).collect()
+    }
+    assert resumed == full  # bit-exact continuation
+
+
+def test_pagerank_resume_warm_beats_cold_after_delta(spark):
+    from turtle_spark.operators.graph import pagerank, pagerank_resume
+
+    old = [(f"n{i}", f"n{(i * 7 + 1) % 40}") for i in range(200)]
+    old_edges = spark.createDataFrame(
+        [e for e in old if e[0] != e[1]], "src string, dst string"
+    )
+    # delta: a handful of new edges
+    new = [e for e in old if e[0] != e[1]] + [("n1", "n39"), ("n2", "n38"), ("x", "n1")]
+    new_edges = spark.createDataFrame(new, "src string, dst string")
+
+    target = {
+        r["node"]: r["rank_fp"] for r in pagerank(new_edges, iterations=10).collect()
+    }
+    prev = pagerank(old_edges, iterations=10)
+    warm = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_resume(new_edges, prev, iterations=3).collect()
+    }
+    cold = {
+        r["node"]: r["rank_fp"] for r in pagerank(new_edges, iterations=3).collect()
+    }
+    warm_err = max(abs(warm[n] - target[n]) for n in target)
+    cold_err = max(abs(cold[n] - target[n]) for n in target)
+    assert warm_err < cold_err, (warm_err, cold_err)
+
+
+def test_pagerank_resume_new_nodes_start_uniform(spark):
+    from turtle_spark.operators.graph import pagerank_resume
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    prev = spark.createDataFrame([("a", 777)], "node string, rank_fp long")
+    # 0 iterations: pure re-init — 'a' keeps its previous rank, 'b'
+    # (absent from prev) starts at the uniform fixed-point scale
+    out = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_resume(edges, prev, iterations=0).collect()
+    }
+    assert out["a"] == 777
+    assert out["b"] == 10**12

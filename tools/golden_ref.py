@@ -1048,6 +1048,43 @@ def ref_q_pagerank_kg() -> tuple[list[str], list[tuple]]:
     return ["node", "rank_fp"], [(n, r) for n, r in top]
 
 
+def ref_q_pagerank_incremental() -> tuple[list[str], list[tuple]]:
+    """Warm-started PageRank maintenance between the two doc-hash
+    snapshots — dict loops vs the engine's join/groupBy iterations;
+    integer arithmetic keeps both exact."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+
+    def snap_edges(excluded_residue: int) -> list[tuple[str, str]]:
+        return sorted(
+            {
+                (r[2], r[4])
+                for r in rows
+                if r[7] == "iri"
+                and r[2] != r[4]
+                and pmod(xxh64_str(r[0] + "#snap"), 4) != excluded_residue
+            }
+        )
+
+    def iterate(edges, rank: dict, iters: int) -> dict:
+        nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+        deg: dict[str, int] = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        base = 15 * _PR_SCALE // 100
+        rank = {n: rank.get(n, _PR_SCALE) for n in nodes}
+        for _ in range(iters):
+            inflow = {n: 0 for n in nodes}
+            for s, d in edges:
+                inflow[d] += rank[s] // deg[s]
+            rank = {n: base + 85 * inflow[n] // 100 for n in nodes}
+        return rank
+
+    prev = iterate(snap_edges(0), {}, 10)
+    warm = iterate(snap_edges(1), prev, 4)
+    top = sorted(warm.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return ["node", "rank_fp"], [(n, r) for n, r in top]
+
+
 def ref_q_entity_ids() -> tuple[list[str], list[tuple]]:
     """Hash-sampled slice of the dense entity dictionary (the full
     layout is pinned by pytest; the oracle checks per-entity ids)."""
@@ -3582,6 +3619,7 @@ CORPUS_QUERIES = {
     "q_frame_sample": ref_q_frame_sample,
     "q_predicate_profile": ref_q_predicate_profile,
     "q_pagerank_kg": ref_q_pagerank_kg,
+    "q_pagerank_incremental": ref_q_pagerank_incremental,
     "q_bgp_typed_links": ref_q_bgp_typed_links,
     "q_bgp_note_chain": ref_q_bgp_note_chain,
     "q_kg_closure": ref_q_kg_closure,
@@ -3698,6 +3736,7 @@ DUCK_TYPES = {
         "n_objects": "BIGINT", "max_fanout": "BIGINT", "is_functional": "BOOLEAN",
     },
     "q_pagerank_kg": {"node": "VARCHAR", "rank_fp": "BIGINT"},
+    "q_pagerank_incremental": {"node": "VARCHAR", "rank_fp": "BIGINT"},
     "q_entity_ids": {"entity": "VARCHAR", "entity_id": "BIGINT"},
     "q_kg_negative_samples": {
         "subject": "VARCHAR", "predicate": "VARCHAR", "true_object": "VARCHAR",

@@ -208,6 +208,78 @@ def pagerank(
     return ranks
 
 
+def pagerank_resume(
+    edges: DataFrame,
+    prev_ranks: DataFrame,
+    iterations: int = 4,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Resume / warm-start the integer fixed-point PageRank.
+
+    Two uses, one exact contract:
+
+    * **resume**: continuing from a checkpointed rank table is
+      BIT-IDENTICAL to the uninterrupted run —
+      ``pagerank_resume(e, pagerank(e, 6), 4) == pagerank(e, 10)``
+      exactly, because the iteration is a pure integer function of the
+      rank table (pinned by test);
+    * **incremental maintenance**: after an edge delta, a few warm
+      iterations from the previous snapshot's ranks recover the new
+      graph's ranks far closer than the same number of cold
+      iterations — the O(delta-mixing) upkeep path for a 10^12-edge
+      graph where a full 10-round recompute per snapshot is the cost
+      ceiling.  Nodes new to the graph start at the uniform
+      ``_SCALE`` init; departed nodes drop out via the node set.
+
+    Same per-iteration plan as ``pagerank`` (one join + one groupBy,
+    pinned edges/nodes/degree, periodic lineage truncation).
+    """
+    from turtle_spark.operators.skew import pin
+
+    edges = pin(edges.select("src", "dst"))
+    nodes = pin(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    degree = pin(edges.groupBy("src").agg(F.count("*").alias("deg")))
+    ranks = nodes.join(
+        prev_ranks.select("node", F.col("rank_fp").alias("_prev")),
+        "node",
+        "left",
+    ).select(
+        "node",
+        F.coalesce(F.col("_prev"), F.lit(_SCALE).cast("long")).alias("rank_fp"),
+    )
+    base_fp = F.lit((_DAMP_DEN - _DAMP_NUM) * _SCALE // _DAMP_DEN).cast("long")
+    for i in range(iterations):
+        contribs = (
+            ranks.join(edges, ranks["node"] == edges["src"])
+            .join(degree, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fp div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    base_fp
+                    + F.expr(
+                        f"{_DAMP_NUM} * coalesce(inflow, 0L) div {_DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def negative_samples(
     triples: DataFrame,
     entity_ids: DataFrame,
