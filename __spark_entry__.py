@@ -2068,6 +2068,81 @@ ORDER BY from_type, to_type
 """
 
 
+def _q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order file layout vs single-column sort, graded by the read
+    amplification of one two-dimensional selection (a ship-year x
+    part-key range) over lineitem split into 64 files
+    (operators/layout.py) — the Delta/Iceberg ZORDER BY technique,
+    integer-exact Morton keys and rank-based file assignment so the
+    whole report hash-matches the twin."""
+    from turtle_spark.operators.layout import pruning_report
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.datediff(
+            F.to_date("l_shipdate"), F.lit("1995-01-01").cast("date")
+        ).alias("ship_day"),
+        F.col("l_partkey").alias("part"),
+    )
+    sel = (
+        (F.col("ship_day") >= 730)
+        & (F.col("ship_day") < 1095)
+        & (F.col("part") < 25)
+    )
+    return pruning_report(li, "ship_day", "part", sel, n_files=64).orderBy(
+        "layout"
+    )
+
+
+def _sql_zorder_prune() -> str:
+    spread = "{x}"
+    for shift, mask in ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                        (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                        (1, 0x5555555555555555)):
+        spread = f"((({spread}) | (({spread}) << {shift})) & {mask})"
+    sa = spread.format(x="(ship_day & 2147483647)")
+    sb = spread.format(x="(part & 2147483647)")
+    return f"""
+WITH li AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS ship_day,
+         l_partkey AS part
+  FROM lineitem
+), zed AS (
+  SELECT ship_day, part,
+         ({sa}) | (({sb}) << 1) AS z,
+         CASE WHEN ship_day >= 730 AND ship_day < 1095 AND part < 25
+              THEN 1 ELSE 0 END AS sel
+  FROM li
+), sized AS (
+  SELECT *, COUNT(*) OVER () AS n,
+         ROW_NUMBER() OVER (ORDER BY z, ship_day, part) - 1 AS rz,
+         ROW_NUMBER() OVER (ORDER BY ship_day, part) - 1 AS rl
+  FROM zed
+), filed AS (
+  SELECT sel,
+         CAST((rz * 64) // n AS INT) AS file_z,
+         CAST((rl * 64) // n AS INT) AS file_lin
+  FROM sized
+), pf AS (
+  SELECT 'zorder' AS layout, file_z AS f, SUM(sel) AS s, COUNT(*) AS rows_
+  FROM filed GROUP BY file_z
+  UNION ALL
+  SELECT 'linear_a' AS layout, file_lin AS f, SUM(sel) AS s, COUNT(*) AS rows_
+  FROM filed GROUP BY file_lin
+)
+SELECT layout,
+       CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+       CAST(SUM(s) AS BIGINT) AS rows_selected,
+       CAST(SUM(CASE WHEN s > 0 THEN rows_ ELSE 0 END) AS BIGINT) AS rows_in_touched_files,
+       CAST(SUM(CASE WHEN s > 0 THEN rows_ ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(s) AS DOUBLE) AS read_amplification
+FROM pf GROUP BY layout
+ORDER BY layout
+"""
+
+
+_SQL_ZORDER_PRUNE = _sql_zorder_prune()
+
+
 def _q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram co-occurrence with exact-integer lift (observed /
     expected ratio — log of it is PMI, monotone so rankings agree):
@@ -4712,6 +4787,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_bm25_search",
         "q_event_transitions",
         "q_pagerank_incremental",
+        "q_zorder_prune",
     }
 )
 
@@ -4842,6 +4918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_search": _q_bm25_search,
         "q_event_transitions": _q_event_transitions,
         "q_pagerank_incremental": _q_pagerank_incremental,
+        "q_zorder_prune": _q_zorder_prune,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -4920,6 +4997,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_events_lttb": _SQL_EVENTS_LTTB,
         "q_bm25_search": _SQL_BM25_SEARCH,
         "q_event_transitions": _SQL_EVENT_TRANSITIONS,
+        "q_zorder_prune": _SQL_ZORDER_PRUNE,
         "q_cooccur": _SQL_COOCCUR,
         "q_lineitem_agg": _SQL_LINEITEM_AGG,
         "q_revenue_by_nation": _SQL_REVENUE_BY_NATION,
