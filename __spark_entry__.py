@@ -3110,6 +3110,25 @@ def _q_trig_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("graph")
 
 
+def _q_dot_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graphviz DOT edge lines (sources/dot.py): the corpus entity
+    graph as `"s" -> "o" [label="p"];` lines with the module's own
+    escape rules, aggregated per 32-way subject hash bucket; bytes
+    golden-pinned, parse round trip in tests/test_dot.py."""
+    from turtle_spark.sources.dot import to_dot_lines
+
+    lines = to_dot_lines(_corpus_triples(spark))
+    return (
+        lines.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.length("line")).alias("total_chars"),
+            F.expr("bit_xor(xxhash64(line))").alias("line_fp"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def _q_jsonld_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-LD node-object lines (sources/jsonld.py): the corpus as
     NDJSON expanded-form node objects, one subject per line — the
@@ -4679,6 +4698,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_sparql_having", "q_sparql_bind",
         "q_sparql_graph", "q_nquads_export", "q_collections", "q_containers",
         "q_hits", "q_link_predict", "q_trig_export", "q_jsonld_export",
+        "q_dot_export",
         "q_functional_conflicts", "q_ppr", "q_sketch_cardinality",
         "q_clustering_coef", "q_text_normalize", "q_doc_lint",
         "q_cc_incremental",
@@ -4788,6 +4808,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_event_transitions",
         "q_pagerank_incremental",
         "q_zorder_prune",
+        "q_dot_export",
     }
 )
 
@@ -4919,6 +4940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_transitions": _q_event_transitions,
         "q_pagerank_incremental": _q_pagerank_incremental,
         "q_zorder_prune": _q_zorder_prune,
+        "q_dot_export": _q_dot_export,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -155,6 +155,13 @@ HEADLINE = [
     "q_training_manifest",
     "q_doc_lint",
     "q_cc_incremental",
+    "q_substring_clean",
+    "q_events_lttb",
+    "q_pq_topk",
+    "q_bm25_search",
+    "q_event_transitions",
+    "q_pagerank_incremental",
+    "q_zorder_prune",
 ]
 
 

@@ -3214,6 +3214,34 @@ def ref_q_jsonld_export() -> tuple[list[str], list[tuple]]:
 
 
 
+def _dot_esc(s: str) -> str:
+    return s.replace("\\", "\\\\").replace('"', '\\"')
+
+
+def ref_q_dot_export() -> tuple[list[str], list[tuple]]:
+    """DOT edge lines — byte-exact mirror of sources/dot.py's escape
+    and line format, per 32-way subject hash bucket."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    edges = sorted(
+        {(s, p, o) for _d, _q, s, p, o, _l, _dt, ot in rows if ot == "iri"}
+    )
+    agg: dict[int, list[int]] = {}
+    for s, p, o in edges:
+        line = (
+            '  "' + _dot_esc(s) + '" -> "' + _dot_esc(o)
+            + '" [label="' + _dot_esc(p) + '"];'
+        )
+        cell = agg.setdefault(pmod(xxh64_str(s), 32), [0, 0, 0])
+        cell[0] += 1
+        cell[1] += len(line)
+        cell[2] ^= xxh64_str(line)
+    out = [
+        (b, n, total, _signed64(fp))
+        for b, (n, total, fp) in sorted(agg.items())
+    ]
+    return ["bucket", "n_lines", "total_chars", "line_fp"], out
+
+
 def ref_q_functional_conflicts() -> tuple[list[str], list[tuple]]:
     """Functional-property conflict report — dict loops vs the
     engine's two-level aggregation (mirrors
@@ -3603,6 +3631,7 @@ CORPUS_QUERIES = {
     "q_ppr": ref_q_ppr,
     "q_functional_conflicts": ref_q_functional_conflicts,
     "q_jsonld_export": ref_q_jsonld_export,
+    "q_dot_export": ref_q_dot_export,
     "q_trig_export": ref_q_trig_export,
     "q_hits": ref_q_hits,
     "q_link_predict": ref_q_link_predict,
@@ -3676,6 +3705,7 @@ DUCK_TYPES = {
     "q_ppr": {"node": "VARCHAR", "rank_fp": "BIGINT"},
     "q_functional_conflicts": {"predicate": "VARCHAR", "n_subjects": "BIGINT", "n_multi": "BIGINT", "max_objects": "BIGINT", "conflict_fp": "BIGINT"},
     "q_jsonld_export": {"bucket": "BIGINT", "n_lines": "BIGINT", "total_chars": "BIGINT", "line_fp": "BIGINT"},
+    "q_dot_export": {"bucket": "BIGINT", "n_lines": "BIGINT", "total_chars": "BIGINT", "line_fp": "BIGINT"},
     "q_trig_export": {"graph": "VARCHAR", "n_chars": "INTEGER", "block_fp": "BIGINT"},
     "q_hits": {"node": "VARCHAR", "hub_fp": "BIGINT", "auth_fp": "BIGINT"},
     "q_link_predict": {"a": "VARCHAR", "b": "VARCHAR", "n_common": "BIGINT", "aa_fp": "BIGINT"},
