@@ -2930,6 +2930,45 @@ def _q_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintained.orderBy(F.col("rank_fp").desc(), "node").limit(20)
 
 
+def _q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted landmark distances over the entity graph
+    (operators/graph.py::shortest_paths): exact Bellman-Ford costs
+    from 3 hash-chosen landmarks, per-edge weight = 1 +
+    xxhash64(src|dst) mod 9 (deterministic synthetic costs — the
+    corpus has no native edge weights).  Summarized per landmark:
+    reached count, max/sum of distances, XOR fingerprint over every
+    (node, dist) so the golden pins the whole distance table."""
+    from turtle_spark.operators.graph import entity_edges, shortest_paths
+
+    edges = entity_edges(_corpus_triples(spark)).withColumn(
+        "w",
+        F.lit(1)
+        + F.pmod(F.xxhash64(F.concat_ws("|", "src", "dst")), F.lit(9)),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    landmarks = nodes.where(
+        F.pmod(F.xxhash64(F.concat(F.col("node"), F.lit("#landmark"))), F.lit(600))
+        == 0
+    )
+    dists = shortest_paths(edges, landmarks, max_iterations=20)
+    return (
+        dists.groupBy("landmark")
+        .agg(
+            F.count("*").alias("n_reached"),
+            F.max("dist").alias("max_dist"),
+            F.sum("dist").alias("sum_dist"),
+            F.expr(
+                "bit_xor(xxhash64(concat_ws('|', node, cast(dist as string))))"
+            ).alias("dist_fp"),
+        )
+        .orderBy("landmark")
+    )
+
+
 def _q_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-serving materialization: per-entity summary cards
     (triple count, predicate vocabulary, literal/link mix, XOR content
@@ -4681,7 +4720,8 @@ _CORPUS_GOLDENS = frozenset(
         "q_kg_extract", "q_serialize_roundtrip", "q_media_features",
         "q_audio_stats", "q_frame_sample", "q_triples_two_hop",
         "q_predicate_profile",
-        "q_pagerank_kg", "q_pagerank_incremental", "q_entity_ids", "q_kg_negative_samples",
+        "q_pagerank_kg", "q_pagerank_incremental", "q_shortest_paths",
+        "q_entity_ids", "q_kg_negative_samples",
         "q_bgp_typed_links", "q_bgp_note_chain", "q_kg_closure",
         "q_triangle_count", "q_kg_delta", "q_entity_cards",
         "q_path_social", "q_path_members", "q_rdfs_entail", "q_kcore",
@@ -4809,6 +4849,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_pagerank_incremental",
         "q_zorder_prune",
         "q_dot_export",
+        "q_shortest_paths",
     }
 )
 
@@ -4941,6 +4982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank_incremental": _q_pagerank_incremental,
         "q_zorder_prune": _q_zorder_prune,
         "q_dot_export": _q_dot_export,
+        "q_shortest_paths": _q_shortest_paths,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -815,3 +815,75 @@ def test_pagerank_resume_new_nodes_start_uniform(spark):
     }
     assert out["a"] == 777
     assert out["b"] == 10**12
+
+
+def test_shortest_paths_hand_graph(spark):
+    from turtle_spark.operators.graph import shortest_paths
+
+    # cheap long way round beats the expensive direct edge
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 10),
+            ("a", "c", 1),
+            ("c", "d", 1),
+            ("d", "b", 1),
+            ("b", "e", 2),
+            ("x", "y", 5),  # disconnected from a
+        ],
+        "src string, dst string, w long",
+    )
+    lm = spark.createDataFrame([("a",)], "node string")
+    out = {
+        r["node"]: r["dist"] for r in shortest_paths(edges, lm).collect()
+    }
+    assert out == {"a": 0, "c": 1, "d": 2, "b": 3, "e": 5}
+
+
+def test_shortest_paths_multi_landmark_independent(spark):
+    from turtle_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    lm = spark.createDataFrame([("a",), ("b",)], "node string")
+    out = {
+        (r["landmark"], r["node"]): r["dist"]
+        for r in shortest_paths(edges, lm).collect()
+    }
+    assert out[("a", "b")] == 1 and out[("a", "c")] == 2
+    assert out[("b", "c")] == 1 and out[("b", "a")] == 2
+
+
+def test_shortest_paths_converges_before_cap(spark):
+    from turtle_spark.operators.graph import shortest_paths
+
+    # a 3-hop path: distances settle after 3 rounds even with a high cap
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)],
+        "src string, dst string, w long",
+    )
+    lm = spark.createDataFrame([("a",)], "node string")
+    out = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(edges, lm, max_iterations=50).collect()
+    }
+    assert out["d"] == 3 and len(out) == 4
+
+
+def test_shortest_paths_partition_invariance(spark):
+    from turtle_spark.operators.graph import shortest_paths
+
+    rows = [
+        (f"n{i}", f"n{(i * 7 + 3) % 50}", 1 + (i * 13) % 9) for i in range(300)
+    ]
+    edges = spark.createDataFrame(
+        [r for r in rows if r[0] != r[1]], "src string, dst string, w long"
+    )
+    lm = spark.createDataFrame([("n0",), ("n17",)], "node string")
+    key = lambda df: sorted(
+        (r["landmark"], r["node"], r["dist"]) for r in df.collect()
+    )
+    one = key(shortest_paths(edges.coalesce(1), lm))
+    many = key(shortest_paths(edges.repartition(8), lm))
+    assert one == many

@@ -1085,6 +1085,41 @@ def ref_q_pagerank_incremental() -> tuple[list[str], list[tuple]]:
     return ["node", "rank_fp"], [(n, r) for n, r in top]
 
 
+def ref_q_shortest_paths() -> tuple[list[str], list[tuple]]:
+    """Landmark shortest paths — heap dijkstra vs the engine's
+    Bellman-Ford rounds; both exact over int64 weights."""
+    import heapq
+
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    edges = sorted({(r[2], r[4]) for r in rows if r[7] == "iri" and r[2] != r[4]})
+    wedges = [(s, d, 1 + pmod(xxh64_str(s + "|" + d), 9)) for s, d in edges]
+    adj: dict[str, list[tuple[str, int]]] = {}
+    for s, d, w in wedges:
+        adj.setdefault(s, []).append((d, w))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    landmarks = [n for n in nodes if pmod(xxh64_str(n + "#landmark"), 600) == 0]
+    out = []
+    for lm in sorted(landmarks):
+        dist = {lm: 0}
+        heap = [(0, lm)]
+        while heap:
+            d, u = heapq.heappop(heap)
+            if d > dist.get(u, 1 << 62):
+                continue
+            for v, w in adj.get(u, []):
+                nd = d + w
+                if nd < dist.get(v, 1 << 62):
+                    dist[v] = nd
+                    heapq.heappush(heap, (nd, v))
+        fp = 0
+        for n, d in dist.items():
+            fp ^= xxh64_str(n + "|" + str(d))
+        out.append(
+            (lm, len(dist), max(dist.values()), sum(dist.values()), _signed64(fp))
+        )
+    return ["landmark", "n_reached", "max_dist", "sum_dist", "dist_fp"], out
+
+
 def ref_q_entity_ids() -> tuple[list[str], list[tuple]]:
     """Hash-sampled slice of the dense entity dictionary (the full
     layout is pinned by pytest; the oracle checks per-entity ids)."""
@@ -3649,6 +3684,7 @@ CORPUS_QUERIES = {
     "q_predicate_profile": ref_q_predicate_profile,
     "q_pagerank_kg": ref_q_pagerank_kg,
     "q_pagerank_incremental": ref_q_pagerank_incremental,
+    "q_shortest_paths": ref_q_shortest_paths,
     "q_bgp_typed_links": ref_q_bgp_typed_links,
     "q_bgp_note_chain": ref_q_bgp_note_chain,
     "q_kg_closure": ref_q_kg_closure,
@@ -3767,6 +3803,7 @@ DUCK_TYPES = {
     },
     "q_pagerank_kg": {"node": "VARCHAR", "rank_fp": "BIGINT"},
     "q_pagerank_incremental": {"node": "VARCHAR", "rank_fp": "BIGINT"},
+    "q_shortest_paths": {"landmark": "VARCHAR", "n_reached": "BIGINT", "max_dist": "BIGINT", "sum_dist": "BIGINT", "dist_fp": "BIGINT"},
     "q_entity_ids": {"entity": "VARCHAR", "entity_id": "BIGINT"},
     "q_kg_negative_samples": {
         "subject": "VARCHAR", "predicate": "VARCHAR", "true_object": "VARCHAR",

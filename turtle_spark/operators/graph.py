@@ -1168,3 +1168,77 @@ def container_arrays(triples: DataFrame) -> DataFrame:
             lambda x: x["item"],
         ).alias("items"),
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    max_iterations: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Multi-source weighted shortest paths (distributed Bellman-Ford
+    with early convergence): exact minimal path costs from every
+    landmark over ``edges(src, dst, w)`` with non-negative int64
+    weights — the weighted companion to ``bfs_levels`` (landmark
+    distances are the standard building block for graph sketches and
+    routing features at web scale).
+
+    Per round: one relax join (frontier x edges) + one min-combine
+    aggregation keyed (landmark, node) — both map-side combinable;
+    int64 costs make the min exact, so the fixed point is
+    parallelism-independent.  Rounds run until NO distance improved (a
+    one-scalar driver check per round, same bounded-collect pattern as
+    operators/cc.py) or ``max_iterations`` — whichever first; with
+    non-negative weights the fixed point is the true shortest-path
+    distance once the round count reaches the graph's hop diameter.
+
+    Only IMPROVED rows join the next relax round (delta frontier), so
+    late rounds touch the still-settling fringe, not the whole graph.
+
+    Returns ``(landmark, node, dist)`` for every reached node.
+    """
+    from turtle_spark.operators.skew import pin
+
+    edges = pin(edges.select("src", "dst", F.col("w").cast("long").alias("w")))
+    state = landmarks.select(
+        F.col(landmarks.columns[0]).alias("landmark")
+    ).select("landmark", F.col("landmark").alias("node"), F.lit(0).cast("long").alias("dist"))
+    state = pin(state)
+    frontier = state
+    for _ in range(max_iterations):
+        relaxed = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(
+                "landmark",
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("landmark", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        # improved = strictly better than (or absent from) current state
+        joined = relaxed.alias("r").join(
+            state.alias("s"),
+            (F.col("r.landmark") == F.col("s.landmark"))
+            & (F.col("r.node") == F.col("s.node")),
+            "left",
+        )
+        improved = pin(
+            joined.where(
+                F.col("s.dist").isNull() | (F.col("r.dist") < F.col("s.dist"))
+            ).select(
+                F.col("r.landmark").alias("landmark"),
+                F.col("r.node").alias("node"),
+                F.col("r.dist").alias("dist"),
+            )
+        )
+        if improved.limit(1).count() == 0:
+            break
+        new_state = (
+            state.unionByName(improved)
+            .groupBy("landmark", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        state = pin(new_state.localCheckpoint(eager=False))
+        frontier = improved
+    return state
