@@ -99,6 +99,14 @@ AUDITED = [
     "q_cohort_retention",
     "q_event_funnel",
     "q_snapshot_travel",
+    "q_substring_clean",
+    "q_events_lttb",
+    "q_pq_topk",
+    "q_bm25_search",
+    "q_event_transitions",
+    "q_zorder_prune",
+    "q_dot_export",
+    "q_shortest_paths",
 ]
 
 

@@ -62,7 +62,11 @@ def zorder_files(
 ) -> DataFrame:
     """Assign each row its Z-layout file id (0..n_files-1), equal-depth
     by Z-rank.  Adds columns ``z`` and ``file``."""
-    zed = df.withColumn("z", z_value(F.col(a_col), F.col(b_col)))
+    from turtle_spark.operators.skew import pin
+
+    # pinned: the rank window and the row-count branch both read this
+    # subtree (and pruning_report layers two more references on top)
+    zed = pin(df.withColumn("z", z_value(F.col(a_col), F.col(b_col))))
     w = Window.orderBy("z", a_col, b_col)
     n = zed.select(F.count("*").alias("n"))
     return (
@@ -89,11 +93,16 @@ def pruning_report(
     read amplification = rows_in_touched_files / rows_selected.  All
     counts int64; the one double division is exact-int operands.
     """
+    from turtle_spark.operators.skew import pin
+
     zed = zorder_files(df, a_col, b_col, n_files).withColumn(
         "_sel", selection.cast("int")
     )
     w_lin = Window.orderBy(a_col, b_col)
-    both = (
+    # pinned: both layouts' per-file aggregates descend from this one
+    # table — without the pin each of the four aggregate branches
+    # re-scans the source and re-sorts both layouts
+    both = pin(
         zed.withColumn("_rn", F.row_number().over(w_lin) - 1)
         .join(F.broadcast(zed.select(F.count("*").alias("n"))))
         .withColumn("file_lin", F.expr(f"CAST(_rn * {n_files} div n AS INT)"))
