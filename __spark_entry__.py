@@ -2143,6 +2143,17 @@ ORDER BY layout
 _SQL_ZORDER_PRUNE = _sql_zorder_prune()
 
 
+def _q_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations (operators/sketches.py::kmv_set_ops):
+    union/intersection cardinality of the click vs purchase user sets
+    from two mergeable min-k sketches — exact counts ride along for
+    the report; golden-oracled against a python min-k mirror."""
+    from turtle_spark.operators.sketches import kmv_set_ops
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_set_ops(events, "event_type", "user_id", "click", "purchase")
+
+
 def _q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram co-occurrence with exact-integer lift (observed /
     expected ratio — log of it is PMI, monotone so rankings agree):
@@ -4752,7 +4763,7 @@ _SF_GOLDENS = frozenset(
         "q_mixture_sample", "q_novelty_screen",
         "q_lm_quality", "q_dsir_weights", "q_sketch_recall",
         "q_semdedup", "q_leakage_split", "q_bpe_vocab", "q_bpe_encode",
-        "q_heavy_hitters", "q_kmeans_topics", "q_quantile_sketch",
+        "q_heavy_hitters", "q_sketch_setops", "q_kmeans_topics", "q_quantile_sketch",
         "q_hard_negatives", "q_bloom_prune", "q_length_matched",
         "q_pq_topk",
     }
@@ -4850,6 +4861,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_zorder_prune",
         "q_dot_export",
         "q_shortest_paths",
+        "q_sketch_setops",
     }
 )
 
@@ -4983,6 +4995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_prune": _q_zorder_prune,
         "q_dot_export": _q_dot_export,
         "q_shortest_paths": _q_shortest_paths,
+        "q_sketch_setops": _q_sketch_setops,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

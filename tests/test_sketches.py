@@ -192,3 +192,43 @@ def test_kmv_quantiles_small_group_is_exact(spark):
     assert row["q_p5"] == math.floor(0.5 * 49 + 0.5)
     assert row["q_p9"] == math.floor(0.9 * 49 + 0.5)
     assert row["q_p99"] == math.floor(0.99 * 49 + 0.5)
+
+
+# --------------------------------------------------------------------------
+# kmv_set_ops
+# --------------------------------------------------------------------------
+
+def test_kmv_set_ops_small_sets_exact(spark):
+    from turtle_spark.operators.sketches import kmv_set_ops
+
+    rows = [("A", i) for i in range(40)] + [("B", i) for i in range(20, 70)]
+    df = spark.createDataFrame(rows, "s string, v long")
+    r = kmv_set_ops(df, "s", "v", "A", "B").collect()[0]
+    assert r["exact_a"] == 40 and r["exact_b"] == 50
+    assert r["exact_union"] == 70 and r["exact_inter"] == 20
+    # both sides below k=128 distinct: the sketch IS the set
+    assert r["union_est"] == 70.0
+    assert r["jaccard_est"] == round(20 / 70, 6)
+    assert r["inter_est"] == round(70.0 * round(20 / 70, 6), 4)
+
+
+def test_kmv_set_ops_estimates_track_truth(spark):
+    from turtle_spark.operators.sketches import kmv_set_ops
+
+    rows = [("A", i) for i in range(3000)] + [("B", i) for i in range(1500, 5500)]
+    df = spark.createDataFrame(rows, "s string, v long")
+    r = kmv_set_ops(df, "s", "v", "A", "B").collect()[0]
+    assert r["exact_union"] == 5500 and r["exact_inter"] == 1500
+    assert abs(r["union_est"] - 5500) / 5500 < 0.25
+    assert abs(r["inter_est"] - 1500) / 1500 < 0.45  # J-estimate variance is higher
+    assert 0.0 < r["jaccard_est"] < 1.0
+
+
+def test_kmv_set_ops_partition_invariance(spark):
+    from turtle_spark.operators.sketches import kmv_set_ops
+
+    rows = [("A", i * 7) for i in range(2000)] + [("B", i * 11) for i in range(2000)]
+    df = spark.createDataFrame(rows, "s string, v long")
+    one = kmv_set_ops(df.coalesce(1), "s", "v", "A", "B").collect()[0]
+    many = kmv_set_ops(df.repartition(9), "s", "v", "A", "B").collect()[0]
+    assert one.asDict() == many.asDict()

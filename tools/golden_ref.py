@@ -3389,6 +3389,41 @@ def ref_q_sketch_cardinality() -> tuple[list[str], list[tuple]]:
     return ["predicate", "n_exact", "hll_est", "kmv_est"], out
 
 
+def ref_q_sketch_setops(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """KMV set operations between the click and purchase user sets —
+    python min-k vs the engine's two-phase windowed sketches."""
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    k = 128
+    a = set(ev[ev.event_type == "click"].user_id.astype(int))
+    b = set(ev[ev.event_type == "purchase"].user_id.astype(int))
+
+    def kept(vals) -> list[int]:
+        return sorted({xxh64_str(str(v)) for v in vals})[:k]
+
+    ka, kb = kept(a), kept(b)
+    sa, sb = set(ka), set(kb)
+    merged = sorted(sa | sb)[:k]
+    n_kept = len(merged)
+    n_both = sum(1 for h in merged if h in sa and h in sb)
+    if n_kept < k:
+        union_est = float(n_kept)
+    else:
+        u_k = float(merged[k - 1]) + float(1 << 63)
+        union_est = (k - 1.0) * float(1 << 64) / u_k
+    jac = n_both / n_kept
+    out = [(
+        "click", "purchase", len(a), len(b), len(a | b), len(a & b),
+        spark_round(union_est, 4), spark_round(jac, 6),
+        spark_round(union_est * jac, 4),
+    )]
+    return [
+        "set_a", "set_b", "exact_a", "exact_b", "exact_union",
+        "exact_inter", "union_est", "jaccard_est", "inter_est",
+    ], out
+
+
 def ref_q_heavy_hitters(sf_dir: str) -> tuple[list[str], list[tuple]]:
     import re
     from collections import Counter
@@ -3642,6 +3677,7 @@ SF_QUERIES = {
     "q_bloom_prune": ref_q_bloom_prune,
     "q_length_matched": ref_q_length_matched,
     "q_heavy_hitters": ref_q_heavy_hitters,
+    "q_sketch_setops": ref_q_sketch_setops,
     "q_lm_quality": ref_q_lm_quality,
     "q_dsir_weights": ref_q_dsir_weights,
     "q_sketch_recall": ref_q_sketch_recall,
@@ -3738,6 +3774,7 @@ CORPUS_QUERIES = {
 DUCK_TYPES = {
     "q_sketch_cardinality": {"predicate": "VARCHAR", "n_exact": "BIGINT", "hll_est": "DOUBLE", "kmv_est": "DOUBLE"},
     "q_heavy_hitters": {"token": "VARCHAR", "true_cnt": "BIGINT", "cm_est": "BIGINT", "overcount": "BIGINT"},
+    "q_sketch_setops": {"set_a": "VARCHAR", "set_b": "VARCHAR", "exact_a": "BIGINT", "exact_b": "BIGINT", "exact_union": "BIGINT", "exact_inter": "BIGINT", "union_est": "DOUBLE", "jaccard_est": "DOUBLE", "inter_est": "DOUBLE"},
     "q_ppr": {"node": "VARCHAR", "rank_fp": "BIGINT"},
     "q_functional_conflicts": {"predicate": "VARCHAR", "n_subjects": "BIGINT", "n_multi": "BIGINT", "max_objects": "BIGINT", "conflict_fp": "BIGINT"},
     "q_jsonld_export": {"bucket": "BIGINT", "n_lines": "BIGINT", "total_chars": "BIGINT", "line_fp": "BIGINT"},

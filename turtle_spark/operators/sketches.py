@@ -47,6 +47,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from turtle_spark.operators.skew import pin as skew_pin
+
 HLL_P = 12                      # 2^12 = 4096 registers
 HLL_M = 1 << HLL_P
 # Flajolet et al. bias constant for m >= 128
@@ -364,4 +366,104 @@ def heavy_hitters(
         .withColumn("overcount", F.col("cm_est") - F.col("true_cnt"))
         .orderBy(F.desc("true_cnt"), F.asc("token"))
         .limit(top_n)
+    )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    set_col: str,
+    value_col: str,
+    set_a: str,
+    set_b: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """KMV (theta-sketch) SET OPERATIONS between two named key sets:
+    union and intersection cardinality estimates from the two min-k
+    sketches alone — the mergeable-statistics answer to "how many
+    users did both X and Y" when the sets are 10^10 keys on different
+    tables and an exact distinct join is a full shuffle of both.
+
+    Estimators (Beyer et al. / theta-sketch standard):
+    * union: merge the two kept sets, re-take min-k -> (k-1)*2^64/U_k;
+    * Jaccard: fraction of the union's k smallest that appear in BOTH
+      kept sets; intersection = round(J * union_est).
+    Small sets (fewer than k distinct) degrade to exact counts — the
+    sketch IS the set there.
+
+    One distinct + two-phase min-k per side (bounded shuffles exactly
+    like ``kmv_cardinality``); the final estimate combines two
+    k-row tables — driver-free, broadcast-sized.  EXACT counts ride
+    along for the report (fine at test scale; at 10^10 keys you ship
+    only the estimates — that is the point).
+    """
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.col(value_col).cast("string"))
+    hashed = skew_pin(
+        df.where(F.col(set_col).isin(set_a, set_b))
+        .select(F.col(set_col).alias("s"), h.alias("h"))
+        .distinct()
+    )
+    salted = Window.partitionBy("s", F.pmod(F.col("h"), F.lit(16))).orderBy("h")
+    final = Window.partitionBy("s").orderBy("h")
+    kept = skew_pin(
+        hashed.withColumn("rn", F.row_number().over(salted))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+        .withColumn("rn", F.row_number().over(final))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+    # union sketch: k smallest of the merged kept sets, tagged with
+    # membership in each side's kept set
+    merged = (
+        kept.groupBy("h")
+        .agg(
+            F.max(F.when(F.col("s") == set_a, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("s") == set_b, 1).otherwise(0)).alias("in_b"),
+        )
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .where(F.col("rn") <= k)
+    )
+    u = merged.agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("h_k"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("n_both"),
+    )
+    exact = (
+        df.where(F.col(set_col).isin(set_a, set_b))
+        .select(F.col(set_col).alias("s"), F.col(value_col).alias("v"))
+        .distinct()
+        .groupBy("v")
+        .agg(
+            F.max(F.when(F.col("s") == set_a, 1).otherwise(0)).alias("a"),
+            F.max(F.when(F.col("s") == set_b, 1).otherwise(0)).alias("b"),
+        )
+        .agg(
+            F.sum("a").cast("long").alias("exact_a"),
+            F.sum("b").cast("long").alias("exact_b"),
+            F.count("*").cast("long").alias("exact_union"),
+            F.sum(F.col("a") * F.col("b")).cast("long").alias("exact_inter"),
+        )
+    )
+    u_k = F.col("h_k").cast("double") + F.lit(float(1 << 63))
+    union_est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit((k - 1.0) * float(1 << 64)) / u_k)
+    jac = F.col("n_both").cast("double") / F.col("n_kept")
+    return (
+        u.join(F.broadcast(exact))
+        .select(
+            F.lit(set_a).alias("set_a"),
+            F.lit(set_b).alias("set_b"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+            F.round(union_est, 4).alias("union_est"),
+            F.round(jac, 6).alias("jaccard_est"),
+            F.round(union_est * jac, 4).alias("inter_est"),
+        )
     )
