@@ -2154,6 +2154,17 @@ def _q_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(events, "event_type", "user_id", "click", "purchase")
 
 
+def _q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFLATE redundancy signal per document
+    (operators/curation.py::compression_ratio): one Arrow pass, zero
+    shuffles, fixed zlib level so the golden (same zlib, independent
+    loop) is byte-exact."""
+    from turtle_spark.operators.curation import compression_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return compression_ratio(docs).orderBy("doc_id")
+
+
 def _q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram co-occurrence with exact-integer lift (observed /
     expected ratio — log of it is PMI, monotone so rankings agree):
@@ -4763,7 +4774,8 @@ _SF_GOLDENS = frozenset(
         "q_mixture_sample", "q_novelty_screen",
         "q_lm_quality", "q_dsir_weights", "q_sketch_recall",
         "q_semdedup", "q_leakage_split", "q_bpe_vocab", "q_bpe_encode",
-        "q_heavy_hitters", "q_sketch_setops", "q_kmeans_topics", "q_quantile_sketch",
+        "q_heavy_hitters", "q_sketch_setops", "q_compression_ratio",
+        "q_kmeans_topics", "q_quantile_sketch",
         "q_hard_negatives", "q_bloom_prune", "q_length_matched",
         "q_pq_topk",
     }
@@ -4862,6 +4874,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_dot_export",
         "q_shortest_paths",
         "q_sketch_setops",
+        "q_compression_ratio",
     }
 )
 
@@ -4996,6 +5009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dot_export": _q_dot_export,
         "q_shortest_paths": _q_shortest_paths,
         "q_sketch_setops": _q_sketch_setops,
+        "q_compression_ratio": _q_compression_ratio,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

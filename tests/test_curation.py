@@ -242,3 +242,36 @@ def test_normalize_text_ground_truth(spark):
     assert got[3] == ("xy z w", True)
     assert got[4] == ("already clean", True)
     assert got[5][0] is None
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    from turtle_spark.operators.curation import compression_ratio
+
+    rows = [
+        (0, "spam " * 400),                      # highly redundant
+        (1, " ".join(str(i * 7919 % 9973) for i in range(400))),  # high entropy
+        (2, ""),
+        (3, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert out[0]["compression_ratio"] < 0.05
+    assert out[1]["compression_ratio"] > 0.4
+    assert out[2]["n_bytes"] == 0 and out[2]["compression_ratio"] == 0.0
+    # whitespace-only still compresses (non-empty bytes)
+    assert out[3]["n_bytes"] == 3 and out[3]["n_compressed"] > 0
+    import zlib
+
+    assert out[1]["n_compressed"] == len(
+        zlib.compress(rows[1][1].encode("utf-8"), 6)
+    )
+
+
+def test_compression_ratio_batch_shape_independent(spark):
+    from turtle_spark.operators.curation import compression_ratio
+
+    rows = [(i, f"doc {i} " * (i % 17 + 1)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    one = sorted(map(tuple, compression_ratio(df.coalesce(1)).collect()))
+    many = sorted(map(tuple, compression_ratio(df.repartition(13)).collect()))
+    assert one == many

@@ -3389,6 +3389,22 @@ def ref_q_sketch_cardinality() -> tuple[list[str], list[tuple]]:
     return ["predicate", "n_exact", "hll_est", "kmv_est"], out
 
 
+def ref_q_compression_ratio(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """DEFLATE ratio per doc — same zlib, same level, independent loop."""
+    import zlib
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = []
+    for doc_id, text in sorted(zip(d.doc_id.astype(int), d.text.fillna(""))):
+        raw = text.encode("utf-8") if text else b""
+        nb = len(raw)
+        nc = len(zlib.compress(raw, 6)) if raw else 0
+        out.append((doc_id, nb, nc, 0.0 if nb == 0 else nc / nb))
+    return ["doc_id", "n_bytes", "n_compressed", "compression_ratio"], out
+
+
 def ref_q_sketch_setops(sf_dir: str) -> tuple[list[str], list[tuple]]:
     """KMV set operations between the click and purchase user sets —
     python min-k vs the engine's two-phase windowed sketches."""
@@ -3678,6 +3694,7 @@ SF_QUERIES = {
     "q_length_matched": ref_q_length_matched,
     "q_heavy_hitters": ref_q_heavy_hitters,
     "q_sketch_setops": ref_q_sketch_setops,
+    "q_compression_ratio": ref_q_compression_ratio,
     "q_lm_quality": ref_q_lm_quality,
     "q_dsir_weights": ref_q_dsir_weights,
     "q_sketch_recall": ref_q_sketch_recall,
@@ -3774,6 +3791,7 @@ CORPUS_QUERIES = {
 DUCK_TYPES = {
     "q_sketch_cardinality": {"predicate": "VARCHAR", "n_exact": "BIGINT", "hll_est": "DOUBLE", "kmv_est": "DOUBLE"},
     "q_heavy_hitters": {"token": "VARCHAR", "true_cnt": "BIGINT", "cm_est": "BIGINT", "overcount": "BIGINT"},
+    "q_compression_ratio": {"doc_id": "BIGINT", "n_bytes": "BIGINT", "n_compressed": "BIGINT", "compression_ratio": "DOUBLE"},
     "q_sketch_setops": {"set_a": "VARCHAR", "set_b": "VARCHAR", "exact_a": "BIGINT", "exact_b": "BIGINT", "exact_union": "BIGINT", "exact_inter": "BIGINT", "union_est": "DOUBLE", "jaccard_est": "DOUBLE", "inter_est": "DOUBLE"},
     "q_ppr": {"node": "VARCHAR", "rank_fp": "BIGINT"},
     "q_functional_conflicts": {"predicate": "VARCHAR", "n_subjects": "BIGINT", "n_multi": "BIGINT", "max_objects": "BIGINT", "conflict_fp": "BIGINT"},

@@ -17,6 +17,7 @@ stats) or a *broadcast semi-join against a tiny reference set*
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import types as T
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -411,4 +412,63 @@ def normalize_text(
         F.length("text").cast("long").alias("n_raw_chars"),
         F.length("norm_text").cast("long").alias("n_norm_chars"),
         (F.col("text") != F.col("norm_text")).alias("changed"),
+    )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """DEFLATE compression ratio per document — the classic cheap
+    redundancy signal (used alongside Gopher rules in web-crawl
+    curation): templated/boilerplate text compresses far below prose,
+    random noise barely compresses at all, so both filter tails hang
+    off this one number.
+
+    One Arrow-batched pass, zero shuffles; zlib at a FIXED level so
+    the byte count — and therefore the ratio — is deterministic (the
+    golden mirror runs the same zlib on the same bytes).  The ratio's
+    operands are exact ints; the single division is bit-stable.
+
+    Returns (id_col, n_bytes, n_compressed, compression_ratio) —
+    ratio = compressed/raw, 0.0 for empty docs.
+    """
+    import zlib
+
+    out_schema = T.StructType(
+        [
+            next(f for f in docs.schema.fields if f.name == id_col),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_compressed", T.LongType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            raw = [t.encode("utf-8") if t else b"" for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": [len(b) for b in raw],
+                    "n_compressed": [
+                        len(zlib.compress(b, level)) if b else 0 for b in raw
+                    ],
+                }
+            )
+
+    return (
+        docs.select(id_col, text_col)
+        .mapInPandas(batches, schema=out_schema)
+        .select(
+            id_col,
+            "n_bytes",
+            "n_compressed",
+            F.when(F.col("n_bytes") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_compressed").cast("double") / F.col("n_bytes")
+            )
+            .alias("compression_ratio"),
+        )
     )
