@@ -2154,6 +2154,61 @@ def _q_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(events, "event_type", "user_id", "click", "purchase")
 
 
+def _q_owl_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL prp-spo2 (property chains,
+    operators/reasoning.py::owl_chain_entail): the two busiest
+    IRI-object predicates (same deterministic derived-ontology
+    convention as q_owl_entail) compose into chain axioms
+    urn:chain:1 = p0∘p1 and urn:chain:2 = p1∘p0; one mid-node-keyed
+    shuffle per chain.  Output per derived predicate: new-triple
+    count + endpoint fingerprint."""
+    from turtle_spark.operators.reasoning import RDF_NS, owl_chain_entail
+    from turtle_spark.operators.skew import pin
+
+    t = pin(_corpus_triples(spark))
+    edges = (
+        t.where(
+            (F.col("objecttype") == "iri")
+            & ~F.col("predicate").startswith(RDF_NS)
+        )
+        .select("subject", "predicate", "object")
+        # SET semantics before counting compositions — the raw stream
+        # repeats logical triples across documents
+        .dropDuplicates()
+    )
+    a = edges.select(
+        F.col("predicate").alias("p1"), F.col("object").alias("mid")
+    )
+    b = edges.select(
+        F.col("subject").alias("mid"), F.col("predicate").alias("p2")
+    )
+    # bounded collect: exactly 2 rows (the derived chain axioms) —
+    # the two most frequent COMPOSING predicate pairs, so the rule
+    # has real instances to fire on
+    pairs = (
+        a.join(b, "mid")
+        .groupBy("p1", "p2")
+        .count()
+        .orderBy(F.desc("count"), F.asc("p1"), F.asc("p2"))
+        .limit(2)
+        .collect()
+    )
+    chains = [
+        (f"urn:chain:{i + 1}", r["p1"], r["p2"]) for i, r in enumerate(pairs)
+    ]
+    delta = owl_chain_entail(t, chains)
+    return (
+        delta.groupBy("rule", "predicate")
+        .agg(
+            F.count("*").alias("n_new"),
+            F.expr(
+                "bit_xor(xxhash64(concat_ws('|', subject, object)))"
+            ).alias("new_fp"),
+        )
+        .orderBy("rule", "predicate")
+    )
+
+
 def _q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEFLATE redundancy signal per document
     (operators/curation.py::compression_ratio): one Arrow pass, zero
@@ -4755,7 +4810,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_sparql_topk", "q_line_dedup", "q_char_sets",
         "q_sameas_canonical", "q_image_phash", "q_graph_fingerprint",
         "q_kg_temporal", "q_sparql_update", "q_void_stats",
-        "q_owl_entail", "q_bnode_canonical",
+        "q_owl_entail", "q_owl_chains", "q_bnode_canonical",
         "q_prefix_induction", "q_skolemize", "q_property_table",
         "q_sparql_having", "q_sparql_bind",
         "q_sparql_graph", "q_nquads_export", "q_collections", "q_containers",
@@ -4875,6 +4930,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_shortest_paths",
         "q_sketch_setops",
         "q_compression_ratio",
+        "q_owl_chains",
     }
 )
 
@@ -5010,6 +5066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shortest_paths": _q_shortest_paths,
         "q_sketch_setops": _q_sketch_setops,
         "q_compression_ratio": _q_compression_ratio,
+        "q_owl_chains": _q_owl_chains,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

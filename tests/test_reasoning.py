@@ -276,3 +276,52 @@ def test_owl_literal_objects_never_flip(spark):
     triples = _df(spark, [("x", "note", '"hello"')])
     schema = _df(spark, [("note", RDF_TYPE, OWL_SYMMETRIC)])
     assert _owl_set(owl_property_entail(triples, schema)) == set()
+
+
+def test_owl_chain_entail_grandparent(spark):
+    from turtle_spark.operators.reasoning import owl_chain_entail
+
+    rows = [
+        ("a", "urn:parent", "b", "", "", "iri"),
+        ("b", "urn:parent", "c", "", "", "iri"),
+        ("b", "urn:parent", "d", "", "", "iri"),
+        ("x", "urn:parent", "y", "", "", "iri"),
+        # already asserted: must NOT reappear in the delta
+        ("a", "urn:grandparent", "c", "", "", "iri"),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subject string, predicate string, object string, label string,"
+        " datatype string, objecttype string",
+    )
+    out = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in owl_chain_entail(
+            t, [("urn:grandparent", "urn:parent", "urn:parent")]
+        ).collect()
+    }
+    assert out == {("a", "urn:grandparent", "d")}
+
+
+def test_owl_chain_entail_two_chains_and_literals_ignored(spark):
+    from turtle_spark.operators.reasoning import owl_chain_entail
+
+    rows = [
+        ("a", "urn:p", "b", "", "", "iri"),
+        ("b", "urn:q", "c", "", "", "iri"),
+        ("b", "urn:q", "lit", "x", "", "literal"),  # literal mid/object ignored
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subject string, predicate string, object string, label string,"
+        " datatype string, objecttype string",
+    )
+    out = sorted(
+        (r["predicate"], r["subject"], r["object"])
+        for r in owl_chain_entail(
+            t,
+            [("urn:pq", "urn:p", "urn:q"), ("urn:qp", "urn:q", "urn:p")],
+        ).collect()
+    )
+    assert out == [("urn:pq", "a", "c")]
+    assert all(r[0] != "urn:qp" for r in out)

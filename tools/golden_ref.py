@@ -2877,6 +2877,52 @@ def ref_q_owl_entail() -> tuple[list[str], list[tuple]]:
     return ["rule", "predicate", "n_new", "new_fp"], out
 
 
+def ref_q_owl_chains() -> tuple[list[str], list[tuple]]:
+    """prp-spo2 property chains — python dict joins over the two
+    busiest IRI predicates, same derived-ontology convention as
+    ref_q_owl_entail."""
+    rows = _extract_all(_corpus_docs(200) + _fixture_docs())
+    rdf_ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    edges = sorted({(r[2], r[3], r[4]) for r in rows if r[7] == "iri"})
+    nonrdf = [(s2, p, o) for s2, p, o in edges if not p.startswith(rdf_ns)]
+    out_by_subj: dict[str, list[str]] = {}
+    for s2, p, _o in nonrdf:
+        out_by_subj.setdefault(s2, []).append(p)
+    pair_cnt: dict[tuple[str, str], int] = {}
+    for _s, p1, mid in nonrdf:
+        for p2 in out_by_subj.get(mid, []):
+            pair_cnt[(p1, p2)] = pair_cnt.get((p1, p2), 0) + 1
+    top_pairs = sorted(pair_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    axioms = [
+        (f"urn:chain:{i + 1}", p1, p2)
+        for i, ((p1, p2), _c) in enumerate(top_pairs)
+    ]
+    asserted = {
+        (r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows
+    }
+    out_rows = []
+    for head, p1, p2 in axioms:
+        by_mid: dict[str, list[str]] = {}
+        for s2, p, o in nonrdf:
+            if p == p2:
+                by_mid.setdefault(s2, []).append(o)
+        derived = set()
+        for s1, p, mid in nonrdf:
+            if p != p1:
+                continue
+            for o in by_mid.get(mid, []):
+                trip = (s1, head, o, "", "", "iri")
+                if trip not in asserted:
+                    derived.add((s1, o))
+        if derived:
+            fp = 0
+            for s1, o in derived:
+                fp ^= xxh64_str(s1 + "|" + o)
+            out_rows.append(("prp-spo2", head, len(derived), _signed64(fp)))
+    out_rows.sort(key=lambda r: (r[0], r[1]))
+    return ["rule", "predicate", "n_new", "new_fp"], out_rows
+
+
 def ref_q_bnode_canonical() -> tuple[list[str], list[tuple]]:
     """WL color refinement on the blank-node subgraph — dict-loop
     mirror of operators/canonicalize.canonical_blank_labels (4 rounds,
@@ -3780,6 +3826,7 @@ CORPUS_QUERIES = {
     "q_sparql_update": ref_q_sparql_update,
     "q_void_stats": ref_q_void_stats,
     "q_owl_entail": ref_q_owl_entail,
+    "q_owl_chains": ref_q_owl_chains,
     "q_bnode_canonical": ref_q_bnode_canonical,
     "q_prefix_induction": ref_q_prefix_induction,
     "q_skolemize": ref_q_skolemize,
@@ -3803,6 +3850,7 @@ DUCK_TYPES = {
     "q_sparql_update": {"predicate": "VARCHAR", "n_triples": "BIGINT", "triple_fp": "BIGINT"},
     "q_void_stats": {"part": "VARCHAR", "key": "VARCHAR", "n_triples": "BIGINT", "n_entities": "BIGINT", "member_fp": "BIGINT"},
     "q_owl_entail": {"rule": "VARCHAR", "predicate": "VARCHAR", "n_new": "BIGINT", "new_fp": "BIGINT"},
+    "q_owl_chains": {"rule": "VARCHAR", "predicate": "VARCHAR", "n_new": "BIGINT", "new_fp": "BIGINT"},
     "q_bnode_canonical": {"canon": "BIGINT", "n_bnodes": "BIGINT", "bnode_fp": "BIGINT"},
     "q_prefix_induction": {"prefix": "VARCHAR", "namespace": "VARCHAR", "n_occurrences": "BIGINT", "n_distinct_iris": "BIGINT"},
     "q_skolemize": {"predicate": "VARCHAR", "n_triples": "BIGINT", "sk_fp": "BIGINT"},

@@ -284,3 +284,58 @@ def owl_property_entail(triples: DataFrame, schema: DataFrame) -> DataFrame:
         derived = derived.unionByName(p)
     derived = derived.dropDuplicates(["rule", *_TRIPLE_COLS])
     return derived.join(base, on=list(_TRIPLE_COLS), how="left_anti")
+
+
+def owl_chain_entail(
+    triples: DataFrame,
+    chains: list[tuple[str, str, str]],
+) -> DataFrame:
+    """OWL 2 RL **prp-spo2** (property chains): for each axiom
+    ``head owl:propertyChainAxiom (p1 p2)``, derive
+    ``s head o`` from ``s p1 x . x p2 o`` — the rule behind
+    "grandparent = parent∘parent" style composed relations, the one
+    property rule ``owl_property_entail`` leaves out.
+
+    ``chains``: bounded axiom list (schema-sized, like the broadcast
+    ontology of the other rules).  Plan per chain: two predicate-
+    filtered slices of the IRI-edge stream equi-joined on the chain's
+    MIDDLE node — one shuffle keyed on that node; the axiom list
+    itself never shuffles.  Already-asserted heads are removed with
+    the same left-anti the other rule deltas use.
+
+    Returns (rule, subject, predicate, object, label, datatype,
+    objecttype) with rule = 'prp-spo2'.
+    """
+    from turtle_spark.operators.skew import pin
+
+    edges = pin(
+        triples.where(F.col("objecttype") == "iri").select(
+            "subject", "predicate", "object"
+        ).dropDuplicates()
+    )
+    parts = []
+    for head, p1, p2 in chains:
+        a = edges.where(F.col("predicate") == p1).select(
+            F.col("subject").alias("s"), F.col("object").alias("mid")
+        )
+        b = edges.where(F.col("predicate") == p2).select(
+            F.col("subject").alias("mid"), F.col("object").alias("o")
+        )
+        parts.append(
+            a.join(b, "mid")
+            .select(
+                F.lit("prp-spo2").alias("rule"),
+                F.col("s").alias("subject"),
+                F.lit(head).alias("predicate"),
+                F.col("o").alias("object"),
+                F.lit("").alias("label"),
+                F.lit("").alias("datatype"),
+                F.lit("iri").alias("objecttype"),
+            )
+        )
+    derived = parts[0]
+    for p in parts[1:]:
+        derived = derived.unionByName(p)
+    derived = derived.dropDuplicates(["rule", *_TRIPLE_COLS])
+    base = triples.select(*_TRIPLE_COLS)
+    return derived.join(base, on=list(_TRIPLE_COLS), how="left_anti")
