@@ -2209,6 +2209,49 @@ def _q_owl_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostics (operators/skew.py::skew_report):
+    the measurement half of the skew toolkit — heavy hitters, exact
+    nearest-rank p50/p99 of per-key counts, and the Gini coefficient
+    in exact integer micro-units, over events.user_id."""
+    from turtle_spark.operators.skew import skew_report
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return skew_report(events, "user_id", top_k=5)
+
+
+_SQL_SKEW_REPORT = """
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS c
+  FROM events GROUP BY 1
+), ranked AS (
+  SELECT k, c, ROW_NUMBER() OVER (ORDER BY c, k) AS i FROM counts
+), stats AS (
+  SELECT COUNT(*) AS n_keys, SUM(c) AS n_rows, MAX(c) AS max_cnt,
+         SUM(i * c) AS ic
+  FROM ranked
+), pct AS (
+  SELECT
+    MAX(CASE WHEN i = CAST(CEIL(n_keys * 0.5) AS INT) THEN c END) AS p50_cnt,
+    MAX(CASE WHEN i = CAST(CEIL(n_keys * 0.99) AS INT) THEN c END) AS p99_cnt
+  FROM ranked CROSS JOIN stats
+), tops AS (
+  SELECT string_agg(k || ':' || CAST(c AS VARCHAR), ',' ORDER BY c DESC, k) AS top_keys
+  FROM (SELECT k, c FROM counts ORDER BY c DESC, k LIMIT 5)
+)
+SELECT CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(max_cnt AS BIGINT) AS max_cnt,
+       CAST((2000000 * ic) // (n_keys * n_rows)
+            - (1000000 * (n_keys + 1)) // n_keys AS BIGINT) AS gini_x1m,
+       CAST((1000000 * max_cnt) // n_rows AS BIGINT) AS top1_share_x1m,
+       CAST(p50_cnt AS BIGINT) AS p50_cnt,
+       CAST(p99_cnt AS BIGINT) AS p99_cnt,
+       top_keys
+FROM stats CROSS JOIN pct CROSS JOIN tops
+"""
+
+
 def _q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEFLATE redundancy signal per document
     (operators/curation.py::compression_ratio): one Arrow pass, zero
@@ -4931,6 +4974,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_sketch_setops",
         "q_compression_ratio",
         "q_owl_chains",
+        "q_skew_report",
     }
 )
 
@@ -5067,6 +5111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sketch_setops": _q_sketch_setops,
         "q_compression_ratio": _q_compression_ratio,
         "q_owl_chains": _q_owl_chains,
+        "q_skew_report": _q_skew_report,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -5146,6 +5191,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_bm25_search": _SQL_BM25_SEARCH,
         "q_event_transitions": _SQL_EVENT_TRANSITIONS,
         "q_zorder_prune": _SQL_ZORDER_PRUNE,
+        "q_skew_report": _SQL_SKEW_REPORT,
         "q_cooccur": _SQL_COOCCUR,
         "q_lineitem_agg": _SQL_LINEITEM_AGG,
         "q_revenue_by_nation": _SQL_REVENUE_BY_NATION,

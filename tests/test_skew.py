@@ -53,3 +53,34 @@ def test_skew_hint_join_equals_plain(spark):
     plain = left.join(right, ["k"]).collect()
     hinted = skew_hint_join(left, right, ["k"], hot_threshold=100, n_salts=4).collect()
     assert _key(hinted) == _key(plain)
+
+
+def test_skew_report_uniform_vs_skewed(spark):
+    from turtle_spark.operators.skew import skew_report
+
+    uniform = spark.createDataFrame(
+        [(i % 10,) for i in range(1000)], "k long"
+    )
+    skewed = spark.createDataFrame(
+        [(0,)] * 910 + [(i,) for i in range(1, 10)] * 10, "k long"
+    )
+    u = skew_report(uniform, "k").collect()[0]
+    s = skew_report(skewed, "k").collect()[0]
+    assert u["n_keys"] == s["n_keys"] == 10
+    assert u["gini_x1m"] < 20_000          # near-perfect equality
+    assert s["gini_x1m"] > 700_000         # extreme concentration
+    assert s["top1_share_x1m"] == 910_000
+    assert s["top_keys"].startswith("0:910")
+    assert u["p50_cnt"] == 100 and u["p99_cnt"] == 100
+    assert s["p50_cnt"] == 10
+
+
+def test_skew_report_partition_invariance(spark):
+    from turtle_spark.operators.skew import skew_report
+
+    df = spark.createDataFrame(
+        [((i * i) % 37,) for i in range(2000)], "k long"
+    )
+    one = skew_report(df.coalesce(1), "k").collect()[0].asDict()
+    many = skew_report(df.repartition(11), "k").collect()[0].asDict()
+    assert one == many

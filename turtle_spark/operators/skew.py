@@ -19,7 +19,7 @@ Result equality with a plain join is pinned by tests on skewed data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -149,3 +149,97 @@ def spread(df: DataFrame, *key_cols: str, min_slots: int | None = None) -> DataF
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Key-distribution diagnostics for shuffle planning: before keying
+    a 100 TB join or aggregation, this one-aggregation report says
+    whether the key needs salting (``salted_join``), a skew hint, or
+    nothing — the measurement half of the skew toolkit.
+
+    One count-by-key aggregation (map-side combined) and ONE pass of
+    windowed order statistics over the COUNTED keys (never the rows).
+    Reported per key table:
+
+    * ``n_keys``, ``n_rows``, ``max_cnt``, ``top1_share`` — the
+      heavy-hitter headline;
+    * ``p50_cnt`` / ``p99_cnt`` — nearest-rank order statistics
+      (exact integers, rank = ceil(q * n));
+    * ``gini_x1m`` — Gini coefficient of the key-count distribution
+      in exact integer MICRO-units: with counts sorted ascending,
+      G = (2 * sum(i * c_i) / (n * sum(c)) - (n + 1) / n), all
+      operands int64, scaled by 10^6 and floor-divided so the figure
+      is bit-stable at any parallelism;
+    * ``top_keys`` — the ``top_k`` heaviest keys as 'key:count'
+      strings (count desc, key asc).
+    """
+    counts = pin(
+        df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+            F.count("*").alias("c")
+        )
+    )
+    w_rank = Window.orderBy("c", "k")
+    ranked = counts.withColumn("i", F.row_number().over(w_rank))
+    stats = ranked.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_cnt"),
+        F.sum(F.col("i").cast("long") * F.col("c")).alias("_ic"),
+    )
+    pct = ranked.join(F.broadcast(stats.select("n_keys")))
+    p = pct.select(
+        F.max(
+            F.when(
+                F.col("i") == F.ceil(F.col("n_keys") * 0.5).cast("int"),
+                F.col("c"),
+            )
+        ).cast("long").alias("p50_cnt"),
+        F.max(
+            F.when(
+                F.col("i") == F.ceil(F.col("n_keys") * 0.99).cast("int"),
+                F.col("c"),
+            )
+        ).cast("long").alias("p99_cnt"),
+    )
+    w_top = Window.orderBy(F.desc("c"), F.asc("k"))
+    tops = (
+        counts.withColumn("_r", F.row_number().over(w_top))
+        .where(F.col("_r") <= top_k)
+        .agg(
+            # collect_list order is partition-dependent: sort by the
+            # rank field inside the array before joining to a string
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_r", "k", "c"))),
+                    lambda x: F.concat_ws(
+                        ":", x["k"], x["c"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("top_keys")
+        )
+    )
+    return (
+        stats.join(F.broadcast(p))
+        .join(F.broadcast(tops))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_cnt",
+            # exact-int micro-unit arithmetic: 10^6 * (2*sum(i*c) ... )
+            F.expr(
+                "(2000000 * _ic) div (n_keys * n_rows)"
+                " - (1000000 * (n_keys + 1)) div n_keys"
+            ).cast("long").alias("gini_x1m"),
+            F.expr("(1000000 * max_cnt) div n_rows").cast("long").alias(
+                "top1_share_x1m"
+            ),
+            "p50_cnt",
+            "p99_cnt",
+            "top_keys",
+        )
+    )
