@@ -4097,6 +4097,19 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, e.where(F.col("vec_id") < 3), k=5, m=8, n_codes=16)
 
 
+def _q_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) ANN (operators/similarity.py::sq_topk):
+    4x-compressed corpus scan, exact cosine over dequantized codes —
+    the simplest compressed tier before PQ.  Golden-oracled vs a
+    python mirror of the same codec."""
+    from turtle_spark.operators.similarity import sq_topk
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return sq_topk(e, e.where(F.col("vec_id") < 3), k=5)
+
+
 def _q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned semi-join report (operators/bloom.py): lineitem
     rows screened against the p_size=50 part keys through a 512-bit
@@ -4875,7 +4888,7 @@ _SF_GOLDENS = frozenset(
         "q_heavy_hitters", "q_sketch_setops", "q_compression_ratio",
         "q_kmeans_topics", "q_quantile_sketch",
         "q_hard_negatives", "q_bloom_prune", "q_length_matched",
-        "q_pq_topk",
+        "q_pq_topk", "q_sq_topk",
     }
 )
 
@@ -4975,6 +4988,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_compression_ratio",
         "q_owl_chains",
         "q_skew_report",
+        "q_sq_topk",
     }
 )
 
@@ -5112,6 +5126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_compression_ratio": _q_compression_ratio,
         "q_owl_chains": _q_owl_chains,
         "q_skew_report": _q_skew_report,
+        "q_sq_topk": _q_sq_topk,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,

@@ -162,6 +162,12 @@ HEADLINE = [
     "q_event_transitions",
     "q_pagerank_incremental",
     "q_zorder_prune",
+    "q_dot_export",
+    "q_shortest_paths",
+    "q_sketch_setops",
+    "q_compression_ratio",
+    "q_owl_chains",
+    "q_skew_report",
 ]
 
 

@@ -302,3 +302,33 @@ def test_pq_rejects_indivisible_dim(spark):
     e = _clustered_embeddings(spark, dim=10)
     with pytest.raises(ValueError, match="not divisible"):
         train_pq_codebooks(e, m=4, n_codes=8)
+
+
+def test_sq_topk_tracks_exact_cosine(spark):
+    from turtle_spark.operators.similarity import sq_topk
+
+    e = _clustered_embeddings(spark)
+    q = e.where(F.col("vec_id") % 40 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in sq_topk(e, q, k=5).collect()
+    }
+    # int8 quantization preserves ordering far better than PQ —
+    # near-full agreement with brute force on clustered data
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_sq_topk_partition_invariance(spark):
+    from turtle_spark.operators.similarity import sq_topk
+
+    e = _clustered_embeddings(spark)
+    q = e.where(F.col("vec_id") % 40 == 0)
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["score"]) for r in rows
+    )
+    assert key(sq_topk(e.coalesce(1), q, k=5).collect()) == key(
+        sq_topk(e.repartition(8), q, k=5).collect()
+    )

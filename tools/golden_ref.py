@@ -571,6 +571,49 @@ def ref_q_pq_topk(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["query_id", "neighbor_id", "score", "rank"], out
 
 
+def ref_q_sq_topk(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Scalar-quantized (int8) top-k — python mirror of
+    operators/similarity.py::sq_topk: same left-fold norms, same
+    per-dim (min, max) codec, same floor quantization and affine
+    dequantization, exact-cosine re-rank on the dequantized codes."""
+    import math
+
+    emb = _read_embeddings(sf_dir)
+    queries = [vid for vid, _ in emb if vid < 3]
+
+    def normed(v) -> list[float]:
+        n = max(seq_norm(v), 1e-12)
+        return [float(x) / n for x in v]
+
+    nvs = {vid: normed(v) for vid, v in emb}
+    dim = len(emb[0][1])
+    mn = [min(nv[i] for nv in nvs.values()) for i in range(dim)]
+    mx = [max(nv[i] for nv in nvs.values()) for i in range(dim)]
+    sc = [(mx[i] - mn[i]) / 255.0 if mx[i] > mn[i] else 1.0 for i in range(dim)]
+
+    def dequant(nv) -> list[float]:
+        out = []
+        for i, v in enumerate(nv):
+            c = min(255, max(0, int(math.floor((v - mn[i]) / sc[i]))))
+            out.append(mn[i] + (c + 0.5) * sc[i])
+        return out
+
+    dq = {vid: dequant(nv) for vid, nv in nvs.items()}
+    out = []
+    for qid in queries:
+        q = dq[qid]
+        scored = []
+        for nid, v in dq.items():
+            if nid == qid:
+                continue
+            cos = spark_round(seq_dot(v, q) / (seq_norm(v) * seq_norm(q)), 6)
+            scored.append((-cos, nid))
+        scored.sort()
+        for rank, (negc, nid) in enumerate(scored[:5], start=1):
+            out.append((qid, nid, -negc, rank))
+    return ["query_id", "neighbor_id", "score", "rank"], out
+
+
 def _synth_image_pixels(w: int, h: int, s0: int, s1: int, s2: int) -> np.ndarray:
     """Independent reimplementation of the engine's synthetic test
     pattern: channel c at (row, col) = (seed_c + 31*row + 7*col) % 256.
@@ -3753,6 +3796,7 @@ SF_QUERIES = {
     "q_lsh_topk": ref_q_lsh_topk,
     "q_ivf_topk": ref_q_ivf_topk,
     "q_pq_topk": ref_q_pq_topk,
+    "q_sq_topk": ref_q_sq_topk,
     "q_dedup_clusters": ref_q_dedup_clusters,
     "q_semdedup": ref_q_semdedup,
     "q_leakage_split": ref_q_leakage_split,
@@ -3878,6 +3922,7 @@ DUCK_TYPES = {
     "q_lsh_topk": {"query_id": "BIGINT", "neighbor_id": "BIGINT", "cosine": "DOUBLE", "rank": "INTEGER"},
     "q_ivf_topk": {"query_id": "BIGINT", "neighbor_id": "BIGINT", "cosine": "DOUBLE", "rank": "INTEGER"},
     "q_pq_topk": {"query_id": "BIGINT", "neighbor_id": "BIGINT", "score": "DOUBLE", "rank": "INTEGER"},
+    "q_sq_topk": {"query_id": "BIGINT", "neighbor_id": "BIGINT", "score": "DOUBLE", "rank": "INTEGER"},
     "q_kmeans_topics": {"cluster": "INTEGER", "size": "BIGINT", "top_label": "INTEGER", "top_n": "BIGINT", "purity": "DOUBLE"},
     "q_quantile_sketch": {
         "lang": "VARCHAR", "n_rows": "BIGINT", "n_kept": "BIGINT",

@@ -671,3 +671,116 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def sq_params(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the L2-NORMALIZED corpus — the
+    scalar-quantization codec parameters.  One aggregation over the
+    normalized vectors (in-array transform, JVM-side), two
+    dim-length driver lists — O(d), never O(corpus)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    nv = embeddings.select(
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-12))
+        ).alias("nv")
+    )
+    agg = nv.agg(
+        *[F.min(F.element_at("nv", i + 1)).alias(f"mn{i}") for i in range(dim)],
+        *[F.max(F.element_at("nv", i + 1)).alias(f"mx{i}") for i in range(dim)],
+    ).collect()[0]
+    return (
+        [agg[f"mn{i}"] for i in range(dim)],
+        [agg[f"mx{i}"] for i in range(dim)],
+    )
+
+
+def sq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized (int8) approximate top-k: each normalized
+    dimension maps to 0..255 by the corpus per-dim (min, max) range —
+    4x less memory traffic than float32 (the simplest compressed-scan
+    tier; PQ is the next).  Candidates score against the DEQUANTIZED
+    int8 codes with the exact-cosine machinery, so the only error is
+    quantization rounding.
+
+    Everything JVM-side: quantize = in-array transform to int, score =
+    the same `aggregate` dot product `cosine_topk` uses, broadcast
+    query side, per-query top-k window.  Deterministic: quantization
+    is floor on exact-operand doubles; dequantized values are a fixed
+    affine map of the codes.
+    """
+    mn, mx = sq_params(embeddings, vec_col=vec_col)
+    dim = len(mn)
+    mn_arr = F.array(*[F.lit(v) for v in mn])
+    scale = F.array(
+        *[F.lit((mx[i] - mn[i]) / 255.0 if mx[i] > mn[i] else 1.0) for i in range(dim)]
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+
+    def dequant(df: DataFrame, out: str) -> DataFrame:
+        # codes = floor((nv - mn) / scale) clamped to [0, 255];
+        # dequant = mn + (code + 0.5) * scale
+        nv = F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-12))
+        )
+        codes = F.zip_with(
+            nv,
+            F.arrays_zip(mn_arr.alias("mn"), scale.alias("sc")),
+            lambda v, p: F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor((v - p["mn"]) / p["sc"]).cast("int"),
+                ),
+            ),
+        )
+        deq = F.zip_with(
+            codes,
+            F.arrays_zip(mn_arr.alias("mn"), scale.alias("sc")),
+            lambda c, p: p["mn"] + (c.cast("double") + 0.5) * p["sc"],
+        )
+        return df.select(F.col(id_col), deq.alias(out))
+
+    corpus = dequant(embeddings, "_cv").select(
+        F.col(id_col).alias("neighbor_id"), "_cv"
+    )
+    qs = dequant(queries, "_qv").select(F.col(id_col).alias("query_id"), "_qv")
+    scored = (
+        corpus.join(F.broadcast(qs))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.round(
+                _dot(F.col("_cv"), F.col("_qv"))
+                / (_norm(F.col("_cv")) * _norm(F.col("_qv"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
