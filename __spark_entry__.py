@@ -2209,6 +2209,64 @@ def _q_owl_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scd2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build (operators/cdc.py::scd2_history): the
+    events stream as a change log of each user's event_type state —
+    consecutive same-state versions collapse into validity intervals
+    with valid_from/valid_to/is_current.  Timestamps exported as epoch
+    micros so the compare is integer-exact."""
+    from turtle_spark.operators.cdc import scd2_history
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hist = scd2_history(
+        events, keys=["user_id"], attr_cols=["event_type"],
+        version_cols=["ts", "event_id"],
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("to_us"),
+        "is_current",
+    ).orderBy("user_id", "from_us")
+
+
+_SQL_SCD2_EVENTS = """
+WITH v AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER w AS prev_type,
+         LAG(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                OR event_type IS DISTINCT FROM prev_type THEN 1 ELSE 0 END AS new_isl
+  FROM v
+), isl AS (
+  SELECT user_id, event_type, ts,
+         SUM(new_isl) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+), runs AS (
+  SELECT user_id, island,
+         MIN(ts) AS valid_from,
+         MAX(event_type) AS event_type
+  FROM isl GROUP BY user_id, island
+), seq AS (
+  SELECT user_id, event_type, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to
+  FROM runs
+)
+SELECT user_id, event_type,
+       epoch_us(valid_from) AS from_us,
+       epoch_us(valid_to) AS to_us,
+       valid_to IS NULL AS is_current
+FROM seq
+ORDER BY user_id, from_us
+"""
+
+
 def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-distribution diagnostics (operators/skew.py::skew_report):
     the measurement half of the skew toolkit — heavy hitters, exact
@@ -4989,6 +5047,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_owl_chains",
         "q_skew_report",
         "q_sq_topk",
+        "q_scd2_events",
     }
 )
 
@@ -5127,6 +5186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_owl_chains": _q_owl_chains,
         "q_skew_report": _q_skew_report,
         "q_sq_topk": _q_sq_topk,
+        "q_scd2_events": _q_scd2_events,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -5207,6 +5267,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_event_transitions": _SQL_EVENT_TRANSITIONS,
         "q_zorder_prune": _SQL_ZORDER_PRUNE,
         "q_skew_report": _SQL_SKEW_REPORT,
+        "q_scd2_events": _SQL_SCD2_EVENTS,
         "q_cooccur": _SQL_COOCCUR,
         "q_lineitem_agg": _SQL_LINEITEM_AGG,
         "q_revenue_by_nation": _SQL_REVENUE_BY_NATION,

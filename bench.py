@@ -168,6 +168,8 @@ HEADLINE = [
     "q_compression_ratio",
     "q_owl_chains",
     "q_skew_report",
+    "q_sq_topk",
+    "q_scd2_events",
 ]
 
 

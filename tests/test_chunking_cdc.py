@@ -225,3 +225,65 @@ class TestPackSequences:
             .agg(F.sum("n_tokens").alias("fill"))
         )
         assert fills.where(F.col("fill") > 12).count() == 0
+
+
+def test_scd2_history_hand_built(spark):
+    import datetime as dt
+
+    from turtle_spark.operators.cdc import scd2_history
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: A, A (collapse), B, A — three intervals
+        (1, 1, base + dt.timedelta(hours=0), "A"),
+        (2, 1, base + dt.timedelta(hours=1), "A"),
+        (3, 1, base + dt.timedelta(hours=2), "B"),
+        (4, 1, base + dt.timedelta(hours=3), "A"),
+        # user 2: one state, always current
+        (5, 2, base, "X"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, state string"
+    )
+    out = (
+        scd2_history(df, ["user_id"], ["state"], ["ts", "event_id"])
+        .orderBy("user_id", "valid_from")
+        .collect()
+    )
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [(r["state"], r["is_current"]) for r in u1] == [
+        ("A", False), ("B", False), ("A", True)
+    ]
+    assert u1[0]["valid_from"] == base
+    assert u1[0]["valid_to"] == base + dt.timedelta(hours=2)  # run of 2 A's
+    assert u1[1]["valid_to"] == base + dt.timedelta(hours=3)
+    assert u1[2]["valid_to"] is None
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"]
+
+
+def test_scd2_null_transitions_and_invariance(spark):
+    import datetime as dt
+
+    from turtle_spark.operators.cdc import scd2_history
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base + dt.timedelta(hours=0), None),
+        (2, 1, base + dt.timedelta(hours=1), None),   # null run collapses
+        (3, 1, base + dt.timedelta(hours=2), "A"),
+        (4, 1, base + dt.timedelta(hours=3), None),   # null is a real state
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, state string"
+    )
+    out = scd2_history(df, ["user_id"], ["state"], ["ts", "event_id"])
+    states = [r["state"] for r in out.orderBy("valid_from").collect()]
+    assert states == [None, "A", None]
+    key = lambda rows: sorted(
+        (r["user_id"], r["valid_from"], str(r["state"]), r["valid_to"], r["is_current"])
+        for r in rows
+    )
+    one = key(scd2_history(df.coalesce(1), ["user_id"], ["state"], ["ts", "event_id"]).collect())
+    many = key(scd2_history(df.repartition(5), ["user_id"], ["state"], ["ts", "event_id"]).collect())
+    assert one == many
