@@ -2209,6 +2209,86 @@ def _q_owl_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE INTO (sources/snapshots.py::merge_upsert)
+    through a REAL catalog round trip: customer seeds snapshot v1; a
+    derived update set (every 10th key re-segmented to 'MERGED', two
+    synthetic inserts, every 17th key deleted) merges as an atomic
+    overwrite snapshot v2; the query reads v2 back from the catalog
+    and aggregates per segment.  The oracle recomputes the merge as
+    pure SQL — update-wins, insert, delete, carry-over semantics."""
+    import tempfile
+
+    from turtle_spark.sources.snapshots import SnapshotCatalog, merge_upsert
+
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="merge_upsert_"))
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    cat.commit(base, op="overwrite")
+    updates = (
+        base.where(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.lit("MERGED").alias("c_mktsegment"),
+            (F.col("c_custkey") % 17 == 0).alias("_delete"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (1000001, "Customer#inserted1", "NEWSEG", False),
+                    (1000002, "Customer#inserted2", "NEWSEG", False),
+                ],
+                "c_custkey long, c_name string, c_mktsegment string,"
+                " _delete boolean",
+            )
+        )
+    )
+    merge_upsert(cat, spark, updates, keys=["c_custkey"], delete_col="_delete")
+    final = cat.read(spark)
+    return (
+        final.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            # md5-prefix fingerprint (not xxhash64): this query is
+            # SQL-twinned and DuckDB has no Spark-compatible xxhash64
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(concat_ws('|',"
+                " cast(c_custkey as string), c_name)), 1, 15), 16, 10)"
+                " as bigint))"
+            ).alias("member_fp"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_SQL_MERGE_UPSERT = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_mktsegment FROM customer
+), upd AS (
+  SELECT c_custkey, c_name, 'MERGED' AS c_mktsegment,
+         c_custkey % 17 = 0 AS del
+  FROM base WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT * FROM (VALUES
+    (1000001, 'Customer#inserted1', 'NEWSEG', FALSE),
+    (1000002, 'Customer#inserted2', 'NEWSEG', FALSE)
+  ) AS v(c_custkey, c_name, c_mktsegment, del)
+), merged AS (
+  SELECT b.c_custkey, b.c_name, b.c_mktsegment
+  FROM base b LEFT JOIN upd u USING (c_custkey)
+  WHERE u.c_custkey IS NULL
+  UNION ALL
+  SELECT c_custkey, c_name, c_mktsegment FROM upd WHERE NOT del
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(bit_xor(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || c_name), 1, 15)) AS BIGINT)) AS BIGINT) AS member_fp
+FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def _q_scd2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history build (operators/cdc.py::scd2_history): the
     events stream as a change log of each user's event_type state —
@@ -5048,6 +5128,7 @@ WINDOW_OVERFLOW = frozenset(
         "q_skew_report",
         "q_sq_topk",
         "q_scd2_events",
+        "q_merge_upsert",
     }
 )
 
@@ -5187,6 +5268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skew_report": _q_skew_report,
         "q_sq_topk": _q_sq_topk,
         "q_scd2_events": _q_scd2_events,
+        "q_merge_upsert": _q_merge_upsert,
         # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
@@ -5268,6 +5350,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
         "q_zorder_prune": _SQL_ZORDER_PRUNE,
         "q_skew_report": _SQL_SKEW_REPORT,
         "q_scd2_events": _SQL_SCD2_EVENTS,
+        "q_merge_upsert": _SQL_MERGE_UPSERT,
         "q_cooccur": _SQL_COOCCUR,
         "q_lineitem_agg": _SQL_LINEITEM_AGG,
         "q_revenue_by_nation": _SQL_REVENUE_BY_NATION,

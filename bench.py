@@ -170,6 +170,7 @@ HEADLINE = [
     "q_skew_report",
     "q_sq_topk",
     "q_scd2_events",
+    "q_merge_upsert",
 ]
 
 

@@ -153,3 +153,63 @@ def test_compact_preserves_rows_and_history(spark, tmp_path):
         cat.incremental(spark, 2, 5)
     # but a post-compaction append range is incrementally scannable
     assert cat.incremental(spark, 4, 5).count() == 5
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    from turtle_spark.sources.snapshots import SnapshotCatalog, merge_upsert
+
+    cat = SnapshotCatalog(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    v1 = cat.commit(base, op="overwrite")
+    updates = spark.createDataFrame(
+        [
+            (2, "B", False),   # update
+            (4, "d", False),   # insert
+            (3, "x", True),    # delete
+        ],
+        "k long, v string, _del boolean",
+    )
+    v2 = merge_upsert(cat, spark, updates, keys=["k"], delete_col="_del")
+    assert v2 == v1 + 1
+    final = {(r["k"], r["v"]) for r in cat.read(spark).collect()}
+    assert final == {(1, "a"), (2, "B"), (4, "d")}
+    # time travel still reaches the pre-merge state
+    pre = {(r["k"], r["v"]) for r in cat.read(spark, version=v1).collect()}
+    assert pre == {(1, "a"), (2, "b"), (3, "c")}
+    assert cat.snapshot(v2).properties["op"] == "merge"
+
+
+def test_merge_upsert_rejects_duplicate_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from turtle_spark.sources.snapshots import SnapshotCatalog, merge_upsert
+
+    cat = SnapshotCatalog(tmp_path / "t2")
+    cat.commit(
+        spark.createDataFrame([(1, "a")], "k long, v string"), op="overwrite"
+    )
+    dup = spark.createDataFrame(
+        [(1, "x", False), (1, "y", False)], "k long, v string, _del boolean"
+    )
+    with _pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_upsert(cat, spark, dup, keys=["k"], delete_col="_del")
+
+
+def test_merge_upsert_without_delete_col(spark, tmp_path):
+    from turtle_spark.sources.snapshots import SnapshotCatalog, merge_upsert
+
+    cat = SnapshotCatalog(tmp_path / "t3")
+    cat.commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        op="overwrite",
+    )
+    merge_upsert(
+        cat,
+        spark,
+        spark.createDataFrame([(2, "B")], "k long, v string"),
+        keys=["k"],
+    )
+    final = {(r["k"], r["v"]) for r in cat.read(spark).collect()}
+    assert final == {(1, "a"), (2, "B")}

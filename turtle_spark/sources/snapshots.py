@@ -277,3 +277,54 @@ def read_subject_at(
             F.col("bucket") == F.pmod(F.xxhash64(F.lit(subject)), F.lit(n_buckets))
         )
     return df.where(F.col("subject") == subject)
+
+
+def merge_upsert(
+    catalog: "SnapshotCatalog",
+    spark,
+    updates: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+    properties: dict | None = None,
+) -> int:
+    """MERGE INTO for the snapshot catalog — the lakehouse upsert:
+
+    * matched rows are REPLACED by their update row,
+    * unmatched update rows are INSERTED,
+    * update rows with ``delete_col = true`` DELETE their match
+      (and insert nothing),
+    * everything else carries over unchanged.
+
+    Implemented as current-state ⋖ updates left-anti (rows not
+    touched) unioned with the surviving updates, committed as an
+    OVERWRITE snapshot — so readers see the merge atomically, time
+    travel still reaches the pre-merge state, and a replay of the
+    same merge conflicts on the optimistic lock instead of applying
+    twice.  One shuffle on the merge keys; at scale both sides are
+    the same bucketed layout so the anti-join co-locates.
+
+    ``updates`` must carry the table schema (plus ``delete_col`` if
+    used).  Duplicate keys in ``updates`` are rejected — a MERGE
+    with two updates for one key is nondeterministic in any engine
+    (Delta/Iceberg raise the same way).
+    """
+    from pyspark.sql import functions as F
+
+    dup = (
+        updates.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError("updates contain duplicate merge keys")
+    current = catalog.read(spark)
+    cols = current.columns
+    upd = updates
+    if delete_col is not None:
+        surviving = upd.where(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).select(*cols)
+    else:
+        surviving = upd.select(*cols)
+    untouched = current.join(upd.select(*keys), keys, "left_anti")
+    merged = untouched.unionByName(surviving)
+    props = {"op": "merge", **(properties or {})}
+    return catalog.commit(merged, op="overwrite", properties=props)
