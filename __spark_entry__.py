@@ -5067,68 +5067,18 @@ def _golden_sql(name: str, sf_tag: str) -> str:
 # golden-backed, never silent.
 WINDOW_OVERFLOW = frozenset(
     {
-        "q_containers",
-        "q_frame_sample",
-        "q_sparql_update",
-        "q_void_stats",
-        "q_owl_entail",
-        "q_bnode_canonical",
         "q_direct_map",
-        "q_prefix_induction",
-        "q_skolemize",
-        "q_property_table",
-        "q_lm_quality",
-        "q_dsir_weights",
-        "q_sketch_recall",
-        "q_sparql_having",
-        "q_sparql_bind",
-        "q_semdedup",
-        "q_leakage_split",
-        "q_bpe_vocab",
-        "q_bpe_encode",
-        "q_sparql_graph",
-        "q_nquads_export",
-        "q_collections",
         "q_vocab_drift",
-        "q_hits",
-        "q_link_predict",
-        "q_trig_export",
-        "q_jsonld_export",
-        "q_functional_conflicts",
-        "q_ppr",
         "q_script_mix",
-        "q_sketch_cardinality",
-        "q_heavy_hitters",
-        "q_kmeans_topics",
-        "q_quantile_sketch",
-        "q_hard_negatives",
-        "q_snapshot_travel",
-        "q_bloom_prune",
-        "q_clustering_coef",
-        "q_text_normalize",
         "q_event_anomalies",
         "q_cohort_retention",
         "q_event_funnel",
-        "q_length_matched",
         "q_training_manifest",
-        "q_doc_lint",
-        "q_cc_incremental",
         "q_substring_clean",
         "q_events_lttb",
-        "q_pq_topk",
         "q_bm25_search",
         "q_event_transitions",
-        "q_pagerank_incremental",
-        "q_zorder_prune",
-        "q_dot_export",
-        "q_shortest_paths",
-        "q_sketch_setops",
-        "q_compression_ratio",
-        "q_owl_chains",
-        "q_skew_report",
-        "q_sq_topk",
         "q_scd2_events",
-        "q_merge_upsert",
     }
 )
 
@@ -5140,17 +5090,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     against the DuckDB oracle, so entries are ranked by how much
     driver evidence they still need:
 
-      1. never driver-checked (no CORRECTNESS row in any prior round),
-      2. new this round,
-      3. green exactly once (r02 only),
-      4. green in BOTH prior rounds (r01+r02) — these ride past the
-         window; their correctness is already double-confirmed.
+      1. never driver-checked (no green CORRECTNESS row in any prior
+         round) — round 4 fronts the 50 of these that fit the window,
+      2. the 12 remaining first-timers (declared in WINDOW_OVERFLOW;
+         all plain-SQL oracle twins recomputed locally by DuckDB at
+         sf0.001 every pytest run) — they rotate to the round-5 front,
+      3. green in a prior round (r01/r02/r03) — these ride past the
+         window; their correctness rows are already on record.
 
     ``tests/test_registry_window.py`` enforces this: any entry at
-    position >= 50 must have a green row in a prior CORRECTNESS file.
+    position >= 50 must have a green row in a prior CORRECTNESS file
+    or a WINDOW_OVERFLOW declaration, and WINDOW_OVERFLOW may be no
+    larger than the genuine overflow.
     """
     return {
-        # --- never driver-checked before round 3 (positions 1-19) ---
+        # --- round-4 window: the 50 queries that still need their
+        # --- FIRST driver correctness row (driver grades positions 1-50)
+        "q_frame_sample": _q_frame_sample,
+        "q_sparql_update": _q_sparql_update,
+        "q_void_stats": _q_void_stats,
+        "q_owl_entail": _q_owl_entail,
+        "q_bnode_canonical": _q_bnode_canonical,
+        "q_prefix_induction": _q_prefix_induction,
+        "q_skolemize": _q_skolemize,
+        "q_property_table": _q_property_table,
+        "q_lm_quality": _q_lm_quality,
+        "q_dsir_weights": _q_dsir_weights,
+        "q_sketch_recall": _q_sketch_recall,
+        "q_sparql_having": _q_sparql_having,
+        "q_sparql_bind": _q_sparql_bind,
+        "q_semdedup": _q_semdedup,
+        "q_leakage_split": _q_leakage_split,
+        "q_bpe_vocab": _q_bpe_vocab,
+        "q_bpe_encode": _q_bpe_encode,
+        "q_sparql_graph": _q_sparql_graph,
+        "q_nquads_export": _q_nquads_export,
+        "q_collections": _q_collections,
+        "q_containers": _q_containers,
+        "q_hits": _q_hits,
+        "q_link_predict": _q_link_predict,
+        "q_trig_export": _q_trig_export,
+        "q_jsonld_export": _q_jsonld_export,
+        "q_functional_conflicts": _q_functional_conflicts,
+        "q_ppr": _q_ppr,
+        "q_sketch_cardinality": _q_sketch_cardinality,
+        "q_heavy_hitters": _q_heavy_hitters,
+        "q_kmeans_topics": _q_kmeans_topics,
+        "q_quantile_sketch": _q_quantile_sketch,
+        "q_hard_negatives": _q_hard_negatives,
+        "q_snapshot_travel": _q_snapshot_travel,
+        "q_bloom_prune": _q_bloom_prune,
+        "q_clustering_coef": _q_clustering_coef,
+        "q_text_normalize": _q_text_normalize,
+        "q_length_matched": _q_length_matched,
+        "q_doc_lint": _q_doc_lint,
+        "q_cc_incremental": _q_cc_incremental,
+        "q_pq_topk": _q_pq_topk,
+        "q_pagerank_incremental": _q_pagerank_incremental,
+        "q_zorder_prune": _q_zorder_prune,
+        "q_dot_export": _q_dot_export,
+        "q_shortest_paths": _q_shortest_paths,
+        "q_sketch_setops": _q_sketch_setops,
+        "q_compression_ratio": _q_compression_ratio,
+        "q_owl_chains": _q_owl_chains,
+        "q_skew_report": _q_skew_report,
+        "q_sq_topk": _q_sq_topk,
+        "q_merge_upsert": _q_merge_upsert,
+        # --- deliberate overflow: 12 ungraded queries past the window,
+        # --- all plain-SQL-oracle twins that DuckDB RECOMPUTES at
+        # --- sf0.001 on every pytest run (tests/test_oracle_parity.py)
+        # --- — the strongest local evidence tier.  Declared in
+        # --- WINDOW_OVERFLOW; they rotate to the round-5 front.
+        "q_direct_map": _q_direct_map,
+        "q_vocab_drift": _q_vocab_drift,
+        "q_script_mix": _q_script_mix,
+        "q_event_anomalies": _q_event_anomalies,
+        "q_cohort_retention": _q_cohort_retention,
+        "q_event_funnel": _q_event_funnel,
+        "q_training_manifest": _q_training_manifest,
+        "q_substring_clean": _q_substring_clean,
+        "q_events_lttb": _q_events_lttb,
+        "q_bm25_search": _q_bm25_search,
+        "q_event_transitions": _q_event_transitions,
+        "q_scd2_events": _q_scd2_events,
+        # --- driver-green in some prior round (r01/r02/r03); their
+        # --- correctness rows are already on record, so they ride
+        # --- past the window ---
         "q_serialize_roundtrip": _q_serialize_roundtrip,
         "q_minhash_dedup_docs": _q_minhash_dedup_docs,
         "q_simhash_dedup_docs": _q_simhash_dedup_docs,
@@ -5168,9 +5193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_topk": _q_lsh_topk,
         "q_ivf_topk": _q_ivf_topk,
         "q_media_features": _q_media_features,
-        # q_frame_sample rotated to the round-4 window (WINDOW_OVERFLOW)
         "q_dedup_clusters": _q_dedup_clusters,
-        # --- new in round 3 ---
         "q_audio_stats": _q_audio_stats,
         "q_kg_delta": _q_kg_delta,
         "q_entity_cards": _q_entity_cards,
@@ -5203,73 +5226,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_phash": _q_image_phash,
         "q_graph_fingerprint": _q_graph_fingerprint,
         "q_kg_temporal": _q_kg_temporal,
-        # --- deliberate window overflow: more queries still need their
-        # first driver row than the driver grades (exactly 50); the ones
-        # below rotate to the FRONT of the round-4 registry.  Kept
-        # non-silent by WINDOW_OVERFLOW + tests/test_registry_window.py.
-        "q_frame_sample": _q_frame_sample,
-        "q_sparql_update": _q_sparql_update,
-        "q_void_stats": _q_void_stats,
-        "q_owl_entail": _q_owl_entail,
-        "q_bnode_canonical": _q_bnode_canonical,
-        "q_direct_map": _q_direct_map,
-        "q_prefix_induction": _q_prefix_induction,
-        "q_skolemize": _q_skolemize,
-        "q_property_table": _q_property_table,
-        "q_lm_quality": _q_lm_quality,
-        "q_dsir_weights": _q_dsir_weights,
-        "q_sketch_recall": _q_sketch_recall,
-        "q_sparql_having": _q_sparql_having,
-        "q_sparql_bind": _q_sparql_bind,
-        "q_semdedup": _q_semdedup,
-        "q_leakage_split": _q_leakage_split,
-        "q_bpe_vocab": _q_bpe_vocab,
-        "q_bpe_encode": _q_bpe_encode,
-        "q_sparql_graph": _q_sparql_graph,
-        "q_nquads_export": _q_nquads_export,
-        "q_collections": _q_collections,
-        "q_containers": _q_containers,
-        "q_vocab_drift": _q_vocab_drift,
-        "q_hits": _q_hits,
-        "q_link_predict": _q_link_predict,
-        "q_trig_export": _q_trig_export,
-        "q_jsonld_export": _q_jsonld_export,
-        "q_functional_conflicts": _q_functional_conflicts,
-        "q_ppr": _q_ppr,
-        "q_script_mix": _q_script_mix,
-        "q_sketch_cardinality": _q_sketch_cardinality,
-        "q_heavy_hitters": _q_heavy_hitters,
-        "q_kmeans_topics": _q_kmeans_topics,
-        "q_quantile_sketch": _q_quantile_sketch,
-        "q_hard_negatives": _q_hard_negatives,
-        "q_snapshot_travel": _q_snapshot_travel,
-        "q_bloom_prune": _q_bloom_prune,
-        "q_clustering_coef": _q_clustering_coef,
-        "q_text_normalize": _q_text_normalize,
-        "q_event_anomalies": _q_event_anomalies,
-        "q_cohort_retention": _q_cohort_retention,
-        "q_event_funnel": _q_event_funnel,
-        "q_length_matched": _q_length_matched,
-        "q_training_manifest": _q_training_manifest,
-        "q_doc_lint": _q_doc_lint,
-        "q_cc_incremental": _q_cc_incremental,
-        "q_substring_clean": _q_substring_clean,
-        "q_events_lttb": _q_events_lttb,
-        "q_pq_topk": _q_pq_topk,
-        "q_bm25_search": _q_bm25_search,
-        "q_event_transitions": _q_event_transitions,
-        "q_pagerank_incremental": _q_pagerank_incremental,
-        "q_zorder_prune": _q_zorder_prune,
-        "q_dot_export": _q_dot_export,
-        "q_shortest_paths": _q_shortest_paths,
-        "q_sketch_setops": _q_sketch_setops,
-        "q_compression_ratio": _q_compression_ratio,
-        "q_owl_chains": _q_owl_chains,
-        "q_skew_report": _q_skew_report,
-        "q_sq_topk": _q_sq_topk,
-        "q_scd2_events": _q_scd2_events,
-        "q_merge_upsert": _q_merge_upsert,
-        # --- green once (r02 only) ---
         "q_kg_extract": _q_kg_extract,
         "q_triples_two_hop": _q_triples_two_hop,
         "q_predicate_profile": _q_predicate_profile,
@@ -5294,8 +5250,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_customers_with_purchases": _q_customers_with_purchases,
         "q_skew_hint_join_revenue": _q_skew_hint_join_revenue,
         "q_json_props": _q_json_props,
-        # --- green in BOTH r01 and r02 (double-confirmed; may sit
-        # --- past the 50-entry window) ---
         "q_lineitem_agg": _q_lineitem_agg,
         "q_revenue_by_nation": _q_revenue_by_nation,
         "q_top_orders_per_customer": _q_top_orders_per_customer,
