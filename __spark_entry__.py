@@ -2077,15 +2077,21 @@ def _q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole report hash-matches the twin."""
     from turtle_spark.operators.layout import pruning_report
 
+    # epoch 1992-01-01 keeps ship_day NON-NEGATIVE for every TPC-H
+    # shipdate (earliest 1992-01-02) — z_value's contract is 31-bit
+    # non-negative ints, and a negative input would wrap to a huge
+    # Morton key that breaks Z-curve locality at the sign boundary.
+    # The selection constants are the 1995-epoch ones shifted by the
+    # 1096-day epoch delta, so the selected row set is unchanged.
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         F.datediff(
-            F.to_date("l_shipdate"), F.lit("1995-01-01").cast("date")
+            F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date")
         ).alias("ship_day"),
         F.col("l_partkey").alias("part"),
     )
     sel = (
-        (F.col("ship_day") >= 730)
-        & (F.col("ship_day") < 1095)
+        (F.col("ship_day") >= 1826)
+        & (F.col("ship_day") < 2191)
         & (F.col("part") < 25)
     )
     return pruning_report(li, "ship_day", "part", sel, n_files=64).orderBy(
@@ -2103,13 +2109,13 @@ def _sql_zorder_prune() -> str:
     sb = spread.format(x="(part & 2147483647)")
     return f"""
 WITH li AS (
-  SELECT date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS ship_day,
+  SELECT date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS ship_day,
          l_partkey AS part
   FROM lineitem
 ), zed AS (
   SELECT ship_day, part,
          ({sa}) | (({sb}) << 1) AS z,
-         CASE WHEN ship_day >= 730 AND ship_day < 1095 AND part < 25
+         CASE WHEN ship_day >= 1826 AND ship_day < 2191 AND part < 25
               THEN 1 ELSE 0 END AS sel
   FROM li
 ), sized AS (

@@ -5,7 +5,25 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from turtle_spark.operators.layout import pruning_report, z_value, zorder_files
+from turtle_spark.operators.layout import (
+    exact_rank,
+    pruning_report,
+    z_value,
+    zorder_files,
+)
+
+
+def _unpartitioned_windows(df) -> list[str]:
+    """windowspecdefinition(...) occurrences in the optimized plan
+    whose FIRST argument is a sort order (i.e. the partition-column
+    list is empty — the single-partition WindowExec scale-killer)."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    bad = []
+    for chunk in plan.split("windowspecdefinition(")[1:]:
+        head = chunk.split(",", 1)[0]
+        if " ASC" in head or " DESC" in head:
+            bad.append(head)
+    return bad
 
 
 def _morton_py(a: int, b: int) -> int:
@@ -54,6 +72,37 @@ def test_zorder_files_are_balanced_and_deterministic(spark):
         .groupBy("file").agg(F.count("*").alias("n")).collect()
     }
     assert again == sizes
+
+
+def test_exact_rank_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    rows = [((i * 37) % 101, (i * 53) % 97) for i in range(500)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["_rn"]
+        for r in exact_rank(df, ["a", "b"], n_buckets=16).collect()
+    }
+    want = {
+        (r["a"], r["b"]): r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("a", "b")) - 1
+        ).collect()
+    }
+    assert got == want
+    # every bucket path must survive an empty input
+    empty = exact_rank(df.where(F.lit(False)), ["a", "b"])
+    assert empty.count() == 0
+
+
+def test_layout_plans_have_no_unpartitioned_window(spark):
+    rows = [(i % 97, (i * 13) % 89) for i in range(1000)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    filed = zorder_files(df, "a", "b", n_files=10)
+    assert _unpartitioned_windows(filed) == []
+    sel = (F.col("a") >= 10) & (F.col("b") >= 10)
+    rep = pruning_report(df, "a", "b", sel, n_files=10)
+    assert _unpartitioned_windows(rep) == []
 
 
 def test_pruning_report_zorder_beats_linear(spark):

@@ -13,11 +13,18 @@ bit-identical at any parallelism and in the DuckDB oracle:
   62-bit Morton key with the shift-mask spread chain (no loops, no
   UDF — five JVM bitwise ops per dimension);
 * file assignment is by Z-rank: ``file = rank * n_files / N`` with
-  integer division.  The global sort this implies is the test-scale
-  stand-in for ``repartitionByRange``-with-fixed-boundaries at
-  cluster scale (sampled range boundaries would break run-to-run
-  determinism, so the boundaries of a production layout job come from
-  the quantile sketch, not sampling — see operators/sketches.py).
+  integer division.  The rank is EXACT but never computed by a global
+  window: rows are range-bucketed on deterministic sketch-quantile
+  boundaries (min-k-by-xxhash64 sample — the KMV-quantile state from
+  operators/sketches.py), per-bucket counts roll up to broadcast
+  prefix offsets, and a PARTITIONED window ranks within each bucket,
+  so ``global_rank = bucket_offset + within_bucket_rank``.  Every
+  piece is deterministic at any parallelism (hash order is global,
+  ties break on value), the two driver collects are bounded (k sample
+  values, n_buckets counts), and no task ever sorts more than one
+  bucket — the same plan shape survives a 100 TB layout job, where a
+  single ``Window.orderBy`` over the whole table would serialize on
+  one core.
 
 The report compares Z-order against the single-column sort layout on
 the SAME selection: files touched, selected rows, rows resident in
@@ -54,6 +61,90 @@ def z_value(a: Column, b: Column) -> Column:
     return _spread(a).bitwiseOR(F.shiftleft(_spread(b), 1))
 
 
+def _sketch_boundaries(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    k: int = 2048,
+) -> list[int]:
+    """Deterministic range-bucket boundaries for ``value_col`` from a
+    min-k-by-xxhash64 row sample (the KMV-quantile state of
+    operators/sketches.py): the k rows with the globally smallest
+    ``xxhash64(value)`` are a uniform sample whose hash order is
+    identical at any parallelism; nearest-rank quantiles of the sample
+    give the boundaries.  ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject — a per-partition top-k plus a driver merge,
+    never a single-partition sort.  Returns a strictly increasing list
+    of at most ``n_buckets - 1`` boundary VALUES (actual data values,
+    integer domain end to end)."""
+    sample = (
+        df.select(
+            F.col(value_col).alias("v"),
+            F.xxhash64(F.col(value_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "v")
+        .limit(k)
+    )
+    vals = sorted(r["v"] for r in sample.collect())
+    if not vals:
+        return []
+    bnds: list[int] = []
+    for i in range(1, n_buckets):
+        idx = int(i * (len(vals) - 1) / n_buckets + 0.5)
+        bnds.append(vals[idx])
+    return sorted(set(bnds))
+
+
+def exact_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "_rn",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """EXACT 0-based global dense rank by ``order_cols`` without a
+    global window (the ``dense_entity_ids`` hash-bucket-rank pattern,
+    adapted to an ordered domain):
+
+    1. bucket each row by sketch-quantile boundaries of the leading
+       order column (monotone in the sort order, so bucket i's rows
+       all precede bucket i+1's);
+    2. exact per-bucket counts → driver prefix sums (≤ n_buckets
+       rows collected) → broadcast offset join;
+    3. ``row_number`` over a window PARTITIONED by bucket;
+    4. global rank = bucket offset + within-bucket rank − 1.
+
+    Identical to ``row_number().over(Window.orderBy(*order_cols)) - 1``
+    for every total order; rows that tie on all order columns receive
+    the tied ranks in arbitrary order, exactly as a global window
+    would.  No task sorts more than one bucket."""
+    lead = order_cols[0]
+    bnds = _sketch_boundaries(df, lead, n_buckets)
+    if bnds:
+        barr = F.array(*[F.lit(b) for b in bnds])
+        bucket = F.size(F.filter(barr, lambda b: b < F.col(lead)))
+    else:
+        bucket = F.lit(0)
+    keyed = df.withColumn("_bk", bucket.cast("int"))
+    counts = sorted(
+        (r["_bk"], r["c"])
+        for r in keyed.groupBy("_bk").agg(F.count("*").alias("c")).collect()
+    )
+    offs, running = [], 0
+    for bk, c in counts:
+        offs.append((bk, running))
+        running += c
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offs or [(0, 0)], "_bk int, _off long"
+    )
+    w = Window.partitionBy("_bk").orderBy(*order_cols)
+    return (
+        keyed.join(F.broadcast(off_df), "_bk")
+        .withColumn(rank_col, F.col("_off") + F.row_number().over(w) - 1)
+        .drop("_bk", "_off")
+    )
+
+
 def zorder_files(
     df: DataFrame,
     a_col: str,
@@ -64,13 +155,13 @@ def zorder_files(
     by Z-rank.  Adds columns ``z`` and ``file``."""
     from turtle_spark.operators.skew import pin
 
-    # pinned: the rank window and the row-count branch both read this
-    # subtree (and pruning_report layers two more references on top)
+    # pinned: the boundary sample, the bucket counts, the rank window
+    # and the row-count branch all read this subtree (and
+    # pruning_report layers two more references on top)
     zed = pin(df.withColumn("z", z_value(F.col(a_col), F.col(b_col))))
-    w = Window.orderBy("z", a_col, b_col)
     n = zed.select(F.count("*").alias("n"))
     return (
-        zed.withColumn("_rn", F.row_number().over(w) - 1)
+        exact_rank(zed, ["z", a_col, b_col], "_rn")
         .join(F.broadcast(n))
         .withColumn(
             "file", F.expr(f"CAST(_rn * {n_files} div n AS INT)")
@@ -98,12 +189,11 @@ def pruning_report(
     zed = zorder_files(df, a_col, b_col, n_files).withColumn(
         "_sel", selection.cast("int")
     )
-    w_lin = Window.orderBy(a_col, b_col)
     # pinned: both layouts' per-file aggregates descend from this one
     # table — without the pin each of the four aggregate branches
     # re-scans the source and re-sorts both layouts
     both = pin(
-        zed.withColumn("_rn", F.row_number().over(w_lin) - 1)
+        exact_rank(zed, [a_col, b_col], "_rn")
         .join(F.broadcast(zed.select(F.count("*").alias("n"))))
         .withColumn("file_lin", F.expr(f"CAST(_rn * {n_files} div n AS INT)"))
         .drop("_rn", "n")
