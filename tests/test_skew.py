@@ -84,3 +84,14 @@ def test_skew_report_partition_invariance(spark):
     one = skew_report(df.coalesce(1), "k").collect()[0].asDict()
     many = skew_report(df.repartition(11), "k").collect()[0].asDict()
     assert one == many
+
+
+def test_skew_report_plan_has_no_unpartitioned_window(spark):
+    from turtle_spark.operators.skew import skew_report
+    from tests.test_layout import _unpartitioned_windows
+
+    df = spark.createDataFrame(
+        [(f"k{i % 13}",) for i in range(400)], "k string"
+    )
+    rep = skew_report(df, "k")
+    assert _unpartitioned_windows(rep) == []

@@ -177,18 +177,32 @@ def skew_report(
     * ``top_keys`` — the ``top_k`` heaviest keys as 'key:count'
       strings (count desc, key asc).
     """
+    from turtle_spark.operators.layout import exact_rank
+
     counts = pin(
         df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
             F.count("*").alias("c")
         )
     )
-    w_rank = Window.orderBy("c", "k")
-    ranked = counts.withColumn("i", F.row_number().over(w_rank))
+    # exact ascending rank of the counted keys WITHOUT a global window:
+    # sketch-boundary range buckets + broadcast prefix offsets + a
+    # PARTITIONED within-bucket window (operators/layout.py).  When the
+    # diagnosed key is high-cardinality — entity IRIs, exactly the key
+    # a skew report exists for — a Window.orderBy over the distinct-key
+    # table would itself serialize on one core.
+    ranked = exact_rank(counts, ["c", "k"], "i").withColumn(
+        "i", (F.col("i") + 1).cast("int")
+    )
+    # the rank-weighted sum i*c approaches n_keys * n_rows — decimal
+    # from the element up, or the SUM itself wraps int64 at the
+    # 10^9-key x 10^10-row scale this report is pointed at
     stats = ranked.agg(
         F.count("*").cast("long").alias("n_keys"),
         F.sum("c").cast("long").alias("n_rows"),
         F.max("c").cast("long").alias("max_cnt"),
-        F.sum(F.col("i").cast("long") * F.col("c")).alias("_ic"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")
+        ).alias("_ic"),
     )
     pct = ranked.join(F.broadcast(stats.select("n_keys")))
     p = pct.select(
@@ -205,16 +219,25 @@ def skew_report(
             )
         ).cast("long").alias("p99_cnt"),
     )
-    w_top = Window.orderBy(F.desc("c"), F.asc("k"))
+    # orderBy().limit() compiles to TakeOrderedAndProject (per-partition
+    # top-k + driver merge) — no rank window at all; collect_list order
+    # is partition-dependent, so sort inside the array on a negated
+    # count (count desc, key asc) before joining to a string
     tops = (
-        counts.withColumn("_r", F.row_number().over(w_top))
-        .where(F.col("_r") <= top_k)
+        counts.orderBy(F.desc("c"), F.asc("k"))
+        .limit(top_k)
         .agg(
-            # collect_list order is partition-dependent: sort by the
-            # rank field inside the array before joining to a string
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("_r", "k", "c"))),
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("c")).alias("nc"),
+                                F.col("k").alias("k"),
+                                F.col("c").alias("c"),
+                            )
+                        )
+                    ),
                     lambda x: F.concat_ws(
                         ":", x["k"], x["c"].cast("string")
                     ),
@@ -230,9 +253,14 @@ def skew_report(
             "n_keys",
             "n_rows",
             "max_cnt",
-            # exact-int micro-unit arithmetic: 10^6 * (2*sum(i*c) ... )
+            # exact micro-unit arithmetic: 10^6 * (2*sum(i*c) ... ) in
+            # DECIMAL(38,0) — 2000000 * _ic and n_keys * n_rows both
+            # blow past 2^63 at the advertised scale, and non-ANSI
+            # int64 arithmetic would wrap silently
             F.expr(
-                "(2000000 * _ic) div (n_keys * n_rows)"
+                "(CAST(2000000 AS DECIMAL(38,0)) * _ic)"
+                " div (CAST(n_keys AS DECIMAL(19,0))"
+                "      * CAST(n_rows AS DECIMAL(19,0)))"
                 " - (1000000 * (n_keys + 1)) div n_keys"
             ).cast("long").alias("gini_x1m"),
             F.expr("(1000000 * max_cnt) div n_rows").cast("long").alias(
