@@ -74,3 +74,35 @@ def test_matches_pure_python_golden(spark):
     fps = _fps(spark, rows)
     fp, n_t, n_b = _wl_fingerprint([r[1:] for r in rows])
     assert fps["d"] == (fp, n_t, n_b)
+
+
+def test_corpus_fingerprints_blank_invariant(spark):
+    # the invariance proof formerly computed IN-PLAN by
+    # q_graph_fingerprint: every corpus fingerprint must be identical
+    # on a blank-RENAMED copy (labels reversed — an arbitrary
+    # bijection).  Here it costs one pytest run instead of doubling
+    # the bench query forever.
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    t = __import__("__spark_entry__")._corpus_triples(spark).persist()
+    ren = lambda c: F.when(  # noqa: E731
+        F.col(c).startswith("_:"),
+        F.concat(F.lit("_:"), F.reverse(F.expr(f"substring({c}, 3)"))),
+    ).otherwise(F.col(c))
+    renamed = t.withColumn("subject", ren("subject")).withColumn(
+        "object",
+        F.when(F.col("objecttype") == "iri", ren("object")).otherwise(
+            F.col("object")
+        ),
+    )
+    fp1 = {
+        r["doc_id"]: r["graph_fp"]
+        for r in graph_fingerprints(t).where(F.col("n_blanks") > 0).collect()
+    }
+    fp2 = {
+        r["doc_id"]: r["graph_fp"]
+        for r in graph_fingerprints(renamed).collect()
+    }
+    assert fp1 and all(fp2[d] == fp for d, fp in fp1.items())
+    t.unpersist()

@@ -170,3 +170,17 @@ def test_decode_features_real_jpeg_stats(spark):
         assert np.array_equal(got, expected), ref
         # and they are REAL stats of the decoded pixels
         assert got[2] == pytest.approx(img[..., 0].astype(np.float64).mean() / 255.0, abs=1e-6)
+
+
+def test_fill_bytes_and_tem_marker_are_spec_legal():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker,
+    # and TEM (0xFF 0x01) is a standalone length-less marker — both are
+    # legal in the header and must not derail segment parsing
+    from turtle_spark.functions.imaging import synth_pixels
+
+    img = synth_pixels(16, 16, 10, 60, 200)
+    data = encode_jpeg(img)
+    base = decode_jpeg(data)
+    # inject a fill-byte run and a TEM marker right after SOI
+    padded = data[:2] + b"\xff\xff\xff\x01" + data[2:]
+    assert np.array_equal(decode_jpeg(padded), base)

@@ -320,10 +320,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of
+        # 0xFF fill bytes — skip to the last 0xFF of the run
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone length-less markers (TEM, RSTn): no segment
+            # body — reading a bogus 2-byte length here would shred
+            # the rest of the header
+            continue
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
         body = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)

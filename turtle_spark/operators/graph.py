@@ -1205,6 +1205,7 @@ def shortest_paths(
     ).select("landmark", F.col("landmark").alias("node"), F.lit(0).cast("long").alias("dist"))
     state = pin(state)
     frontier = state
+    converged = False
     for _ in range(max_iterations):
         relaxed = (
             frontier.join(edges, frontier["node"] == edges["src"])
@@ -1233,6 +1234,7 @@ def shortest_paths(
             )
         )
         if improved.limit(1).count() == 0:
+            converged = True
             break
         new_state = (
             state.unionByName(improved)
@@ -1241,4 +1243,18 @@ def shortest_paths(
         )
         state = pin(new_state.localCheckpoint(eager=False))
         frontier = improved
+    if not converged:
+        # the final round still improved distances, so the returned
+        # costs are UPPER BOUNDS, not the fixed point — surface it
+        # instead of silently handing back overestimates
+        import warnings
+
+        warnings.warn(
+            f"shortest_paths: distances still improving after "
+            f"{max_iterations} iterations; returned costs are upper "
+            f"bounds — raise max_iterations for graphs with hop "
+            f"diameter > {max_iterations}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return state

@@ -4,17 +4,19 @@ Images/audio/video ride through the pipeline as ``binary`` columns
 with a metadata struct; decode / feature-extraction / resize /
 frame-sampling run as Arrow-batched ``mapInPandas`` transforms.
 
-Decode is REAL for codec-free formats: synthetic image rows carry
-actual PPM/BMP payloads (``functions/imaging.py``) decoded to pixels
-with genuine pixel statistics, and synthetic audio rows carry actual
-RIFF/WAVE PCM16 payloads (``functions/audio.py``) decoded to samples
-with genuine signal statistics — both through the same Arrow seam a
-PIL/torchaudio/pyav decoder would plug into.  Formats that need codec
-libraries (JPEG/PNG/MP3/video frames) still raise
-``NotImplementedError`` at the seam — ``decode_features(...,
-stub=True)`` produces a deterministic content-derived fake for those.
-Everything Spark-side — schema, batch shape, partition behavior, UDF
-signature — is identical for the stub and real paths.
+Decode is REAL for every format the synthetic corpus emits: PPM, BMP,
+PNG (zlib inflate + all five filter types) and baseline JPEG (from-
+spec Huffman + IDCT codec, ``functions/jpeg.py``) decode to pixels
+with genuine pixel statistics (``functions/imaging.py``); RIFF/WAVE
+PCM16 decodes to samples with genuine signal statistics
+(``functions/audio.py``); PVID video decodes to frames — all through
+the same Arrow seam a PIL/torchaudio/pyav decoder would plug into.
+The only remaining ``NotImplementedError`` seams are formats the
+sandbox genuinely cannot decode — progressive/subsampled JPEG and MP3
+— and ``decode_features(..., stub=True)`` produces a deterministic
+content-derived fake for those.  Everything Spark-side — schema,
+batch shape, partition behavior, UDF signature — is identical for the
+stub and real paths.
 """
 
 from __future__ import annotations

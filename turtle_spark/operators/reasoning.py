@@ -308,6 +308,17 @@ def owl_chain_entail(
     """
     from turtle_spark.operators.skew import pin
 
+    if not chains:
+        # chains come from data-dependent axiom discovery (e.g. a
+        # top-2 collect); an empty composition set yields an empty
+        # delta with the standard schema, mirroring how the other
+        # entailment rules handle no-axiom inputs
+        return triples.sparkSession.createDataFrame(
+            [],
+            "rule string, subject string, predicate string, "
+            "object string, label string, datatype string, "
+            "objecttype string",
+        )
     edges = pin(
         triples.where(F.col("objecttype") == "iri").select(
             "subject", "predicate", "object"
