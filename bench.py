@@ -730,6 +730,13 @@ def write_bench_md(
         "the previous snapshot's rank table is a stored artifact by the",
         "operator's contract, so its 10-round build runs outside the",
         "timed region and the number is the 4-warm-iteration upkeep.",
+        "`q_zorder_prune` and `q_skew_report` cost MORE than their r3",
+        "numbers by design: r4 replaced their single-partition global",
+        "windows (the r3 verdict's two scale-killers) with sketch-",
+        "boundary bucketed exact ranks — bounded driver actions plus",
+        "partitioned windows whose fixed cost dominates at test SF but",
+        "whose plan shape survives 100 TB, where the old window",
+        "serializes the whole table on one core.",
         "",
         "| query | sec |",
         "| --- | --- |",

@@ -76,11 +76,20 @@ def _sketch_boundaries(
     TakeOrderedAndProject — a per-partition top-k plus a driver merge,
     never a single-partition sort.  Returns a strictly increasing list
     of at most ``n_buckets - 1`` boundary VALUES (actual data values,
-    integer domain end to end)."""
+    integer domain end to end).
+
+    The hash covers EVERY column (sorted for stability), not just the
+    value: hashing the value alone collapses the sample to the k
+    smallest-hash DISTINCT values, so a low-cardinality column (2.5k
+    ship-days over 600k rows) yielded ~10 boundaries with row-skewed
+    buckets.  Hashing the whole row keeps the sample ~uniform over
+    ROWS, which is what equal-depth boundaries need."""
     sample = (
         df.select(
             F.col(value_col).alias("v"),
-            F.xxhash64(F.col(value_col).cast("string")).alias("h"),
+            F.xxhash64(
+                *[F.col(c).cast("string") for c in sorted(df.columns)]
+            ).alias("h"),
         )
         .orderBy("h", "v")
         .limit(k)
@@ -99,7 +108,8 @@ def exact_rank(
     df: DataFrame,
     order_cols: list[str],
     rank_col: str = "_rn",
-    n_buckets: int = 64,
+    n_buckets: int = 32,
+    pin_input: bool = True,
 ) -> DataFrame:
     """EXACT 0-based global dense rank by ``order_cols`` without a
     global window (the ``dense_entity_ids`` hash-bucket-rank pattern,
@@ -116,33 +126,110 @@ def exact_rank(
     Identical to ``row_number().over(Window.orderBy(*order_cols)) - 1``
     for every total order; rows that tie on all order columns receive
     the tied ranks in arbitrary order, exactly as a global window
-    would.  No task sorts more than one bucket."""
-    lead = order_cols[0]
-    bnds = _sketch_boundaries(df, lead, n_buckets)
-    if bnds:
-        barr = F.array(*[F.lit(b) for b in bnds])
-        bucket = F.size(F.filter(barr, lambda b: b < F.col(lead)))
-    else:
-        bucket = F.lit(0)
-    keyed = df.withColumn("_bk", bucket.cast("int"))
-    counts = sorted(
-        (r["_bk"], r["c"])
-        for r in keyed.groupBy("_bk").agg(F.count("*").alias("c")).collect()
+    would.  No task sorts more than one bucket.
+
+    ``pin_input`` persists the input before the two driver actions
+    (boundary sample, bucket counts) so they and the final plan
+    evaluate the upstream lineage ONCE — without it a rank over an
+    expensive subtree re-executes that subtree three times (measured
+    20x on a rank-over-rank plan).  Callers whose input is already
+    pinned may pass False."""
+    return exact_ranks(
+        df, [(order_cols, rank_col)], n_buckets=n_buckets, pin_input=pin_input
     )
-    offs, running = [], 0
-    for bk, c in counts:
-        offs.append((bk, running))
-        running += c
+
+
+def exact_ranks(
+    df: DataFrame,
+    specs: list[tuple[list[str], str]],
+    n_buckets: int = 32,
+    pin_input: bool = True,
+) -> DataFrame:
+    """Multi-spec form of :func:`exact_rank`: every ``(order_cols,
+    rank_col)`` spec is computed in the SAME output plan over the same
+    (pinned-once) input — a caller comparing two layouts of one table
+    (``pruning_report``) pays one lineage materialization and one
+    window exchange per spec, never a rank-over-rank chain that
+    re-executes the first rank inside the second's driver actions.
+
+    The bucket id is a WHEN-comparison chain over the ≤ n_buckets-1
+    boundary literals (codegen branches — a per-row array-filter
+    lambda measured ~3x slower on a 600k-row layout job).  Default 32
+    buckets: a ~63-deep chain crosses Spark's generated-method size
+    limit and the stage falls back to interpreted evaluation (measured
+    4x on the same job — 1.7 s at 32 buckets, 6.7 s at 64).  At
+    cluster scale 32 buckets still means no task sorts more than
+    1/32nd of the table; raise it only alongside a codegen check."""
+    from turtle_spark.operators.skew import pin as _pin, spread as _spread
+
+    if pin_input:
+        # spread first: a one-file parquet source otherwise pins (and
+        # serves every downstream action) from a single partition
+        df = _pin(_spread(df))
     spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        offs or [(0, 0)], "_bk int, _off long"
-    )
-    w = Window.partitionBy("_bk").orderBy(*order_cols)
-    return (
-        keyed.join(F.broadcast(off_df), "_bk")
-        .withColumn(rank_col, F.col("_off") + F.row_number().over(w) - 1)
-        .drop("_bk", "_off")
-    )
+    # ONE boundary-sample job for all specs: per-spec TakeOrdered
+    # branches unioned and collected together (each branch is a
+    # per-partition top-k + merge, never a global sort)
+    hcol = F.xxhash64(*[F.col(c).cast("string") for c in sorted(df.columns)])
+    sample_parts = [
+        df.select(
+            F.lit(i).alias("i"),
+            F.col(order_cols[0]).cast("long").alias("v"),
+            hcol.alias("h"),
+        )
+        .orderBy("h", "v")
+        .limit(2048)
+        for i, (order_cols, _) in enumerate(specs)
+    ]
+    sampled = sample_parts[0]
+    for p in sample_parts[1:]:
+        sampled = sampled.unionByName(p)
+    by_spec: dict[int, list[int]] = {i: [] for i in range(len(specs))}
+    for r in sampled.collect():
+        by_spec[r["i"]].append(r["v"])
+    buckets = []
+    for i, (order_cols, rank_col) in enumerate(specs):
+        vals = sorted(by_spec[i])
+        bnds: list[int] = []
+        if vals:
+            for j in range(1, n_buckets):
+                bnds.append(vals[int(j * (len(vals) - 1) / n_buckets + 0.5)])
+        bucket = F.lit(0)
+        for b in sorted(set(bnds)):
+            bucket = bucket + F.when(
+                F.col(order_cols[0]) > F.lit(b), 1
+            ).otherwise(0)
+        buckets.append(bucket.cast("int"))
+    # ONE bucket-count job for all specs, then driver prefix sums
+    count_parts = [
+        df.select(F.lit(i).alias("i"), b.alias("bk"))
+        .groupBy("i", "bk")
+        .agg(F.count("*").alias("c"))
+        for i, b in enumerate(buckets)
+    ]
+    counted = count_parts[0]
+    for p in count_parts[1:]:
+        counted = counted.unionByName(p)
+    rows = sorted((r["i"], r["bk"], r["c"]) for r in counted.collect())
+    out = df
+    for i, ((order_cols, rank_col), bucket) in enumerate(zip(specs, buckets)):
+        bk_col, off_col = f"_bk{i}", f"_off{i}"
+        offs, running = [], 0
+        for si, bk, c in rows:
+            if si == i:
+                offs.append((bk, running))
+                running += c
+        off_df = spark.createDataFrame(
+            offs or [(0, 0)], f"{bk_col} int, {off_col} long"
+        )
+        w = Window.partitionBy(bk_col).orderBy(*order_cols)
+        out = (
+            out.withColumn(bk_col, bucket)
+            .join(F.broadcast(off_df), bk_col)
+            .withColumn(rank_col, F.col(off_col) + F.row_number().over(w) - 1)
+            .drop(bk_col, off_col)
+        )
+    return out
 
 
 def zorder_files(
@@ -153,15 +240,16 @@ def zorder_files(
 ) -> DataFrame:
     """Assign each row its Z-layout file id (0..n_files-1), equal-depth
     by Z-rank.  Adds columns ``z`` and ``file``."""
-    from turtle_spark.operators.skew import pin
+    from turtle_spark.operators.skew import pin, spread
 
-    # pinned: the boundary sample, the bucket counts, the rank window
-    # and the row-count branch all read this subtree (and
-    # pruning_report layers two more references on top)
-    zed = pin(df.withColumn("z", z_value(F.col(a_col), F.col(b_col))))
+    # spread + pinned: the boundary sample, the bucket counts, the
+    # rank window and the row-count branch all read this subtree — and
+    # a one-file parquet source would otherwise pin (and serve all of
+    # them) from a single partition
+    zed = pin(spread(df.withColumn("z", z_value(F.col(a_col), F.col(b_col)))))
     n = zed.select(F.count("*").alias("n"))
     return (
-        exact_rank(zed, ["z", a_col, b_col], "_rn")
+        exact_rank(zed, ["z", a_col, b_col], "_rn", pin_input=False)
         .join(F.broadcast(n))
         .withColumn(
             "file", F.expr(f"CAST(_rn * {n_files} div n AS INT)")
@@ -184,19 +272,33 @@ def pruning_report(
     read amplification = rows_in_touched_files / rows_selected.  All
     counts int64; the one double division is exact-int operands.
     """
-    from turtle_spark.operators.skew import pin
+    from turtle_spark.operators.skew import pin, spread
 
-    zed = zorder_files(df, a_col, b_col, n_files).withColumn(
-        "_sel", selection.cast("int")
+    # ONE spread + pinned base feeds everything: both ranks' boundary
+    # samples, bucket counts, window exchanges and the row-count branch
+    # (a rank-over-rank chain here re-executed the Z-rank inside the
+    # linear rank's driver actions — measured 11 s vs 3 s at 600k rows)
+    zed = pin(
+        spread(
+            df.withColumn("z", z_value(F.col(a_col), F.col(b_col))).withColumn(
+                "_sel", selection.cast("int")
+            )
+        )
+    )
+    n = zed.select(F.count("*").alias("n"))
+    ranked = exact_ranks(
+        zed,
+        [(["z", a_col, b_col], "_rnz"), ([a_col, b_col], "_rnl")],
+        pin_input=False,
     )
     # pinned: both layouts' per-file aggregates descend from this one
     # table — without the pin each of the four aggregate branches
     # re-scans the source and re-sorts both layouts
     both = pin(
-        exact_rank(zed, [a_col, b_col], "_rn")
-        .join(F.broadcast(zed.select(F.count("*").alias("n"))))
-        .withColumn("file_lin", F.expr(f"CAST(_rn * {n_files} div n AS INT)"))
-        .drop("_rn", "n")
+        ranked.join(F.broadcast(n))
+        .withColumn("file", F.expr(f"CAST(_rnz * {n_files} div n AS INT)"))
+        .withColumn("file_lin", F.expr(f"CAST(_rnl * {n_files} div n AS INT)"))
+        .drop("_rnz", "_rnl", "n")
     )
 
     def layout_stats(file_col: str, name: str) -> DataFrame:

@@ -161,19 +161,24 @@ def skew_report(
     whether the key needs salting (``salted_join``), a skew hint, or
     nothing — the measurement half of the skew toolkit.
 
-    One count-by-key aggregation (map-side combined) and ONE pass of
-    windowed order statistics over the COUNTED keys (never the rows).
-    Reported per key table:
+    One count-by-key aggregation (map-side combined), then order
+    statistics over the COUNTED keys (never the rows) through the
+    bucketed ``exact_rank`` of operators/layout.py — no global window
+    even when the diagnosed key is high-cardinality (entity IRIs are
+    exactly the key this report is pointed at).  Reported per key
+    table:
 
     * ``n_keys``, ``n_rows``, ``max_cnt``, ``top1_share`` — the
       heavy-hitter headline;
     * ``p50_cnt`` / ``p99_cnt`` — nearest-rank order statistics
       (exact integers, rank = ceil(q * n));
     * ``gini_x1m`` — Gini coefficient of the key-count distribution
-      in exact integer MICRO-units: with counts sorted ascending,
-      G = (2 * sum(i * c_i) / (n * sum(c)) - (n + 1) / n), all
-      operands int64, scaled by 10^6 and floor-divided so the figure
-      is bit-stable at any parallelism;
+      in exact MICRO-units: with counts sorted ascending,
+      G = (2 * sum(i * c_i) / (n * sum(c)) - (n + 1) / n), the
+      rank-weighted sum and its products carried in DECIMAL(38,0)
+      (they approach n_keys * n_rows — past int64 at the 10^9-key x
+      10^10-row scale this report diagnoses), scaled by 10^6 and
+      floor-divided so the figure is bit-stable at any parallelism;
     * ``top_keys`` — the ``top_k`` heaviest keys as 'key:count'
       strings (count desc, key asc).
     """
@@ -190,7 +195,7 @@ def skew_report(
     # diagnosed key is high-cardinality — entity IRIs, exactly the key
     # a skew report exists for — a Window.orderBy over the distinct-key
     # table would itself serialize on one core.
-    ranked = exact_rank(counts, ["c", "k"], "i").withColumn(
+    ranked = exact_rank(counts, ["c", "k"], "i", pin_input=False).withColumn(
         "i", (F.col("i") + 1).cast("int")
     )
     # the rank-weighted sum i*c approaches n_keys * n_rows — decimal
