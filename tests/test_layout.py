@@ -119,3 +119,39 @@ def test_pruning_report_zorder_beats_linear(spark):
     assert z["rows_selected"] == lin["rows_selected"] == 16 * 16
     assert z["read_amplification"] < lin["read_amplification"]
     assert z["files_touched"] < lin["files_touched"]
+
+
+def test_boundaries_survive_low_cardinality_lead(spark):
+    # regression: hashing only the VALUE collapsed the boundary sample
+    # to the k smallest-hash DISTINCT values — a low-cardinality lead
+    # column (dates over a big table) got ~10 skewed buckets instead
+    # of ~n_buckets balanced ones
+    from turtle_spark.operators.layout import _sketch_boundaries
+
+    rows = [(i % 97, i) for i in range(20000)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    bnds = _sketch_boundaries(df, "a", 32)
+    assert len(bnds) >= 20, f"only {len(bnds)} boundaries for 97 values"
+
+
+def test_exact_rank_handles_heavy_ties(spark):
+    from pyspark.sql import Window
+
+    # one value dominates: every tied row must still receive a unique
+    # rank and the rank multiset must equal the global window's
+    rows = [(5, i % 3) for i in range(400)] + [(i % 7, i % 11) for i in range(100)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = sorted(r["_rn"] for r in exact_rank(df, ["a", "b"]).collect())
+    assert got == list(range(500))
+    per_key_got = {
+        (r["a"], r["b"]): r["n"]
+        for r in exact_rank(df, ["a", "b"])
+        .groupBy("a", "b").agg(F.min("_rn").alias("n")).collect()
+    }
+    per_key_want = {
+        (r["a"], r["b"]): r["n"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("a", "b")) - 1
+        ).groupBy("a", "b").agg(F.min("rn").alias("n")).collect()
+    }
+    assert per_key_got == per_key_want
