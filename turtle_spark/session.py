@@ -27,7 +27,15 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(2 * cores, 32)
+        # ONE shuffle partition per slot, floor 32.  2x slots sounds
+        # like straggler insurance but measured 1.8x SLOWER across the
+        # heavy sf0.1 queries at local[32] (52.9 -> 29.5 s over 8
+        # queries; q_pagerank_kg 12.7 -> 6.4 s): iterative plans and
+        # explicit AQE-exempt repartitions pay two task waves plus
+        # per-task Arrow/scheduling overhead per stage.  On a real
+        # cluster the right value tracks input bytes (AQE coalescing
+        # resizes relational stages); this is the local default.
+        shuffle_partitions = max(cores, 32)
 
     builder = (
         SparkSession.builder.appName(app_name)
