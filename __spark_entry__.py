@@ -5046,49 +5046,42 @@ def _golden_sql(name: str, sf_tag: str) -> str:
     return f"SELECT {select} FROM (VALUES\n{values}\n) AS t({slots})"
 
 
-# Queries that still need their FIRST driver correctness row but do
-# not fit the driver's 50-entry grading window this round.  They
-# rotate to the front of the next round's registry.  The guard test
-# (tests/test_registry_window.py) fails on any ungraded query past the
-# window that is NOT declared here — overflow must be deliberate and
-# golden-backed, never silent.
-WINDOW_OVERFLOW = frozenset(
-    {
-        "q_direct_map",
-        "q_vocab_drift",
-        "q_script_mix",
-        "q_event_anomalies",
-        "q_cohort_retention",
-        "q_event_funnel",
-        "q_training_manifest",
-        "q_substring_clean",
-        "q_events_lttb",
-        "q_bm25_search",
-        "q_event_transitions",
-        "q_scd2_events",
-    }
-)
+def _driver_green() -> frozenset[str]:
+    """Queries with a green driver row (rows + schema + hash, no err)
+    in any prior round's CORRECTNESS artifact.  Drives the registry's
+    SELF-ROTATING order: the driver grades the first 50 entries, so
+    never-graded queries sort to the front automatically each round —
+    including any query whose prior-round row went red, which re-enters
+    the window for a retry instead of hiding behind an old rotation."""
+    green: set[str] = set()
+    for path in sorted(pathlib.Path(__file__).resolve().parent.glob(
+        "CORRECTNESS_r*.json"
+    )):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                # rows-only queries record hash_match null; any green
+                # driver row counts
+                and row.get("hash_match") is not False
+                and row.get("err") is None
+            ):
+                green.add(name)
+    return frozenset(green)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Query registry.
+_DRIVER_WINDOW = 50
 
-    ORDERING CONTRACT: the driver grades only the FIRST 50 entries
-    against the DuckDB oracle, so entries are ranked by how much
-    driver evidence they still need:
 
-      1. never driver-checked (no green CORRECTNESS row in any prior
-         round) — round 4 fronts the 50 of these that fit the window,
-      2. the 12 remaining first-timers (declared in WINDOW_OVERFLOW;
-         all plain-SQL oracle twins recomputed locally by DuckDB at
-         sf0.001 every pytest run) — they rotate to the round-5 front,
-      3. green in a prior round (r01/r02/r03) — these ride past the
-         window; their correctness rows are already on record.
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Canonical query table.  PRIORITY order among never-graded
+    queries (the front of this dict wins a window slot first);
+    ``queries()`` reorders it against the CORRECTNESS artifacts.
 
-    ``tests/test_registry_window.py`` enforces this: any entry at
-    position >= 50 must have a green row in a prior CORRECTNESS file
-    or a WINDOW_OVERFLOW declaration, and WINDOW_OVERFLOW may be no
-    larger than the genuine overflow.
     """
     return {
         # --- round-4 window: the 50 queries that still need their
@@ -5264,6 +5257,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_pairs": _q_cosine_pairs,
         "q_quality_score": _q_quality_score,
     }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Query registry, SELF-ROTATING against the driver's artifacts.
+
+    ORDERING CONTRACT: the driver grades only the FIRST 50 entries
+    against the DuckDB oracle, so the registry orders itself by how
+    much driver evidence each query still needs —
+
+      1. queries with NO green CORRECTNESS row in any prior round
+         (first-timers and any red-row retries), in ``_registry()``'s
+         priority order;
+      2. queries already driver-green in some round — their rows are
+         on record, so they ride past the window.
+
+    The rotation that rounds 2-4 performed by hand is therefore
+    automatic: when ``CORRECTNESS_r04.json`` lands, its 50 newly-green
+    queries sort behind the remaining first-timers and round 5's
+    window fills itself.  ``WINDOW_OVERFLOW`` (the ungraded queries
+    that do not fit this round's window) is computed from the same
+    facts; ``tests/test_registry_window.py`` still enforces that every
+    overflow member is locally golden- or SQL-oracle-backed.
+    """
+    base = _registry()
+    green = _driver_green()
+    ordered = [n for n in base if n not in green] + [
+        n for n in base if n in green
+    ]
+    return {n: base[n] for n in ordered}
+
+
+# Ungraded queries past the driver's window THIS round — computed, not
+# hand-rotated.  Every member is locally oracle-backed (the guard test
+# proves it): plain-SQL twins are recomputed by DuckDB at sf0.001 on
+# every pytest run, golden-backed ones replay independently-derived
+# result sets, and tools/crosscheck.py rehearses all of them at the
+# driver's sf0.01.
+WINDOW_OVERFLOW = frozenset(
+    [n for n in queries() if n not in _driver_green()][_DRIVER_WINDOW:]
+)
 
 
 def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:

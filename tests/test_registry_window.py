@@ -102,3 +102,20 @@ def test_every_query_has_oracle_entry():
         f"queries with no oracle_sql entry (add a SQL twin or golden): "
         f"{sorted(missing)}"
     )
+
+
+def test_registry_self_rotates_on_new_green_rows(monkeypatch):
+    """When a round's CORRECTNESS artifact lands, its newly-green
+    queries must drop behind the remaining first-timers automatically
+    (the by-hand rotation of rounds 2-4, now a property of queries())."""
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    still_ungraded = [
+        n for n in names[DRIVER_WINDOW:] if n not in _green_anywhere()
+    ]
+    fake_green = frozenset(_green_anywhere() | set(names[:DRIVER_WINDOW]))
+    monkeypatch.setattr(entrymod, "_driver_green", lambda: fake_green)
+    rotated = list(entrymod.queries())
+    assert rotated[: len(still_ungraded)] == still_ungraded
+    assert set(rotated) == set(names)
