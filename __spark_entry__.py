@@ -4405,6 +4405,56 @@ def _q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star pipeline itself, driver-graded: run the FULL
+    KG-construction pipeline (plans/pipeline.py — extract -> mention
+    terms -> MinHash-LSH link edges -> connected components ->
+    canonical map -> deduplicated canonical triples -> bucketed
+    materialization) over the deterministic 200-doc corpus + fixtures,
+    TWICE against one checkpoint manifest, and emit each stage's
+    manifest lineage: committed row count plus the proof that the
+    second run resumed every stage from its committed checkpoint
+    instead of recomputing (the north rule's mid-run resume contract).
+    Row counts are hash-matched against a pure-Python mirror
+    (tools/golden_ref.py::ref_q_pipeline_lineage: loops + union-find
+    sharing only the spec).  The workdir persists under
+    spark-warehouse, so steady-state invocations measure the resume
+    path — at 10^12 documents that is the operating mode: a transient
+    failure in stage D must never re-pay stages A-C."""
+    import pathlib as _pl
+
+    from turtle_spark.plans.pipeline import run_pipeline
+    from turtle_spark.sources.corpus import fixture_docs, generate_docs
+
+    docs = (
+        generate_docs(spark, 200, seed=42)
+        .unionByName(fixture_docs(spark))
+        .coalesce(8)
+        .persist()
+    )
+    wd = str(
+        _pl.Path(__file__).resolve().parent
+        / "spark-warehouse"
+        / "pipeline_lineage_corpus200"
+    )
+    fp = "corpus-200-seed-42"
+    run_pipeline(spark, docs, wd, input_fingerprint=fp)
+    second = run_pipeline(spark, docs, wd, input_fingerprint=fp)
+    docs.unpersist()
+    stages = [
+        "extract", "terms", "edges", "components",
+        "canonical_map", "canonical_triples", "materialize",
+    ]
+    rows = [
+        (name, int(second.metrics[name]["rows"]),
+         bool(second.metrics[name]["resumed"]))
+        for name in stages
+    ]
+    return spark.createDataFrame(
+        rows, "stage string, rows long, resumed_second_run boolean"
+    ).orderBy("stage")
+
+
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling: every synthetic video is a PVID
     container of PPM frames (operators/multimodal.py::
@@ -4999,7 +5049,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_dot_export",
         "q_functional_conflicts", "q_ppr", "q_sketch_cardinality",
         "q_clustering_coef", "q_text_normalize", "q_doc_lint",
-        "q_cc_incremental",
+        "q_cc_incremental", "q_pipeline_lineage",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -5136,6 +5186,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skew_report": _q_skew_report,
         "q_sq_topk": _q_sq_topk,
         "q_merge_upsert": _q_merge_upsert,
+        "q_pipeline_lineage": _q_pipeline_lineage,
         # --- deliberate overflow: 12 ungraded queries past the window,
         # --- all plain-SQL-oracle twins that DuckDB RECOMPUTES at
         # --- sf0.001 on every pytest run (tests/test_oracle_parity.py)

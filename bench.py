@@ -171,6 +171,7 @@ HEADLINE = [
     "q_sq_topk",
     "q_scd2_events",
     "q_merge_upsert",
+    "q_pipeline_lineage",
 ]
 
 

@@ -181,10 +181,19 @@ def minhash_perm_coeffs(num_perm: int, seed: int = 7):
 
 
 def minhash_sig(shingles: np.ndarray, a: list[int], b: list[int]) -> list[int]:
+    """Bitwise mirror of ``minhash_signatures_batch``: the engine's
+    ``(a * x + b) % M61`` runs in numpy uint64, so the product and the
+    sum WRAP mod 2^64 before the Mersenne mod — Python's exact big-int
+    product diverges (caught when the pipeline-lineage golden exposed
+    raw candidate counts; the verified-edge goldens agreed either way
+    because exact Jaccard verification absorbs candidate-set drift)."""
     if shingles.size == 0:
         return [_M61] * len(a)
     xs = [int(s) % _M61 for s in shingles]
-    return [min((ai * x + bi) % _M61 for x in xs) for ai, bi in zip(a, b)]
+    return [
+        min((((ai * x) & _M64) + bi & _M64) % _M61 for x in xs)
+        for ai, bi in zip(a, b)
+    ]
 
 
 def band_fold(signature: list[int], bands: int) -> list[int]:
@@ -2682,6 +2691,125 @@ def ref_q_graph_fingerprint() -> tuple[list[str], list[tuple]]:
     return ["doc_id", "graph_fp", "n_triples", "n_blanks"], out
 
 
+def _xxh64_int32(v: int, seed: int = 42) -> int:
+    """Spark ``xxhash64`` over an IntegerType column: XXH64 of the
+    4-byte little-endian value (verified against the engine)."""
+    import struct
+
+    return xxh64(struct.pack("<i", v), seed)
+
+
+def _xxh64_int64(v: int, seed: int = 42) -> int:
+    """Spark ``xxhash64`` over a LongType column: XXH64 of the 8-byte
+    little-endian two's-complement value; multi-column calls chain the
+    previous column's hash as the next seed (verified)."""
+    import struct
+
+    return xxh64(struct.pack("<q", v), seed)
+
+
+def ref_q_pipeline_lineage() -> tuple[list[str], list[tuple]]:
+    """Stage-by-stage row counts of the FULL KG-construction pipeline
+    (plans/pipeline.py::run_pipeline) over the 200-doc corpus +
+    fixtures — extract, distinct mention terms, verified link edges
+    (MinHash-LSH with the pipeline's clique guards: bucket_cap=64,
+    salted cap order, neighbor_window=8, src_degree_cap=8, shingle
+    k=4, threshold=0.6), connected components, canonical map,
+    deduplicated canonical triples, bucketed materialization.  Every
+    count recomputed with pure loops + union-find sharing only the
+    spec.  ``resumed_second_run`` pins the manifest's resume contract:
+    the query runs the pipeline TWICE and the second run must serve
+    every stage from committed checkpoints."""
+    docs = _corpus_docs(200) + _fixture_docs()
+    triples = _extract_all(docs)
+    n_extract = len(triples)
+
+    terms: dict[int, str] = {}
+    for (_d, _seq, sub, _p, obj, _label, _dt, ot) in triples:
+        if not sub.startswith("_:"):
+            terms.setdefault(_signed64(xxh64_str(sub)), sub)
+        if ot == "iri" and not obj.startswith("_:"):
+            terms.setdefault(_signed64(xxh64_str(obj)), obj)
+    n_terms = len(terms)
+
+    a, b = minhash_perm_coeffs(128, seed=7)
+    buckets: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for tid, text in terms.items():
+        sig = minhash_sig(char_shingles(text or "", 4), a, b)
+        for bi, bh in enumerate(band_fold(sig, 32)):
+            salt = _signed64(_xxh64_int64(tid, seed=_xxh64_int32(bi)))
+            buckets.setdefault((bi, bh), []).append((salt, tid))
+    raw_pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        members.sort()  # salted cap order (engine: row_number by salt)
+        kept = sorted(t for _s, t in members[:64])  # bucket_cap, then sort_array
+        n = len(kept)
+        for i, x in enumerate(kept):
+            for y in kept[i + 1 : i + 1 + min(8, n - i - 1)]:  # neighbor_window
+                raw_pairs.add((x, y))
+    by_src: dict[int, set[int]] = {}
+    for s_, d_ in raw_pairs:
+        by_src.setdefault(s_, set()).add(d_)
+    edges = [
+        (s_, d_)
+        for s_, ds in by_src.items()
+        for d_ in sorted(ds)[:8]  # src_degree_cap smallest distinct dsts
+        if jaccard_shingles(terms[s_] or "", terms[d_] or "", 4) >= 0.6
+    ]
+    n_edges = len(edges)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes: set[int] = set()
+    for s_, d_ in edges:
+        nodes.add(s_)
+        nodes.add(d_)
+        ra, rb = find(s_), find(d_)
+        if ra != rb:
+            parent[ra] = rb
+    n_components = len(nodes)
+
+    comp_members: dict[int, list[int]] = {}
+    for nd in nodes:
+        comp_members.setdefault(find(nd), []).append(nd)
+    cmap: dict[int, tuple[str, str]] = {}
+    for members in comp_members.values():
+        canon = min(terms[m] for m in members)
+        for m in members:
+            if terms[m] != canon:
+                cmap[m] = (terms[m], canon)
+    n_cmap = len(cmap)
+
+    canon_set: set[tuple] = set()
+    for (_d, _seq, sub, pred, obj, label, dt, ot) in triples:
+        sid = _signed64(xxh64_str(sub))
+        if sid in cmap and cmap[sid][0] == sub:
+            sub = cmap[sid][1]
+        if ot == "iri":
+            oid = _signed64(xxh64_str(obj))
+            if oid in cmap and cmap[oid][0] == obj:
+                obj = cmap[oid][1]
+        canon_set.add((sub, pred, obj, label, dt, ot))
+    n_canon = len(canon_set)
+
+    rows = [
+        ("canonical_map", n_cmap, True),
+        ("canonical_triples", n_canon, True),
+        ("components", n_components, True),
+        ("edges", n_edges, True),
+        ("extract", n_extract, True),
+        ("materialize", n_canon, True),
+        ("terms", n_terms, True),
+    ]
+    return ["stage", "rows", "resumed_second_run"], rows
+
+
 def ref_q_kg_temporal() -> tuple[list[str], list[tuple]]:
     """Bitemporal layer: synthesized version history, interval
     coalescing, as-of snapshots, per-predicate delta — all as plain
@@ -3860,6 +3988,7 @@ CORPUS_QUERIES = {
     "q_sameas_canonical": ref_q_sameas_canonical,
     "q_image_phash": ref_q_image_phash,
     "q_graph_fingerprint": ref_q_graph_fingerprint,
+    "q_pipeline_lineage": ref_q_pipeline_lineage,
     "q_kg_temporal": ref_q_kg_temporal,
     "q_sparql_update": ref_q_sparql_update,
     "q_void_stats": ref_q_void_stats,
@@ -3899,6 +4028,7 @@ DUCK_TYPES = {
     "q_sameas_canonical": {"subject": "VARCHAR", "n_aliases": "BIGINT", "n_triples": "BIGINT", "triple_fp": "BIGINT"},
     "q_image_phash": {"id1": "VARCHAR", "id2": "VARCHAR", "hamming": "INTEGER"},
     "q_graph_fingerprint": {"doc_id": "VARCHAR", "graph_fp": "BIGINT", "n_triples": "BIGINT", "n_blanks": "BIGINT"},
+    "q_pipeline_lineage": {"stage": "VARCHAR", "rows": "BIGINT", "resumed_second_run": "BOOLEAN"},
     "q_kg_temporal": {"predicate": "VARCHAR", "n_raw": "BIGINT", "n_intervals": "BIGINT", "n_t1": "BIGINT", "n_t2": "BIGINT", "n_added": "BIGINT", "n_removed": "BIGINT", "added_fp": "BIGINT", "removed_fp": "BIGINT"},
     "q_mixture_sample": {"source": "VARCHAR", "n_docs": "BIGINT", "doc_fp": "BIGINT", "sum_chars": "BIGINT"},
     "q_novelty_screen": {"doc_id": "BIGINT", "status": "VARCHAR", "matched_id": "BIGINT", "jaccard": "DOUBLE"},
