@@ -4303,6 +4303,47 @@ def _q_snapshot_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention + vacuum (sources/snapshots.py — the
+    Iceberg ``expire_snapshots`` / orphan-cleanup pair): build a
+    4-version catalog (append, append, compaction, overwrite) plus a
+    crashed-commit orphan segment, expire to the newest 2 versions,
+    vacuum the orphan, and prove from the SAME plan that (a) the
+    mechanics removed exactly the expired manifests and their
+    now-unreferenced segments, (b) the CURRENT read still serves the
+    overwrite rows, and (c) time travel to the KEPT compacted version
+    still works after files were physically deleted.  Oracle is PLAIN
+    SQL: the mechanics counts are constants by construction of the
+    scenario; the two read counts recompute from the events table."""
+    import tempfile
+
+    from turtle_spark.sources.snapshots import SnapshotCatalog
+
+    events = _t(spark, sf_dir, "events")
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="snap_expire_"))
+    cat.commit(events.where(F.col("event_id") % 3 == 0))
+    cat.commit(events.where(F.col("event_id") % 3 == 1))
+    v3 = cat.compact(spark)
+    cat.commit(events.where(F.col("event_id") % 3 == 2), op="overwrite")
+    # crashed commit: segment written, manifest never published
+    (cat.root / "data" / "seg-99999-append-deadbeef").mkdir()
+    rep = cat.expire_snapshots(keep_last=2)
+    orphans_removed = len(cat.vacuum())
+    rows_current = cat.read(spark).count()
+    rows_travel_kept = cat.read(spark, v3).count()
+    rows = [
+        ("orphans_removed", orphans_removed),
+        ("rows_current", rows_current),
+        ("rows_travel_kept", rows_travel_kept),
+        ("segments_removed", rep["segments_removed"]),
+        ("versions_expired", rep["versions_expired"]),
+        ("versions_kept", rep["versions_kept"]),
+    ]
+    return spark.createDataFrame(
+        [(m, int(v)) for m, v in rows], "metric string, value long"
+    ).orderBy("metric")
+
+
 def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining over the embedding corpus:
     every 10th vector is an anchor; its 5 most cosine-similar
@@ -4945,6 +4986,24 @@ def _q_direct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SNAPSHOT_EXPIRE = """
+SELECT metric, value FROM (
+  SELECT 'orphans_removed' AS metric, CAST(1 AS BIGINT) AS value
+  UNION ALL
+  SELECT 'rows_current', COUNT(*) FROM events WHERE event_id % 3 = 2
+  UNION ALL
+  SELECT 'rows_travel_kept', COUNT(*) FROM events WHERE event_id % 3 <> 2
+  UNION ALL
+  SELECT 'segments_removed', CAST(2 AS BIGINT)
+  UNION ALL
+  SELECT 'versions_expired', CAST(2 AS BIGINT)
+  UNION ALL
+  SELECT 'versions_kept', CAST(2 AS BIGINT)
+) t
+ORDER BY metric
+"""
+
+
 def _sql_direct_map() -> str:
     base = "http://turtle-spark.dev/rdb/"
     xsd = "http://www.w3.org/2001/XMLSchema#"
@@ -5187,6 +5246,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sq_topk": _q_sq_topk,
         "q_merge_upsert": _q_merge_upsert,
         "q_pipeline_lineage": _q_pipeline_lineage,
+        "q_snapshot_expire": _q_snapshot_expire,
         # --- deliberate overflow: 12 ungraded queries past the window,
         # --- all plain-SQL-oracle twins that DuckDB RECOMPUTES at
         # --- sf0.001 on every pytest run (tests/test_oracle_parity.py)
@@ -5364,6 +5424,7 @@ def oracle_sql(golden_sf: str = "sf0.01") -> dict[str, str]:
     return goldens | {
         "q_vocab_drift": _SQL_VOCAB_DRIFT,
         "q_snapshot_travel": _SQL_SNAPSHOT_TRAVEL,
+        "q_snapshot_expire": _SQL_SNAPSHOT_EXPIRE,
         "q_event_anomalies": _SQL_EVENT_ANOMALIES,
         "q_cohort_retention": _SQL_COHORT_RETENTION,
         "q_event_funnel": _SQL_EVENT_FUNNEL,

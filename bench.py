@@ -172,6 +172,7 @@ HEADLINE = [
     "q_scd2_events",
     "q_merge_upsert",
     "q_pipeline_lineage",
+    "q_snapshot_expire",
 ]
 
 

@@ -213,3 +213,79 @@ def test_merge_upsert_without_delete_col(spark, tmp_path):
     )
     final = {(r["k"], r["v"]) for r in cat.read(spark).collect()}
     assert final == {(1, "a"), (2, "B")}
+
+
+def _kdf(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def test_expire_snapshots_retention_and_travel(spark, tmp_path):
+    cat = SnapshotCatalog(tmp_path / "t")
+    v1 = cat.commit(_kdf(spark, 0, 10))
+    v2 = cat.commit(_kdf(spark, 10, 20))
+    v3 = cat.commit(_kdf(spark, 20, 30))
+    rep = cat.expire_snapshots(keep_last=2)
+    # appends UNION segments, so kept v2/v3 still reference v1's
+    # segment: the manifest expires but no data may be deleted
+    assert rep == {
+        "versions_expired": 1, "segments_removed": 0, "versions_kept": 2
+    }
+    assert cat.read(spark, v2).count() == 20
+    assert cat.read(spark, v3).count() == 30
+    with pytest.raises(FileNotFoundError):
+        cat.read(spark, v1)
+    # history truncates at the oldest kept ancestor
+    assert [s.version for s in cat.history()] == [v2, v3]
+
+
+def test_expire_never_deletes_shared_segments(spark, tmp_path):
+    cat = SnapshotCatalog(tmp_path / "t")
+    cat.commit(_kdf(spark, 0, 10))
+    cat.commit(_kdf(spark, 10, 20))
+    rep = cat.expire_snapshots(keep_last=1)
+    # v1's segment is also v2's first segment: manifest goes, data stays
+    assert rep["versions_expired"] == 1
+    assert rep["segments_removed"] == 0
+    assert cat.read(spark).count() == 20
+
+
+def test_expire_after_overwrite_drops_dead_segments(spark, tmp_path):
+    cat = SnapshotCatalog(tmp_path / "t")
+    cat.commit(_kdf(spark, 0, 10))
+    cat.commit(_kdf(spark, 10, 20))
+    cat.commit(_kdf(spark, 50, 55), op="overwrite")
+    rep = cat.expire_snapshots(keep_last=1)
+    assert rep == {
+        "versions_expired": 2, "segments_removed": 2, "versions_kept": 1
+    }
+    assert cat.read(spark).count() == 5
+    # the dead segment dirs are physically gone
+    assert len(list((cat.root / "data").iterdir())) == 1
+
+
+def test_expire_removes_rolled_past_versions(spark, tmp_path):
+    cat = SnapshotCatalog(tmp_path / "t")
+    v1 = cat.commit(_kdf(spark, 0, 10))
+    cat.commit(_kdf(spark, 50, 60), op="overwrite")
+    cat.rollback(v1)
+    rep = cat.expire_snapshots(keep_last=1)
+    # CURRENT (v1) kept; the rolled-past v2 expires with its segment
+    assert rep["versions_expired"] == 1 and rep["segments_removed"] == 1
+    assert cat.read(spark).count() == 10
+
+
+def test_vacuum_removes_only_orphans(spark, tmp_path):
+    cat = SnapshotCatalog(tmp_path / "t")
+    cat.commit(_kdf(spark, 0, 10))
+    (cat.root / "data" / "seg-99999-append-deadbeef").mkdir()
+    removed = cat.vacuum()
+    assert removed == ["seg-99999-append-deadbeef"]
+    assert cat.vacuum() == []
+    assert cat.read(spark).count() == 10
+
+
+def test_expire_keep_last_validates(spark, tmp_path):
+    cat = SnapshotCatalog(tmp_path / "t")
+    with pytest.raises(ValueError):
+        cat.expire_snapshots(keep_last=0)
+    assert cat.expire_snapshots(keep_last=3)["versions_kept"] == 0

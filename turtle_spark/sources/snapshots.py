@@ -98,7 +98,10 @@ class SnapshotCatalog:
     def history(self) -> list[Snapshot]:
         out = []
         v = self.current_version()
-        while v is not None:
+        # stop at the first missing manifest: after expire_snapshots
+        # the lineage truncates at the oldest KEPT ancestor (Iceberg
+        # history behaves the same after snapshot expiry)
+        while v is not None and self._snap_path(v).exists():
             snap = self.snapshot(v)
             out.append(snap)
             v = snap.parent
@@ -249,6 +252,69 @@ class SnapshotCatalog:
         tmp = self.root / "metadata" / ".CURRENT.tmp"
         tmp.write_text(str(version))
         os.replace(tmp, self.root / "metadata" / "CURRENT")
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Retention (Iceberg ``expire_snapshots`` parity): keep the
+        newest ``keep_last`` snapshots on the CURRENT lineage (always
+        including CURRENT), delete every other snapshot manifest —
+        including versions rolled past by ``rollback`` — then delete
+        the segment dirs no kept snapshot references.
+
+        Afterwards time travel to an expired version raises
+        ``FileNotFoundError`` and ``history()`` truncates at the
+        oldest kept ancestor; reads of every KEPT version are
+        untouched (their segments are never deleted, however many
+        expired manifests also referenced them).  At 100 TB this is
+        the storage-reclamation half of table maintenance — compaction
+        rewrites live data, expiry unpins the dead copies.
+
+        Returns ``{"versions_expired", "segments_removed",
+        "versions_kept"}`` counts."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        cur = self.current_version()
+        if cur is None:
+            return {
+                "versions_expired": 0,
+                "segments_removed": 0,
+                "versions_kept": 0,
+            }
+        chain = [s.version for s in self.history()]
+        keep = set(chain[-keep_last:]) | {cur}
+        all_versions = sorted(
+            int(p.stem.split("-")[1])
+            for p in (self.root / "metadata").glob("snap-*.json")
+        )
+        expired = [v for v in all_versions if v not in keep]
+        kept_segments: set[str] = set()
+        for v in keep:
+            kept_segments.update(self.snapshot(v).segments)
+        removed_segments: set[str] = set()
+        for v in expired:
+            removed_segments.update(self.snapshot(v).segments)
+            self._snap_path(v).unlink()
+        removed_segments -= kept_segments
+        for seg in sorted(removed_segments):
+            shutil.rmtree(self.root / "data" / seg, ignore_errors=True)
+        return {
+            "versions_expired": len(expired),
+            "segments_removed": len(removed_segments),
+            "versions_kept": len(keep),
+        }
+
+    def vacuum(self) -> list[str]:
+        """Delete orphan segment dirs (crashed-commit debris — see
+        ``orphans``); returns the removed names.  Safe concurrently
+        with readers: an orphan is by definition referenced by no
+        manifest, so no read can be planning against it."""
+        import shutil
+
+        removed = self.orphans()
+        for seg in removed:
+            shutil.rmtree(self.root / "data" / seg, ignore_errors=True)
+        return removed
 
     def orphans(self) -> list[str]:
         """Segment dirs referenced by NO snapshot manifest — debris of
