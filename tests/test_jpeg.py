@@ -111,17 +111,17 @@ def test_byte_stuffing_roundtrip():
         assert r.bits(n) == code
 
 
-def test_decoder_rejects_progressive_and_subsampled():
+def test_decoder_rejects_subsampled_and_lossless():
     img = synth_pixels(16, 16, 1, 2, 3)
-    data = bytearray(encode_jpeg(img))
-    i = data.index(b"\xff\xc0")
-    data[i + 1] = 0xC2  # pretend SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg(bytes(data))
     data = bytearray(encode_jpeg(img))
     i = data.index(b"\xff\xc0")
     data[i + 11] = 0x22  # luma sampling 2x2 => subsampled chroma
     with pytest.raises(NotImplementedError, match="sampling"):
+        decode_jpeg(bytes(data))
+    data = bytearray(encode_jpeg(img))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC3  # SOF3 lossless — still out of scope
+    with pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg(bytes(data))
 
 
@@ -184,3 +184,51 @@ def test_fill_bytes_and_tem_marker_are_spec_legal():
     # inject a fill-byte run and a TEM marker right after SOI
     padded = data[:2] + b"\xff\xff\xff\x01" + data[2:]
     assert np.array_equal(decode_jpeg(padded), base)
+
+
+def test_progressive_reconstructs_identically_to_baseline():
+    # SOF2 with the full scan script (spectral selection + successive
+    # approximation, DC and AC first + refinement): same quantized
+    # coefficients as the baseline stream, so the decoded pixels must
+    # be EXACTLY equal — any entropy-layer desync shows immediately
+    from turtle_spark.functions.imaging import synth_pixels
+    from turtle_spark.functions.jpeg import encode_jpeg_progressive
+
+    for (w, h, seeds) in [(16, 16, (10, 60, 200)), (24, 17, (1, 2, 3)),
+                          (33, 9, (200, 100, 50))]:
+        img = synth_pixels(w, h, *seeds)
+        base = decode_jpeg(encode_jpeg(img))
+        for al in (0, 1, 2):
+            prog = decode_jpeg(encode_jpeg_progressive(img, al=al))
+            assert np.array_equal(base, prog), (w, h, al)
+
+
+def test_progressive_grayscale_and_stream_structure():
+    from turtle_spark.functions.imaging import synth_pixels
+    from turtle_spark.functions.jpeg import encode_jpeg_progressive
+
+    img = synth_pixels(24, 16, 5, 50, 150)
+    g = img[:, :, 0]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g)),
+        decode_jpeg(encode_jpeg_progressive(g, al=2)),
+    )
+    data = encode_jpeg_progressive(img, al=1)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data  # SOF2, no SOF0
+    assert data.count(b"\xff\xda") == 14  # DC + 6 AC first, DC + 6 AC refine
+
+
+def test_progressive_noise_stress():
+    # random noise maximizes nonzero AC density — the worst case for
+    # the EOB-run / ZRL / correction-bit interplay
+    from turtle_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(7)
+    for _ in range(3):
+        img = rng.randint(
+            0, 256, size=(rng.randint(8, 40), rng.randint(8, 40), 3),
+            dtype=np.uint8,
+        )
+        base = decode_jpeg(encode_jpeg(img))
+        prog = decode_jpeg(encode_jpeg_progressive(img, al=int(rng.randint(0, 3))))
+        assert np.array_equal(base, prog)

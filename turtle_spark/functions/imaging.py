@@ -11,7 +11,8 @@ too, baseline JPEG has a real pure-numpy DCT/Huffman codec in
 `functions/jpeg.py`, and video ships in the PVID frame container
 below, so every synthetic media type round-trips through real
 byte-level codecs; formats needing true external codecs (H.264/MP3,
-progressive/subsampled JPEG) still raise at the seam, by design.
+subsampled JPEG, MP3) still raise at the seam, by design —
+progressive JPEG decodes for real since r4 (`functions/jpeg.py`).
 
 Determinism contract: every function here is pure and single-threaded
 numpy; `tools/golden_ref.py` reimplements the decode + feature math

@@ -9,11 +9,14 @@ Huffman entropy coding with byte stuffing, JFIF YCbCr color.
 
 Scope (documented subset, enforced by explicit errors):
 
-* baseline DCT (SOF0), 8-bit samples;
-* 1-component (grayscale) or 3-component 4:4:4 (no chroma
-  subsampling) — the encoder only emits these, the decoder rejects
-  other sampling factors rather than mis-decoding;
-* no restart markers, no progressive/arithmetic modes.
+* baseline DCT (SOF0) and PROGRESSIVE DCT (SOF2, r4) — progressive
+  covers the full Annex-G huffman feature set: spectral selection,
+  successive approximation (DC and AC, first and refinement passes),
+  EOB runs, and any legal scan script on the decode side;
+* 8-bit samples, 1-component (grayscale) or 3-component 4:4:4 (no
+  chroma subsampling) — the encoders only emit these, the decoder
+  rejects other sampling factors rather than mis-decoding;
+* no restart markers, no arithmetic coding, no hierarchical mode.
 
 The DECODER is table-driven: quantization and Huffman tables are read
 from the stream's DQT/DHT segments (any valid baseline tables, not
@@ -241,6 +244,274 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     return bytes(out)
 
 
+# --- progressive encoder (T.81 Annex G) -----------------------------------
+
+# progressive AC table: the 16 EOBn/ZRL symbols (RRRR<<4, SSSS=0) plus
+# every (run, size 1-10) pair = 176 symbols, canonical 8-bit codes
+_PROG_AC_SYMBOLS = [r << 4 for r in range(16)] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_PROG_AC_CODES = {sym: (i, 8) for i, sym in enumerate(_PROG_AC_SYMBOLS)}
+
+
+def _prog_planes(img: np.ndarray):
+    gray = img.ndim == 2
+    h, wid = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    ph = (h + 7) // 8 * 8
+    pw = (wid + 7) // 8 * 8
+    padded = []
+    for p in planes:
+        q = np.empty((ph, pw), dtype=np.float64)
+        q[:h, :wid] = p
+        q[h:, :wid] = p[h - 1 : h, :]
+        q[:, wid:] = q[:, wid - 1 : wid]
+        padded.append(np.clip(q, 0.0, 255.0))
+    return padded, h, wid, gray
+
+
+def _zz_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(n_blocks, 64) quantized zigzag coefficients, block row-major."""
+    ph, pw = plane.shape
+    out = np.empty(((ph // 8) * (pw // 8), 64), dtype=np.int64)
+    bi = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            coeffs = _DCT @ (plane[by : by + 8, bx : bx + 8] - 128.0) @ _DCT.T
+            q = np.floor(coeffs / qt + 0.5).astype(np.int64)
+            out[bi] = q.reshape(64)[_ZIGZAG]
+            bi += 1
+    return out
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shift with sign preserved
+    (truncation toward zero, T.81 G.1.2.2)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _enc_dc_first(w: _BitWriter, comps: list[np.ndarray], al: int) -> None:
+    preds = [0] * len(comps)
+    for b in range(comps[0].shape[0]):
+        for ci, blocks in enumerate(comps):
+            dc = int(blocks[b][0]) >> al  # arithmetic shift per G.1.2.1
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            size = _category(diff)
+            code, ln = _DC_CODES[size]
+            w.put(code, ln)
+            if size:
+                w.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+
+
+def _enc_dc_refine(w: _BitWriter, comps: list[np.ndarray], al: int) -> None:
+    for b in range(comps[0].shape[0]):
+        for blocks in comps:
+            w.put((int(blocks[b][0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(
+    w: _BitWriter, blocks: np.ndarray, ss: int, se: int, al: int
+) -> None:
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun == 0:
+            return
+        rbits = eobrun.bit_length() - 1
+        code, ln = _PROG_AC_CODES[rbits << 4]
+        w.put(code, ln)
+        if rbits:
+            w.put(eobrun - (1 << rbits), rbits)
+        eobrun = 0
+
+    for b in range(blocks.shape[0]):
+        t = [_pt_ac(int(v), al) for v in blocks[b][ss : se + 1]]
+        nz = [i for i, v in enumerate(t) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        last_nz = nz[-1]
+        run = 0
+        for i in range(last_nz + 1):
+            v = t[i]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = _PROG_AC_CODES[0xF0]
+                w.put(code, ln)
+                run -= 16
+            size = _category(v)
+            code, ln = _PROG_AC_CODES[(run << 4) | size]
+            w.put(code, ln)
+            w.put(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last_nz < len(t) - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _enc_ac_refine(
+    w: _BitWriter, blocks: np.ndarray, ss: int, se: int, al: int
+) -> None:
+    """T.81 G.1.2.3 (the libjpeg-style formulation): newly-significant
+    coefficients (|v| >> Al == 1) carry run/size-1 symbols whose runs
+    count only zero-history positions; already-nonzero coefficients
+    owe one correction bit each, buffered and emitted after the next
+    symbol (or after the EOBn that closes a run of blocks with no new
+    significance)."""
+    eobrun = 0
+    pend: list[int] = []  # correction bits owed by the open EOB run
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun == 0 and not pend:
+            return
+        rbits = eobrun.bit_length() - 1
+        code, ln = _PROG_AC_CODES[rbits << 4]
+        w.put(code, ln)
+        if rbits:
+            w.put(eobrun - (1 << rbits), rbits)
+        for bit in pend:
+            w.put(bit, 1)
+        pend.clear()
+        eobrun = 0
+
+    for b in range(blocks.shape[0]):
+        band = [int(v) for v in blocks[b][ss : se + 1]]
+        t = [_pt_ac(v, al) for v in band]
+        new_pos = [i for i, v in enumerate(t) if abs(v) == 1]
+        if not new_pos:
+            # no new significance: whole band joins the EOB run; every
+            # already-nonzero coefficient owes its correction bit
+            eobrun += 1
+            pend.extend((abs(v) >> al) & 1 for v, tv in zip(band, t) if tv)
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        eob = new_pos[-1]
+        run = 0
+        br: list[int] = []
+        for i in range(eob + 1):
+            tv = t[i]
+            if tv == 0:
+                run += 1
+                continue
+            # ZRLs flush BEFORE classifying the coefficient — the
+            # decoder's ZRL walk corrects already-nonzero coefficients
+            # it passes, so their bits must ride with the ZRL, not be
+            # buffered past it (libjpeg orders it the same way)
+            while run >= 16:
+                code, ln = _PROG_AC_CODES[0xF0]
+                w.put(code, ln)
+                run -= 16
+                for bit in br:
+                    w.put(bit, 1)
+                br.clear()
+            if abs(tv) > 1:
+                br.append((abs(band[i]) >> al) & 1)
+                continue
+            code, ln = _PROG_AC_CODES[(run << 4) | 1]
+            w.put(code, ln)
+            w.put(1 if tv > 0 else 0, 1)
+            for bit in br:
+                w.put(bit, 1)
+            br.clear()
+            run = 0
+        # remainder of the band (past the last new coefficient): if
+        # anything is there, open an EOB run owing its correction bits
+        tail = [
+            (abs(band[i]) >> al) & 1
+            for i in range(eob + 1, len(t))
+            if t[i]
+        ]
+        if eob < len(t) - 1:
+            eobrun = 1
+            pend.extend(tail)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def encode_jpeg_progressive(img: np.ndarray, al: int = 1) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w) grayscale uint8 as a PROGRESSIVE
+    (SOF2) JPEG with a full spectral-selection + successive-
+    approximation scan script: DC first at point transform ``al`` then
+    a DC refinement to full precision; per component, AC bands 1-5 and
+    6-63 first at ``al`` then refined to full precision.  Quantized
+    coefficients are identical to :func:`encode_jpeg`'s, so decoding
+    either stream reconstructs the exact same pixels."""
+    padded, h, wid, gray = _prog_planes(img)
+    ncomp = 1 if gray else 3
+    qts = [_QT_LUMA] + [_QT_CHROMA] * (ncomp - 1)
+    comps = [_zz_blocks(p, qt) for p, qt in zip(padded, qts)]
+
+    out = bytearray(b"\xff\xd8")
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
+    out += _dqt_segment(0, _QT_LUMA)
+    if not gray:
+        out += _dqt_segment(1, _QT_CHROMA)
+    sof = bytes([8]) + struct.pack(">HH", h, wid) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    out += _dht_segment(0, 0, _DC_SYMBOLS, 4)
+    out += _dht_segment(1, 0, _PROG_AC_SYMBOLS, 8)
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al_: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])  # DC table 0 / AC table 0 for all
+        body += bytes([ss, se, (ah << 4) | al_])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    all_ids = list(range(1, ncomp + 1))
+    # scan 1: DC first, interleaved, point transform `al`
+    out += sos(all_ids, 0, 0, 0, al)
+    w = _BitWriter()
+    _enc_dc_first(w, comps, al)
+    out += w.flush()
+    # scans 2..: AC bands first, per component
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos([ci + 1], ss, se, 0, al)
+            w = _BitWriter()
+            _enc_ac_first(w, comps[ci], ss, se, al)
+            out += w.flush()
+    # refinements down to full precision, one bit position at a time
+    for a in range(al - 1, -1, -1):
+        out += sos(all_ids, 0, 0, a + 1, a)
+        w = _BitWriter()
+        _enc_dc_refine(w, comps, a)
+        out += w.flush()
+        for ci in range(ncomp):
+            for ss, se in ((1, 5), (6, 63)):
+                out += sos([ci + 1], ss, se, a + 1, a)
+                w = _BitWriter()
+                _enc_ac_refine(w, comps[ci], ss, se, a)
+                out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder --------------------------------------------------------------
 
 
@@ -305,9 +576,173 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _decode_baseline_scan(
+    r: _BitReader,
+    coefs: list[np.ndarray],
+    scan_comps: list[tuple[int, int, int]],
+    dc_tables: dict,
+    ac_tables: dict,
+    n_blocks: int,
+) -> None:
+    """One interleaved baseline scan (Ss=0..63, no point transform):
+    DC DPCM + AC run-length straight into the coefficient arrays."""
+    preds = [0] * len(scan_comps)
+    for b in range(n_blocks):
+        for si, (ci, dc_id, ac_id) in enumerate(scan_comps):
+            size = _read_symbol(r, dc_tables[dc_id])
+            diff = _extend(r.bits(size), size) if size else 0
+            preds[si] += diff
+            zz = coefs[ci][b]
+            zz[0] = preds[si]
+            i = 1
+            while i < 64:
+                sym = _read_symbol(r, ac_tables[ac_id])
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                i += run
+                if i > 63:
+                    raise ValueError("AC run past block end")
+                zz[i] = _extend(r.bits(size), size)
+                i += 1
+
+
+def _decode_dc_scan(
+    r: _BitReader,
+    coefs: list[np.ndarray],
+    scan_comps: list[tuple[int, int, int]],
+    dc_tables: dict,
+    n_blocks: int,
+    ah: int,
+    al: int,
+) -> None:
+    """Progressive DC scan (interleaved): first pass (Ah=0) is DPCM of
+    the point-transformed DC; refinement (Ah>0) is one raw bit per
+    block OR-ed in at position Al (two's-complement semantics make the
+    plain ``|=`` correct for negative coefficients too)."""
+    if ah == 0:
+        preds = [0] * len(scan_comps)
+        for b in range(n_blocks):
+            for si, (ci, dc_id, _ac) in enumerate(scan_comps):
+                size = _read_symbol(r, dc_tables[dc_id])
+                diff = _extend(r.bits(size), size) if size else 0
+                preds[si] += diff
+                coefs[ci][b][0] = preds[si] << al
+    else:
+        for b in range(n_blocks):
+            for ci, _dc, _ac in scan_comps:
+                if r.bit():
+                    coefs[ci][b][0] = int(coefs[ci][b][0]) | (1 << al)
+
+
+def _decode_ac_first_scan(
+    r: _BitReader,
+    blocks: np.ndarray,
+    ac_table: dict,
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """Progressive AC first scan (single component, spectral band
+    Ss..Se, Ah=0): run-length symbols plus EOBn end-of-band runs
+    (T.81 G.1.2.2 — RRRR with SSSS=0 codes a run of 2^RRRR + extra
+    all-zero bands)."""
+    eobrun = 0
+    for b in range(blocks.shape[0]):
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        zz = blocks[b]
+        k = ss
+        while k <= se:
+            sym = _read_symbol(r, ac_table)
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << run) + (r.bits(run) if run else 0) - 1
+                break
+            k += run
+            if k > se:
+                raise ValueError("AC run past band end")
+            zz[k] = _extend(r.bits(size), size) << al
+            k += 1
+
+
+def _decode_ac_refine_scan(
+    r: _BitReader,
+    blocks: np.ndarray,
+    ac_table: dict,
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """Progressive AC refinement scan (T.81 G.1.2.3): already-nonzero
+    coefficients take one correction bit each; zero-history positions
+    carry the run lengths and may become newly significant at
+    magnitude 1<<Al; EOB-run blocks still consume a correction bit per
+    nonzero coefficient in the band."""
+    plus = 1 << al
+    eobrun = 0
+
+    def correct(zz, k):
+        v = int(zz[k])
+        if r.bit() and (v & plus) == 0:
+            zz[k] = v + plus if v >= 0 else v - plus
+
+    for b in range(blocks.shape[0]):
+        zz = blocks[b]
+        if eobrun > 0:
+            eobrun -= 1
+            for k in range(ss, se + 1):
+                if zz[k] != 0:
+                    correct(zz, k)
+            continue
+        k = ss
+        while k <= se:
+            sym = _read_symbol(r, ac_table)
+            run, size = sym >> 4, sym & 0x0F
+            newval = 0
+            if size == 0:
+                if run < 15:
+                    eobrun = (1 << run) + (r.bits(run) if run else 0) - 1
+                    # remaining nonzero coefficients of THIS band take
+                    # their correction bits before the EOB run starts
+                    for kk in range(k, se + 1):
+                        if zz[kk] != 0:
+                            correct(zz, kk)
+                    k = se + 1
+                    break
+                # ZRL: skip 16 zero-history positions
+            else:
+                if size != 1:
+                    raise ValueError("AC refinement size must be 1")
+                newval = plus if r.bit() else -plus
+            # advance over `run` zero-history positions, correcting
+            # the nonzero ones passed on the way
+            while k <= se:
+                if zz[k] != 0:
+                    correct(zz, k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0) 8-bit JPEG, grayscale or 4:4:4 RGB.
-    Tables come from the stream's own DQT/DHT segments."""
+    """Decode a baseline (SOF0) or progressive (SOF2) 8-bit JPEG,
+    grayscale or 4:4:4 RGB.  Tables come from the stream's own
+    DQT/DHT segments; progressive streams may use any legal scan
+    script (spectral selection and successive approximation, DC and
+    AC, first and refinement passes)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -315,8 +750,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     h = wid = 0
+    progressive = False
     comps: list[tuple[int, int, int]] = []  # (comp_id, sampling, qt_id)
-    scan: list[tuple[int, int, int]] = []  # (comp_id, dc_id, ac_id)
+    coefs: list[np.ndarray] = []  # per component: (n_blocks, 64) int64
+    n_blocks = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -359,7 +796,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 else:
                     ac_tables[tc_th & 0x0F] = table
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if body[0] != 8:
                 raise NotImplementedError("only 8-bit precision")
             h, wid = struct.unpack(">HH", body[1:5])
@@ -372,56 +810,69 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         "only 4:4:4 / grayscale (1x1 sampling) supported"
                     )
                 comps.append((cid, samp, qid))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("only baseline sequential (SOF0)")
+            n_blocks = ((h + 7) // 8) * ((wid + 7) // 8)
+            coefs = [np.zeros((n_blocks, 64), dtype=np.int64) for _ in comps]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2) huffman DCT"
+            )
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals unsupported")
-        elif marker == 0xDA:  # SOS — entropy data follows the header
+        elif marker == 0xDA:  # SOS — decode this scan, then keep parsing
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            scan = []
+            cid_index = {cid: i for i, (cid, _s, _q) in enumerate(comps)}
+            scan_comps = []
             for c in range(ns):
                 cid, tsel = body[1 + 2 * c : 3 + 2 * c]
-                scan.append((cid, tsel >> 4, tsel & 0x0F))
-            pos += seglen
-            break
+                scan_comps.append((cid_index[cid], tsel >> 4, tsel & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            r = _BitReader(data[pos + seglen :])
+            if not progressive:
+                _decode_baseline_scan(
+                    r, coefs, scan_comps, dc_tables, ac_tables, n_blocks
+                )
+            elif ss == 0:
+                if se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                _decode_dc_scan(
+                    r, coefs, scan_comps, dc_tables, n_blocks, ah, al
+                )
+            else:
+                if ns != 1:
+                    raise ValueError("progressive AC scans are single-component")
+                ci, _dc_id, ac_id = scan_comps[0]
+                if ah == 0:
+                    _decode_ac_first_scan(
+                        r, coefs[ci], ac_tables[ac_id], ss, se, al
+                    )
+                else:
+                    _decode_ac_refine_scan(
+                        r, coefs[ci], ac_tables[ac_id], ss, se, al
+                    )
+            # resume marker parsing after the entropy bytes the scan
+            # consumed (the reader stops byte-aligned before the next
+            # marker; trailing pad bits are part of the consumed byte)
+            pos = pos + seglen + r.pos
+            continue
         pos += seglen
-    if not comps or not scan:
-        raise ValueError("missing SOF0/SOS")
+    if not comps or not coefs:
+        raise ValueError("missing SOF/SOS")
 
-    r = _BitReader(data[pos:])
     ph = (h + 7) // 8 * 8
     pw = (wid + 7) // 8 * 8
     planes = [np.empty((ph, pw), dtype=np.float64) for _ in comps]
-    preds = [0] * len(comps)
-    qt_of = {cid: qts[qid] for cid, _s, qid in comps}
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, (cid, dc_id, ac_id) in enumerate(scan):
-                size = _read_symbol(r, dc_tables[dc_id])
-                diff = _extend(r.bits(size), size) if size else 0
-                preds[ci] += diff
-                zz = np.zeros(64, dtype=np.int64)
-                zz[0] = preds[ci]
-                i = 1
-                while i < 64:
-                    sym = _read_symbol(r, ac_tables[ac_id])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    i += run
-                    if i > 63:
-                        raise ValueError("AC run past block end")
-                    zz[i] = _extend(r.bits(size), size)
-                    i += 1
-                coeffs = (zz[_UNZIGZAG].reshape(8, 8) * qt_of[cid]).astype(
-                    np.float64
-                )
-                planes[ci][by : by + 8, bx : bx + 8] = (
-                    _DCT.T @ coeffs @ _DCT + 128.0
-                )
+    qt_of = [qts[qid] for _cid, _s, qid in comps]
+    bpr = pw // 8
+    for ci in range(len(comps)):
+        for b in range(n_blocks):
+            by, bx = (b // bpr) * 8, (b % bpr) * 8
+            coeffs = (
+                coefs[ci][b][_UNZIGZAG].reshape(8, 8) * qt_of[ci]
+            ).astype(np.float64)
+            planes[ci][by : by + 8, bx : bx + 8] = _DCT.T @ coeffs @ _DCT + 128.0
     if len(planes) == 1:
         return np.clip(np.round(planes[0][:h, :wid]), 0, 255).astype(np.uint8)
     y, cb, cr = (p[:h, :wid] for p in planes)
