@@ -314,3 +314,16 @@ class TestPvid:
         got = media_decoder(encode_pvid(frames, 250), "video", 16)
         expect = image_features(np.concatenate(frames, axis=0), 16)
         assert (got == expect).all()
+
+
+def test_decode_image_handles_progressive_jpeg():
+    # the media seam dispatches on the shared FFD8 magic: a SOF2
+    # stream must reconstruct the exact same pixels as the SOF0 one
+    from turtle_spark.functions.imaging import decode_image, synth_pixels
+    from turtle_spark.functions.jpeg import encode_jpeg, encode_jpeg_progressive
+
+    img = synth_pixels(24, 16, 40, 90, 140)
+    assert np.array_equal(
+        decode_image(encode_jpeg_progressive(img, al=1)),
+        decode_image(encode_jpeg(img)),
+    )
