@@ -5156,13 +5156,14 @@ def _golden_sql(name: str, sf_tag: str) -> str:
 
 
 def _driver_green() -> frozenset[str]:
-    """Queries with a green driver row (rows + schema + hash, no err)
-    in any prior round's CORRECTNESS artifact.  Drives the registry's
-    SELF-ROTATING order: the driver grades the first 50 entries, so
-    never-graded queries sort to the front automatically each round —
-    including any query whose prior-round row went red, which re-enters
-    the window for a retry instead of hiding behind an old rotation."""
-    green: set[str] = set()
+    """Queries whose MOST RECENT driver row (rows + schema + hash, no
+    err) is green.  Drives the registry's SELF-ROTATING order: the
+    driver grades the first 50 entries, so never-graded queries sort to
+    the front automatically each round — and because only the latest
+    CORRECTNESS row per query counts (later rounds override earlier
+    ones), a query that regresses red after an old green re-enters the
+    window for a retry instead of staying permanently exempt."""
+    latest: dict[str, bool] = {}
     for path in sorted(pathlib.Path(__file__).resolve().parent.glob(
         "CORRECTNESS_r*.json"
     )):
@@ -5171,16 +5172,15 @@ def _driver_green() -> frozenset[str]:
         except (OSError, json.JSONDecodeError):
             continue
         for name, row in rows.items():
-            if (
+            latest[name] = bool(
                 row.get("rows_match")
                 and row.get("schema_match")
                 # rows-only queries record hash_match null; any green
                 # driver row counts
                 and row.get("hash_match") is not False
                 and row.get("err") is None
-            ):
-                green.add(name)
-    return frozenset(green)
+            )
+    return frozenset(n for n, ok in latest.items() if ok)
 
 
 _DRIVER_WINDOW = 50

@@ -77,6 +77,21 @@ def main() -> None:
     spark = get_spark(app_name="crosscheck", cores=8, shuffle_partitions=16)
 
     failed = []
+    try:
+        _run_all(names, qs, oracles, spark, sf_dir, con, failed)
+    finally:
+        # both exit paths shut the JVM down cleanly (the failure path
+        # previously sys.exit'ed with the session still live)
+        spark.stop()
+    print(f"\n{len(names) - len(failed)}/{len(names)} green")
+    if failed:
+        print("FAILED:", ", ".join(failed))
+        sys.exit(1)
+
+
+def _run_all(names, qs, oracles, spark, sf_dir, con, failed):
+    import pandas as pd
+
     for name in names:
         t0 = time.time()
         try:
@@ -99,11 +114,6 @@ def main() -> None:
             failed.append(name)
             msg = str(exc).replace("\n", " ")[:300]
             print(f"{name}: FAIL — {msg}")
-    print(f"\n{len(names) - len(failed)}/{len(names)} green")
-    if failed:
-        print("FAILED:", ", ".join(failed))
-        sys.exit(1)
-    spark.stop()
 
 
 if __name__ == "__main__":

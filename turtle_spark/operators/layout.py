@@ -61,22 +61,19 @@ def z_value(a: Column, b: Column) -> Column:
     return _spread(a).bitwiseOR(F.shiftleft(_spread(b), 1))
 
 
-def _sketch_boundaries(
-    df: DataFrame,
-    value_col: str,
-    n_buckets: int,
-    k: int = 2048,
-) -> list[int]:
-    """Deterministic range-bucket boundaries for ``value_col`` from a
-    min-k-by-xxhash64 row sample (the KMV-quantile state of
-    operators/sketches.py): the k rows with the globally smallest
-    ``xxhash64(value)`` are a uniform sample whose hash order is
-    identical at any parallelism; nearest-rank quantiles of the sample
-    give the boundaries.  ``orderBy(...).limit(k)`` compiles to
-    TakeOrderedAndProject — a per-partition top-k plus a driver merge,
-    never a single-partition sort.  Returns a strictly increasing list
-    of at most ``n_buckets - 1`` boundary VALUES (actual data values,
-    integer domain end to end).
+def _boundary_sample(
+    df: DataFrame, value_col: str, spec_idx: int, k: int = 2048
+) -> DataFrame:
+    """One spec's min-k-by-xxhash64 boundary-sample branch (the
+    KMV-quantile state of operators/sketches.py): the k rows with the
+    globally smallest ``xxhash64(whole row)`` are a uniform row sample
+    whose hash order is identical at any parallelism.
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject — a
+    per-partition top-k plus a driver merge, never a single-partition
+    sort.  Returns ``(i, v, h)`` with ``v`` cast to long and NULLs
+    dropped (a NULL lead value can never be a range boundary; NULL rows
+    fall through every ``> boundary`` comparison into bucket 0, which
+    matches the nulls-first order of an ascending window).
 
     The hash covers EVERY column (sorted for stability), not just the
     value: hashing the value alone collapses the sample to the k
@@ -84,17 +81,25 @@ def _sketch_boundaries(
     ship-days over 600k rows) yielded ~10 boundaries with row-skewed
     buckets.  Hashing the whole row keeps the sample ~uniform over
     ROWS, which is what equal-depth boundaries need."""
-    sample = (
+    return (
         df.select(
-            F.col(value_col).alias("v"),
+            F.lit(spec_idx).alias("i"),
+            F.col(value_col).cast("long").alias("v"),
             F.xxhash64(
                 *[F.col(c).cast("string") for c in sorted(df.columns)]
             ).alias("h"),
         )
+        .where(F.col("v").isNotNull())
         .orderBy("h", "v")
         .limit(k)
     )
-    vals = sorted(r["v"] for r in sample.collect())
+
+
+def _nearest_rank_boundaries(vals: list[int], n_buckets: int) -> list[int]:
+    """Nearest-rank quantile boundaries of a sorted-able sample:
+    strictly increasing list of at most ``n_buckets - 1`` boundary
+    VALUES (actual data values, integer domain end to end)."""
+    vals = sorted(vals)
     if not vals:
         return []
     bnds: list[int] = []
@@ -102,6 +107,23 @@ def _sketch_boundaries(
         idx = int(i * (len(vals) - 1) / n_buckets + 0.5)
         bnds.append(vals[idx])
     return sorted(set(bnds))
+
+
+def _sketch_boundaries(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    k: int = 2048,
+) -> list[int]:
+    """Deterministic range-bucket boundaries for ``value_col``: the
+    single-spec composition of :func:`_boundary_sample` and
+    :func:`_nearest_rank_boundaries` — the exact pieces
+    :func:`exact_ranks` runs on its production path (one shared
+    implementation, unit-tested here, batched there)."""
+    sample = _boundary_sample(df, value_col, 0, k)
+    return _nearest_rank_boundaries(
+        [r["v"] for r in sample.collect()], n_buckets
+    )
 
 
 def exact_rank(
@@ -167,18 +189,11 @@ def exact_ranks(
         # serves every downstream action) from a single partition
         df = _pin(_spread(df))
     spark = df.sparkSession
-    # ONE boundary-sample job for all specs: per-spec TakeOrdered
-    # branches unioned and collected together (each branch is a
-    # per-partition top-k + merge, never a global sort)
-    hcol = F.xxhash64(*[F.col(c).cast("string") for c in sorted(df.columns)])
+    # ONE boundary-sample job for all specs: per-spec _boundary_sample
+    # branches (TakeOrdered each — per-partition top-k + merge, never a
+    # global sort) unioned and collected together
     sample_parts = [
-        df.select(
-            F.lit(i).alias("i"),
-            F.col(order_cols[0]).cast("long").alias("v"),
-            hcol.alias("h"),
-        )
-        .orderBy("h", "v")
-        .limit(2048)
+        _boundary_sample(df, order_cols[0], i)
         for i, (order_cols, _) in enumerate(specs)
     ]
     sampled = sample_parts[0]
@@ -189,13 +204,8 @@ def exact_ranks(
         by_spec[r["i"]].append(r["v"])
     buckets = []
     for i, (order_cols, rank_col) in enumerate(specs):
-        vals = sorted(by_spec[i])
-        bnds: list[int] = []
-        if vals:
-            for j in range(1, n_buckets):
-                bnds.append(vals[int(j * (len(vals) - 1) / n_buckets + 0.5)])
         bucket = F.lit(0)
-        for b in sorted(set(bnds)):
+        for b in _nearest_rank_boundaries(by_spec[i], n_buckets):
             bucket = bucket + F.when(
                 F.col(order_cols[0]) > F.lit(b), 1
             ).otherwise(0)
@@ -223,10 +233,27 @@ def exact_ranks(
             offs or [(0, 0)], f"{bk_col} int, {off_col} long"
         )
         w = Window.partitionBy(bk_col).orderBy(*order_cols)
+        # LEFT join + fail-fast: an inner join would silently DROP any
+        # row whose bucket id was absent from the count job (possible
+        # only if the input lineage were nondeterministic between the
+        # two evaluations — exactly the corruption that must be loud)
+        off_checked = F.when(
+            F.col(off_col).isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("exact_ranks: bucket "),
+                    F.col(bk_col).cast("string"),
+                    F.lit(
+                        " missing from offset table — input lineage "
+                        "changed between the count job and the rank plan"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.col(off_col))
         out = (
             out.withColumn(bk_col, bucket)
-            .join(F.broadcast(off_df), bk_col)
-            .withColumn(rank_col, F.col(off_col) + F.row_number().over(w) - 1)
+            .join(F.broadcast(off_df), bk_col, "left")
+            .withColumn(rank_col, off_checked + F.row_number().over(w) - 1)
             .drop(bk_col, off_col)
         )
     return out

@@ -23,7 +23,7 @@ not the number of triples.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _NS_PATTERN = r"^(.*[/#])"
@@ -34,10 +34,13 @@ def induce_prefixes(triples: DataFrame, label: str = "ns") -> DataFrame:
 
     Output: (prefix, namespace, n_occurrences, n_distinct_iris), the
     induced ``@prefix`` table with labels ``ns1..nsK`` assigned in
-    (count desc, namespace asc) order.  The final row_number window
-    runs on the AGGREGATED namespace table — cardinality = number of
-    vocabularies, so the single-partition sort is bounded regardless
-    of input size.
+    (count desc, namespace asc) order.  The rank runs on the AGGREGATED
+    namespace table — but on a web corpus that aggregate is one row per
+    distinct IRI host/path-stem (tens of millions), so the rank goes
+    through the sketch-boundary bucketed ``exact_rank`` of
+    operators/layout.py (partitioned windows + broadcast prefix
+    offsets), never a single-partition global window.  Descending count
+    order is expressed as an ascending rank over the NEGATED count.
     """
     is_bnode = F.col("subject").startswith("_:")
     obj_iri = (F.col("objecttype") == "iri") & ~F.col("object").startswith("_:")
@@ -61,9 +64,15 @@ def induce_prefixes(triples: DataFrame, label: str = "ns") -> DataFrame:
             F.count_distinct("iri").alias("n_distinct_iris"),
         )
     )
-    rank = Window.orderBy(F.desc("n_occurrences"), F.asc("namespace"))
-    return grouped.select(
-        F.concat(F.lit(label), F.row_number().over(rank).cast("string")).alias(
+    from turtle_spark.operators.layout import exact_rank
+
+    ranked = exact_rank(
+        grouped.withColumn("_neg", -F.col("n_occurrences")),
+        ["_neg", "namespace"],
+        "_r",
+    )
+    return ranked.select(
+        F.concat(F.lit(label), (F.col("_r") + 1).cast("string")).alias(
             "prefix"
         ),
         "namespace",

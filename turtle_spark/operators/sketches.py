@@ -422,8 +422,21 @@ def kmv_set_ops(
             F.max(F.when(F.col("s") == set_a, 1).otherwise(0)).alias("in_a"),
             F.max(F.when(F.col("s") == set_b, 1).otherwise(0)).alias("in_b"),
         )
-        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        # single-partition by CONSTANT key — input is ≤ 2k rows by
+        # construction (k kept per side), so one partition is fine; the
+        # constant key keeps WindowExec's "No Partition Defined" warning
+        # out of bench tails where every audit would have to re-derive
+        # its harmlessness.  pmod(h, 1) not lit(0): Spark 4's
+        # EliminateWindowPartitions folds a literal partition key back
+        # into the empty (warning) spec, a non-foldable constant stays.
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.pmod(F.col("h"), F.lit(1))).orderBy("h")
+            ),
+        )
         .where(F.col("rn") <= k)
+        .drop("rn")
     )
     u = merged.agg(
         F.count("*").alias("n_kept"),

@@ -195,8 +195,10 @@ def skew_report(
     # diagnosed key is high-cardinality — entity IRIs, exactly the key
     # a skew report exists for — a Window.orderBy over the distinct-key
     # table would itself serialize on one core.
+    # rank stays LONG: above 2^31-1 keys an int cast would silently
+    # wrap in non-ANSI mode and corrupt the decimal gini sum below
     ranked = exact_rank(counts, ["c", "k"], "i", pin_input=False).withColumn(
-        "i", (F.col("i") + 1).cast("int")
+        "i", (F.col("i") + 1).cast("long")
     )
     # the rank-weighted sum i*c approaches n_keys * n_rows — decimal
     # from the element up, or the SUM itself wraps int64 at the
@@ -213,13 +215,13 @@ def skew_report(
     p = pct.select(
         F.max(
             F.when(
-                F.col("i") == F.ceil(F.col("n_keys") * 0.5).cast("int"),
+                F.col("i") == F.ceil(F.col("n_keys") * 0.5).cast("long"),
                 F.col("c"),
             )
         ).cast("long").alias("p50_cnt"),
         F.max(
             F.when(
-                F.col("i") == F.ceil(F.col("n_keys") * 0.99).cast("int"),
+                F.col("i") == F.ceil(F.col("n_keys") * 0.99).cast("long"),
                 F.col("c"),
             )
         ).cast("long").alias("p99_cnt"),
