@@ -562,6 +562,27 @@ def _pagerank_maintain_only(spark, sf_dir: str):
     )
 
 
+def _warm_python_workers(spark, cores: int) -> None:
+    """Spin up one reusable Python worker per slot (fork + numpy +
+    turtle_spark import) so no timed query pays the pool's cold
+    start.  One row per slot, spread by round-robin repartition."""
+    import pandas as pd
+
+    def _touch(batches):
+        import numpy  # noqa: F401 — the import cost IS the warmup
+        from turtle_spark.core import lint  # noqa: F401
+
+        for pdf in batches:
+            yield pd.DataFrame({"id": pdf["id"]})
+
+    (
+        spark.range(cores * 2)
+        .repartition(cores)
+        .mapInPandas(_touch, schema="id long")
+        .write.format("noop").mode("overwrite").save()
+    )
+
+
 def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -569,6 +590,12 @@ def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
     timings: dict[str, float] = {}
     try:
         qs = entrymod.queries()
+        # warm the Python worker pool on every core BEFORE timing:
+        # the first mapInPandas of a session pays worker fork + numpy/
+        # turtle_spark import (~6 s at 32 slots), and best-of-2 does
+        # not hide it when host throttling slows the second pass too —
+        # r4 attributed 10.3 s to q_doc_lint (50 rows) this way
+        _warm_python_workers(spark, cores)
         for name in HEADLINE:
             # drop the previous query's pinned DataFrames: 50+ queries
             # sharing one block manager evict each other's persisted

@@ -111,11 +111,14 @@ def test_byte_stuffing_roundtrip():
         assert r.bits(n) == code
 
 
-def test_decoder_rejects_subsampled_and_lossless():
+def test_decoder_rejects_nondivisor_sampling_and_lossless():
     img = synth_pixels(16, 16, 1, 2, 3)
     data = bytearray(encode_jpeg(img))
     i = data.index(b"\xff\xc0")
-    data[i + 11] = 0x22  # luma sampling 2x2 => subsampled chroma
+    # luma 3x1 with chroma 2x1: hmax=3 and 3 % 2 != 0 — T.81 allows
+    # it but replication upsampling doesn't; must reject, not mangle
+    data[i + 11] = 0x31
+    data[i + 14] = 0x21
     with pytest.raises(NotImplementedError, match="sampling"):
         decode_jpeg(bytes(data))
     data = bytearray(encode_jpeg(img))
@@ -232,3 +235,118 @@ def test_progressive_noise_stress():
         base = decode_jpeg(encode_jpeg(img))
         prog = decode_jpeg(encode_jpeg_progressive(img, al=int(rng.randint(0, 3))))
         assert np.array_equal(base, prog)
+
+
+def _ideal_subsampled(img: np.ndarray, hmax: int, vmax: int) -> np.ndarray:
+    """Independent mirror of the chroma-subsampled pipeline (shares
+    only the documented spec with the codec): color transform, box-mean
+    chroma downsample with edge-replicated partial windows, per-block
+    DCT-quantize-dequantize-IDCT, replication upsample, color back."""
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    h, w = img.shape[:2]
+
+    def pad_to(p, ph, pw):
+        q = np.empty((ph, pw))
+        q[: p.shape[0], : p.shape[1]] = p
+        q[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        q[:, p.shape[1] :] = q[:, p.shape[1] - 1 : p.shape[1]]
+        return np.clip(q, 0.0, 255.0)
+
+    outs = []
+    for ci, p in enumerate(planes):
+        if ci == 0:
+            cw, ch, qt = w, h, _QT_LUMA
+            small = p
+        else:
+            cw = -(-w // hmax)
+            ch = -(-h // vmax)
+            qt = _QT_CHROMA
+            full = pad_to(p, ch * vmax, cw * hmax)
+            small = full.reshape(ch, vmax, cw, hmax).mean(axis=(1, 3))
+        pw8, ph8 = -(-cw // 8) * 8, -(-ch // 8) * 8
+        q = pad_to(small, ph8, pw8)
+        rec = np.empty_like(q)
+        for by in range(0, ph8, 8):
+            for bx in range(0, pw8, 8):
+                blk = q[by : by + 8, bx : bx + 8] - 128.0
+                coeffs = _DCT @ blk @ _DCT.T
+                quant = np.floor(coeffs / qt + 0.5)
+                rec[by : by + 8, bx : bx + 8] = _DCT.T @ (quant * qt) @ _DCT + 128.0
+        rec = rec[:ch, :cw]
+        if ci > 0:
+            rec = np.repeat(np.repeat(rec, vmax, axis=0), hmax, axis=1)
+        outs.append(rec[:h, :w])
+    y, cb, cr = outs
+    back = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(back), 0, 255).astype(np.uint8)
+
+
+def test_subsampled_entropy_layer_is_lossless():
+    # 4:2:0 / 4:2:2 pixel-exact against the independent spec mirror:
+    # proves the MCU-interleaved entropy layer, the padded block grid
+    # and the down/up-sampling all match the documented pipeline, not
+    # just each other.  Odd dims exercise MCU padding in both axes.
+    for sub, hmax, vmax in (("420", 2, 2), ("422", 2, 1)):
+        for (w, h, seeds) in [(16, 16, (10, 60, 200)), (37, 29, (1, 2, 3)),
+                              (33, 9, (200, 100, 50))]:
+            img = synth_pixels(w, h, *seeds)
+            got = decode_jpeg(encode_jpeg(img, subsampling=sub))
+            want = _ideal_subsampled(img, hmax, vmax)
+            assert np.array_equal(got, want), (sub, w, h)
+
+
+def test_subsampled_sof_declares_sampling_factors():
+    img = synth_pixels(24, 16, 5, 50, 150)
+    data = encode_jpeg(img, subsampling="420")
+    i = data.index(b"\xff\xc0")
+    assert data[i + 11] == 0x22  # luma 2x2
+    assert data[i + 14] == 0x11 and data[i + 17] == 0x11  # chroma 1x1
+    # 4:2:0 must be smaller than 4:4:4 on real content
+    assert len(data) < len(encode_jpeg(img, subsampling="444"))
+
+
+def test_constant_chroma_is_subsampling_invariant():
+    # grayscale content in RGB: chroma planes are constant 128, so
+    # subsampling loses nothing — every layout must decode EXACTLY
+    # like 4:4:4
+    rng = np.random.RandomState(11)
+    gray3 = np.repeat(rng.randint(0, 256, (24, 40, 1), dtype=np.uint8), 3, axis=2)
+    base = decode_jpeg(encode_jpeg(gray3, subsampling="444"))
+    for sub in ("420", "422", "440", "411"):
+        assert np.array_equal(
+            base, decode_jpeg(encode_jpeg(gray3, subsampling=sub))
+        ), sub
+
+
+def test_progressive_subsampled_matches_baseline():
+    # progressive 4:2:0 / 4:2:2: same quantized coefficients as the
+    # baseline stream at the same layout -> exact pixel equality,
+    # covering interleaved DC scans + non-interleaved AC scans over
+    # the true (not MCU-padded) block grid
+    from turtle_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(3)
+    for sub in ("420", "422", "411", "440"):
+        for _ in range(2):
+            img = rng.randint(
+                0, 256, size=(rng.randint(8, 40), rng.randint(8, 40), 3),
+                dtype=np.uint8,
+            )
+            base = decode_jpeg(encode_jpeg(img, subsampling=sub))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, al=int(rng.randint(0, 3)), subsampling=sub)
+            )
+            assert np.array_equal(base, prog), sub

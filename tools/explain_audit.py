@@ -116,6 +116,45 @@ AUDITED = [
     "q_sameas_canonical",
     "q_graph_fingerprint",
     "q_skew_report",
+    # round-5 completion: every remaining bench HEADLINE query, so the
+    # audit covers the full benchmarked suite (r4 left 36 uncovered,
+    # q_doc_lint — the most expensive bench row — among them)
+    "q_events_daily",
+    "q_doc_stats",
+    "q_simhash_dedup_docs",
+    "q_windowed_event_counts",
+    "q_triples_two_hop",
+    "q_kg_extract",
+    "q_bgp_typed_links",
+    "q_kg_closure",
+    "q_kg_delta",
+    "q_entity_cards",
+    "q_sparql_minus",
+    "q_image_phash",
+    "q_sparql_topk",
+    "q_line_dedup",
+    "q_char_sets",
+    "q_direct_map",
+    "q_prefix_induction",
+    "q_skolemize",
+    "q_property_table",
+    "q_lm_quality",
+    "q_bpe_vocab",
+    "q_bpe_encode",
+    "q_vocab_drift",
+    "q_length_matched",
+    "q_training_manifest",
+    "q_doc_lint",
+    "q_cc_incremental",
+    "q_pagerank_incremental",
+    "q_sketch_setops",
+    "q_compression_ratio",
+    "q_owl_chains",
+    "q_sq_topk",
+    "q_scd2_events",
+    "q_merge_upsert",
+    "q_pipeline_lineage",
+    "q_snapshot_expire",
 ]
 
 

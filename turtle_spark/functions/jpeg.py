@@ -13,9 +13,11 @@ Scope (documented subset, enforced by explicit errors):
   covers the full Annex-G huffman feature set: spectral selection,
   successive approximation (DC and AC, first and refinement passes),
   EOB runs, and any legal scan script on the decode side;
-* 8-bit samples, 1-component (grayscale) or 3-component 4:4:4 (no
-  chroma subsampling) — the encoders only emit these, the decoder
-  rejects other sampling factors rather than mis-decoding;
+* 8-bit samples, 1-component (grayscale) or 3-component color at any
+  divisor chroma sampling — 4:4:4, 4:2:2, 4:2:0 (r5), 4:4:0, 4:1:1 —
+  box-mean downsampling on encode, sample-replication upsampling on
+  decode, MCU-interleaved entropy coding per T.81 A.2; non-divisor
+  sampling factor combinations are rejected rather than mis-decoded;
 * no restart markers, no arithmetic coding, no hierarchical mode.
 
 The DECODER is table-driven: quantization and Huffman tables are read
@@ -183,42 +185,101 @@ def _dqt_segment(tid: int, qt: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(img: np.ndarray) -> bytes:
-    """Encode (h, w, 3) RGB or (h, w) grayscale uint8 to baseline JPEG
-    (4:4:4, quality fixed by the Annex-K-style tables above)."""
-    gray = img.ndim == 2
-    h, wid = img.shape[:2]
-    if gray:
-        planes = [img.astype(np.float64)]
-    else:
-        rgb = img.astype(np.float64)
-        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-        ]
-    ph = (h + 7) // 8 * 8
-    pw = (wid + 7) // 8 * 8
-    padded = []
-    for p in planes:
-        q = np.empty((ph, pw), dtype=np.float64)
-        q[:h, :wid] = p
-        q[h:, :wid] = p[h - 1 : h, :]  # edge-replicate padding
-        q[:, wid:] = q[:, wid - 1 : wid]
-        padded.append(np.clip(q, 0.0, 255.0))
+# named chroma-sampling layouts -> (Hi, Vi) of the luma component;
+# chroma is always 1x1 (the JFIF convention real encoders emit)
+_SUBSAMPLING = {
+    "444": (1, 1),
+    "422": (2, 1),
+    "420": (2, 2),
+    "440": (1, 2),
+    "411": (4, 1),
+}
 
+
+def _component_planes(img: np.ndarray) -> tuple[list[np.ndarray], bool]:
+    """Full-resolution Y (or Y/Cb/Cr) float64 planes of an image."""
+    if img.ndim == 2:
+        return [img.astype(np.float64)], True
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    return [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ], False
+
+
+def _pad_plane(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate ``p`` up to (ph, pw)."""
+    h, wid = p.shape
+    q = np.empty((ph, pw), dtype=np.float64)
+    q[:h, :wid] = p
+    q[h:, :wid] = p[h - 1 : h, :]
+    q[:, wid:] = q[:, wid - 1 : wid]
+    return np.clip(q, 0.0, 255.0)
+
+
+def _downsample(p: np.ndarray, cw: int, ch: int, fh: int, fv: int) -> np.ndarray:
+    """Box-mean downsample a full-resolution plane to (ch, cw) with
+    factors (fh, fv), edge-replicating the partial boundary windows —
+    the deterministic mirror of the decoder's replication upsampling."""
+    if fh == 1 and fv == 1:
+        return p
+    full = _pad_plane(p, ch * fv, cw * fh)
+    return full.reshape(ch, fv, cw, fh).mean(axis=(1, 3))
+
+
+def _subsampled_planes(
+    img: np.ndarray, subsampling: str
+) -> tuple[list[np.ndarray], "_Geometry", bool, int, int]:
+    """Color-convert, downsample chroma, and pad every component plane
+    to its MCU-aligned block grid.  Returns (padded planes, geometry,
+    gray, h, wid)."""
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING)}")
+    planes, gray = _component_planes(img)
+    h, wid = img.shape[:2]
+    luma_hv = (1, 1) if gray else _SUBSAMPLING[subsampling]
+    hv = [luma_hv] + [(1, 1)] * (len(planes) - 1)
+    geom = _Geometry(h, wid, hv)
+    padded = []
+    for ci, p in enumerate(planes):
+        fh = geom.hmax // geom.hv[ci][0]
+        fv = geom.vmax // geom.hv[ci][1]
+        small = _downsample(p, geom.cw[ci], geom.ch[ci], fh, fv)
+        padded.append(_pad_plane(small, geom.bh[ci] * 8, geom.bw[ci] * 8))
+    return padded, geom, gray, h, wid
+
+
+def _frame_segments(
+    geom: "_Geometry", gray: bool, h: int, wid: int, sof_marker: bytes
+) -> bytes:
+    """JFIF header + DQT + SOF + DHT segments shared by the baseline
+    and progressive encoders."""
+    ncomp = 1 if gray else 3
     out = bytearray(b"\xff\xd8")  # SOI
     jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
     out += _dqt_segment(0, _QT_LUMA)
     if not gray:
         out += _dqt_segment(1, _QT_CHROMA)
-    ncomp = 1 if gray else 3
     sof = bytes([8]) + struct.pack(">HH", h, wid) + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        hi, vi = geom.hv[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
+    return bytes(out)
+
+
+def encode_jpeg(img: np.ndarray, subsampling: str = "444") -> bytes:
+    """Encode (h, w, 3) RGB or (h, w) grayscale uint8 to baseline JPEG
+    (quality fixed by the Annex-K-style tables above).  ``subsampling``
+    picks the chroma layout: '444' (default, no subsampling), '422',
+    '420', '440' or '411'; chroma planes are box-mean downsampled and
+    the luma/chroma blocks interleave per MCU (T.81 A.2.3)."""
+    padded, geom, gray, h, wid = _subsampled_planes(img, subsampling)
+    ncomp = 1 if gray else 3
+    out = bytearray(_frame_segments(geom, gray, h, wid, b"\xff\xc0"))
     out += _dht_segment(0, 0, _DC_SYMBOLS, 4)
     out += _dht_segment(1, 0, _AC_SYMBOLS, 8)
     if not gray:
@@ -233,12 +294,13 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     w = _BitWriter()
     preds = [0] * ncomp
     qts = [_QT_LUMA] + [_QT_CHROMA] * (ncomp - 1)
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci in range(ncomp):
-                preds[ci] = _encode_block(
-                    w, padded[ci][by : by + 8, bx : bx + 8], qts[ci], preds[ci]
-                )
+    scan_comps = [(ci, 0, 0) for ci in range(ncomp)]
+    for si, bi in _scan_order(scan_comps, geom):
+        bw = geom.bw[si]
+        by, bx = (bi // bw) * 8, (bi % bw) * 8
+        preds[si] = _encode_block(
+            w, padded[si][by : by + 8, bx : bx + 8], qts[si], preds[si]
+        )
     out += w.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -252,31 +314,6 @@ _PROG_AC_SYMBOLS = [r << 4 for r in range(16)] + [
     (run << 4) | size for run in range(16) for size in range(1, 11)
 ]
 _PROG_AC_CODES = {sym: (i, 8) for i, sym in enumerate(_PROG_AC_SYMBOLS)}
-
-
-def _prog_planes(img: np.ndarray):
-    gray = img.ndim == 2
-    h, wid = img.shape[:2]
-    if gray:
-        planes = [img.astype(np.float64)]
-    else:
-        rgb = img.astype(np.float64)
-        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-        ]
-    ph = (h + 7) // 8 * 8
-    pw = (wid + 7) // 8 * 8
-    padded = []
-    for p in planes:
-        q = np.empty((ph, pw), dtype=np.float64)
-        q[:h, :wid] = p
-        q[h:, :wid] = p[h - 1 : h, :]
-        q[:, wid:] = q[:, wid - 1 : wid]
-        padded.append(np.clip(q, 0.0, 255.0))
-    return padded, h, wid, gray
 
 
 def _zz_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
@@ -299,28 +336,41 @@ def _pt_ac(v: int, al: int) -> int:
     return (v >> al) if v >= 0 else -((-v) >> al)
 
 
-def _enc_dc_first(w: _BitWriter, comps: list[np.ndarray], al: int) -> None:
+def _enc_dc_first(
+    w: _BitWriter,
+    comps: list[np.ndarray],
+    al: int,
+    order: list[tuple[int, int]],
+) -> None:
     preds = [0] * len(comps)
-    for b in range(comps[0].shape[0]):
-        for ci, blocks in enumerate(comps):
-            dc = int(blocks[b][0]) >> al  # arithmetic shift per G.1.2.1
-            diff = dc - preds[ci]
-            preds[ci] = dc
-            size = _category(diff)
-            code, ln = _DC_CODES[size]
-            w.put(code, ln)
-            if size:
-                w.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    for ci, b in order:
+        dc = int(comps[ci][b][0]) >> al  # arithmetic shift per G.1.2.1
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        size = _category(diff)
+        code, ln = _DC_CODES[size]
+        w.put(code, ln)
+        if size:
+            w.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
 
 
-def _enc_dc_refine(w: _BitWriter, comps: list[np.ndarray], al: int) -> None:
-    for b in range(comps[0].shape[0]):
-        for blocks in comps:
-            w.put((int(blocks[b][0]) >> al) & 1, 1)
+def _enc_dc_refine(
+    w: _BitWriter,
+    comps: list[np.ndarray],
+    al: int,
+    order: list[tuple[int, int]],
+) -> None:
+    for ci, b in order:
+        w.put((int(comps[ci][b][0]) >> al) & 1, 1)
 
 
 def _enc_ac_first(
-    w: _BitWriter, blocks: np.ndarray, ss: int, se: int, al: int
+    w: _BitWriter,
+    blocks: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    block_idx: list[int],
 ) -> None:
     eobrun = 0
 
@@ -335,7 +385,7 @@ def _enc_ac_first(
             w.put(eobrun - (1 << rbits), rbits)
         eobrun = 0
 
-    for b in range(blocks.shape[0]):
+    for b in block_idx:
         t = [_pt_ac(int(v), al) for v in blocks[b][ss : se + 1]]
         nz = [i for i, v in enumerate(t) if v]
         if not nz:
@@ -368,7 +418,12 @@ def _enc_ac_first(
 
 
 def _enc_ac_refine(
-    w: _BitWriter, blocks: np.ndarray, ss: int, se: int, al: int
+    w: _BitWriter,
+    blocks: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    block_idx: list[int],
 ) -> None:
     """T.81 G.1.2.3 (the libjpeg-style formulation): newly-significant
     coefficients (|v| >> Al == 1) carry run/size-1 symbols whose runs
@@ -393,7 +448,7 @@ def _enc_ac_refine(
         pend.clear()
         eobrun = 0
 
-    for b in range(blocks.shape[0]):
+    for b in block_idx:
         band = [int(v) for v in blocks[b][ss : se + 1]]
         t = [_pt_ac(v, al) for v in band]
         new_pos = [i for i, v in enumerate(t) if abs(v) == 1]
@@ -450,29 +505,30 @@ def _enc_ac_refine(
     flush()
 
 
-def encode_jpeg_progressive(img: np.ndarray, al: int = 1) -> bytes:
+def encode_jpeg_progressive(
+    img: np.ndarray, al: int = 1, subsampling: str = "444"
+) -> bytes:
     """Encode (h, w, 3) RGB or (h, w) grayscale uint8 as a PROGRESSIVE
     (SOF2) JPEG with a full spectral-selection + successive-
     approximation scan script: DC first at point transform ``al`` then
     a DC refinement to full precision; per component, AC bands 1-5 and
     6-63 first at ``al`` then refined to full precision.  Quantized
-    coefficients are identical to :func:`encode_jpeg`'s, so decoding
-    either stream reconstructs the exact same pixels."""
-    padded, h, wid, gray = _prog_planes(img)
+    coefficients are identical to :func:`encode_jpeg`'s at the same
+    ``subsampling``, so decoding either stream reconstructs the exact
+    same pixels.  DC scans interleave per MCU; AC scans are
+    non-interleaved per T.81 G (they cover each component's true block
+    grid only)."""
+    padded, geom, gray, h, wid = _subsampled_planes(img, subsampling)
     ncomp = 1 if gray else 3
     qts = [_QT_LUMA] + [_QT_CHROMA] * (ncomp - 1)
     comps = [_zz_blocks(p, qt) for p, qt in zip(padded, qts)]
+    dc_order = _scan_order([(ci, 0, 0) for ci in range(ncomp)], geom)
+    ac_idx = [
+        [b for _si, b in _scan_order([(ci, 0, 0)], geom)]
+        for ci in range(ncomp)
+    ]
 
-    out = bytearray(b"\xff\xd8")
-    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
-    out += _dqt_segment(0, _QT_LUMA)
-    if not gray:
-        out += _dqt_segment(1, _QT_CHROMA)
-    sof = bytes([8]) + struct.pack(">HH", h, wid) + bytes([ncomp])
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
-    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    out = bytearray(_frame_segments(geom, gray, h, wid, b"\xff\xc2"))
     out += _dht_segment(0, 0, _DC_SYMBOLS, 4)
     out += _dht_segment(1, 0, _PROG_AC_SYMBOLS, 8)
 
@@ -487,26 +543,26 @@ def encode_jpeg_progressive(img: np.ndarray, al: int = 1) -> bytes:
     # scan 1: DC first, interleaved, point transform `al`
     out += sos(all_ids, 0, 0, 0, al)
     w = _BitWriter()
-    _enc_dc_first(w, comps, al)
+    _enc_dc_first(w, comps, al, dc_order)
     out += w.flush()
     # scans 2..: AC bands first, per component
     for ci in range(ncomp):
         for ss, se in ((1, 5), (6, 63)):
             out += sos([ci + 1], ss, se, 0, al)
             w = _BitWriter()
-            _enc_ac_first(w, comps[ci], ss, se, al)
+            _enc_ac_first(w, comps[ci], ss, se, al, ac_idx[ci])
             out += w.flush()
     # refinements down to full precision, one bit position at a time
     for a in range(al - 1, -1, -1):
         out += sos(all_ids, 0, 0, a + 1, a)
         w = _BitWriter()
-        _enc_dc_refine(w, comps, a)
+        _enc_dc_refine(w, comps, a, dc_order)
         out += w.flush()
         for ci in range(ncomp):
             for ss, se in ((1, 5), (6, 63)):
                 out += sos([ci + 1], ss, se, a + 1, a)
                 w = _BitWriter()
-                _enc_ac_refine(w, comps[ci], ss, se, a)
+                _enc_ac_refine(w, comps[ci], ss, se, a, ac_idx[ci])
                 out += w.flush()
     out += b"\xff\xd9"
     return bytes(out)
@@ -576,38 +632,96 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _scan_order(
+    scan_comps: list[tuple[int, int, int]],
+    geom: "_Geometry",
+) -> list[tuple[int, int]]:
+    """Entropy-coded block order of one scan as (scan_pos, block_idx)
+    pairs into the PADDED per-component coefficient arrays.
+
+    Interleaved scans (Ns > 1, T.81 A.2.3): MCU raster order, within
+    each MCU the scan's components in order, within each component its
+    Vi x Hi block sub-grid in raster order — every padded-grid block
+    is coded.  Non-interleaved scans (Ns = 1, A.2.2): the component's
+    TRUE block grid in raster order (MCU padding blocks are never
+    coded), mapped into the padded grid's row stride."""
+    if len(scan_comps) == 1:
+        ci = scan_comps[0][0]
+        tbw, tbh, bw = geom.tbw[ci], geom.tbh[ci], geom.bw[ci]
+        return [(0, (b // tbw) * bw + (b % tbw)) for b in range(tbh * tbw)]
+    order: list[tuple[int, int]] = []
+    for my in range(geom.mcuy):
+        for mx in range(geom.mcux):
+            for si, (ci, _dc, _ac) in enumerate(scan_comps):
+                hi, vi = geom.hv[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        order.append(
+                            (si, (my * vi + v) * geom.bw[ci] + mx * hi + hh)
+                        )
+    return order
+
+
+class _Geometry:
+    """Per-component block geometry of one frame (T.81 A.1.1/A.2.4):
+    ``hv`` sampling factors, ``bw``/``bh`` the MCU-padded block grid
+    (interleaved scans code all of it), ``tbw``/``tbh`` the true block
+    grid (non-interleaved scans code only this), ``cw``/``ch`` the
+    component's sample dimensions before upsampling."""
+
+    def __init__(self, h: int, wid: int, hv: list[tuple[int, int]]) -> None:
+        self.hv = hv
+        hmax = max(x for x, _ in hv)
+        vmax = max(y for _, y in hv)
+        for hi, vi in hv:
+            if not (1 <= hi <= 4 and 1 <= vi <= 4) or hmax % hi or vmax % vi:
+                raise NotImplementedError(
+                    f"non-divisor sampling factors {hv} unsupported"
+                )
+        self.hmax, self.vmax = hmax, vmax
+        self.mcux = -(-wid // (8 * hmax))
+        self.mcuy = -(-h // (8 * vmax))
+        self.cw = [-(-wid * hi // hmax) for hi, _ in hv]
+        self.ch = [-(-h * vi // vmax) for _, vi in hv]
+        self.tbw = [-(-cw // 8) for cw in self.cw]
+        self.tbh = [-(-ch // 8) for ch in self.ch]
+        self.bw = [self.mcux * hi for hi, _ in hv]
+        self.bh = [self.mcuy * vi for _, vi in hv]
+
+
 def _decode_baseline_scan(
     r: _BitReader,
     coefs: list[np.ndarray],
     scan_comps: list[tuple[int, int, int]],
     dc_tables: dict,
     ac_tables: dict,
-    n_blocks: int,
+    order: list[tuple[int, int]],
 ) -> None:
-    """One interleaved baseline scan (Ss=0..63, no point transform):
-    DC DPCM + AC run-length straight into the coefficient arrays."""
+    """One baseline scan (Ss=0..63, no point transform): DC DPCM + AC
+    run-length straight into the coefficient arrays, blocks visited in
+    the scan's interleave order."""
     preds = [0] * len(scan_comps)
-    for b in range(n_blocks):
-        for si, (ci, dc_id, ac_id) in enumerate(scan_comps):
-            size = _read_symbol(r, dc_tables[dc_id])
-            diff = _extend(r.bits(size), size) if size else 0
-            preds[si] += diff
-            zz = coefs[ci][b]
-            zz[0] = preds[si]
-            i = 1
-            while i < 64:
-                sym = _read_symbol(r, ac_tables[ac_id])
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                i += run
-                if i > 63:
-                    raise ValueError("AC run past block end")
-                zz[i] = _extend(r.bits(size), size)
-                i += 1
+    for si, b in order:
+        ci, dc_id, ac_id = scan_comps[si]
+        size = _read_symbol(r, dc_tables[dc_id])
+        diff = _extend(r.bits(size), size) if size else 0
+        preds[si] += diff
+        zz = coefs[ci][b]
+        zz[0] = preds[si]
+        i = 1
+        while i < 64:
+            sym = _read_symbol(r, ac_tables[ac_id])
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            i += run
+            if i > 63:
+                raise ValueError("AC run past block end")
+            zz[i] = _extend(r.bits(size), size)
+            i += 1
 
 
 def _decode_dc_scan(
@@ -615,27 +729,28 @@ def _decode_dc_scan(
     coefs: list[np.ndarray],
     scan_comps: list[tuple[int, int, int]],
     dc_tables: dict,
-    n_blocks: int,
+    order: list[tuple[int, int]],
     ah: int,
     al: int,
 ) -> None:
-    """Progressive DC scan (interleaved): first pass (Ah=0) is DPCM of
-    the point-transformed DC; refinement (Ah>0) is one raw bit per
-    block OR-ed in at position Al (two's-complement semantics make the
-    plain ``|=`` correct for negative coefficients too)."""
+    """Progressive DC scan: first pass (Ah=0) is DPCM of the
+    point-transformed DC; refinement (Ah>0) is one raw bit per block
+    OR-ed in at position Al (two's-complement semantics make the plain
+    ``|=`` correct for negative coefficients too).  Blocks visited in
+    the scan's interleave order."""
     if ah == 0:
         preds = [0] * len(scan_comps)
-        for b in range(n_blocks):
-            for si, (ci, dc_id, _ac) in enumerate(scan_comps):
-                size = _read_symbol(r, dc_tables[dc_id])
-                diff = _extend(r.bits(size), size) if size else 0
-                preds[si] += diff
-                coefs[ci][b][0] = preds[si] << al
+        for si, b in order:
+            ci, dc_id, _ac = scan_comps[si]
+            size = _read_symbol(r, dc_tables[dc_id])
+            diff = _extend(r.bits(size), size) if size else 0
+            preds[si] += diff
+            coefs[ci][b][0] = preds[si] << al
     else:
-        for b in range(n_blocks):
-            for ci, _dc, _ac in scan_comps:
-                if r.bit():
-                    coefs[ci][b][0] = int(coefs[ci][b][0]) | (1 << al)
+        for si, b in order:
+            ci = scan_comps[si][0]
+            if r.bit():
+                coefs[ci][b][0] = int(coefs[ci][b][0]) | (1 << al)
 
 
 def _decode_ac_first_scan(
@@ -645,13 +760,16 @@ def _decode_ac_first_scan(
     ss: int,
     se: int,
     al: int,
+    block_idx: list[int],
 ) -> None:
     """Progressive AC first scan (single component, spectral band
     Ss..Se, Ah=0): run-length symbols plus EOBn end-of-band runs
     (T.81 G.1.2.2 — RRRR with SSSS=0 codes a run of 2^RRRR + extra
-    all-zero bands)."""
+    all-zero bands).  ``block_idx`` is the component's true-grid block
+    order mapped into the padded array (non-interleaved scans never
+    code MCU padding blocks)."""
     eobrun = 0
-    for b in range(blocks.shape[0]):
+    for b in block_idx:
         if eobrun > 0:
             eobrun -= 1
             continue
@@ -680,6 +798,7 @@ def _decode_ac_refine_scan(
     ss: int,
     se: int,
     al: int,
+    block_idx: list[int],
 ) -> None:
     """Progressive AC refinement scan (T.81 G.1.2.3): already-nonzero
     coefficients take one correction bit each; zero-history positions
@@ -694,7 +813,7 @@ def _decode_ac_refine_scan(
         if r.bit() and (v & plus) == 0:
             zz[k] = v + plus if v >= 0 else v - plus
 
-    for b in range(blocks.shape[0]):
+    for b in block_idx:
         zz = blocks[b]
         if eobrun > 0:
             eobrun -= 1
@@ -739,10 +858,12 @@ def _decode_ac_refine_scan(
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline (SOF0) or progressive (SOF2) 8-bit JPEG,
-    grayscale or 4:4:4 RGB.  Tables come from the stream's own
+    grayscale or color with any divisor chroma subsampling (4:4:4,
+    4:2:2, 4:2:0, 4:4:0, 4:1:1).  Tables come from the stream's own
     DQT/DHT segments; progressive streams may use any legal scan
     script (spectral selection and successive approximation, DC and
-    AC, first and refinement passes)."""
+    AC, first and refinement passes).  Subsampled chroma planes are
+    upsampled by sample replication (JFIF nearest-neighbor)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -751,9 +872,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     ac_tables: dict[int, dict] = {}
     h = wid = 0
     progressive = False
-    comps: list[tuple[int, int, int]] = []  # (comp_id, sampling, qt_id)
-    coefs: list[np.ndarray] = []  # per component: (n_blocks, 64) int64
-    n_blocks = 0
+    comps: list[tuple[int, int]] = []  # (comp_id, qt_id)
+    geom: _Geometry | None = None
+    coefs: list[np.ndarray] = []  # per component: (padded blocks, 64)
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -803,15 +924,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             h, wid = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
             comps = []
+            hv = []
             for c in range(ncomp):
                 cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "only 4:4:4 / grayscale (1x1 sampling) supported"
-                    )
-                comps.append((cid, samp, qid))
-            n_blocks = ((h + 7) // 8) * ((wid + 7) // 8)
-            coefs = [np.zeros((n_blocks, 64), dtype=np.int64) for _ in comps]
+                comps.append((cid, qid))
+                hv.append((samp >> 4, samp & 0x0F))
+            geom = _Geometry(h, wid, hv)
+            coefs = [
+                np.zeros((geom.bh[i] * geom.bw[i], 64), dtype=np.int64)
+                for i in range(ncomp)
+            ]
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 "only baseline (SOF0) and progressive (SOF2) huffman DCT"
@@ -819,10 +941,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS — decode this scan, then keep parsing
-            if not comps:
+            if not comps or geom is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            cid_index = {cid: i for i, (cid, _s, _q) in enumerate(comps)}
+            cid_index = {cid: i for i, (cid, _q) in enumerate(comps)}
             scan_comps = []
             for c in range(ns):
                 cid, tsel = body[1 + 2 * c : 3 + 2 * c]
@@ -830,27 +952,29 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
             r = _BitReader(data[pos + seglen :])
+            order = _scan_order(scan_comps, geom)
             if not progressive:
                 _decode_baseline_scan(
-                    r, coefs, scan_comps, dc_tables, ac_tables, n_blocks
+                    r, coefs, scan_comps, dc_tables, ac_tables, order
                 )
             elif ss == 0:
                 if se != 0:
                     raise ValueError("progressive DC scan must have Se=0")
                 _decode_dc_scan(
-                    r, coefs, scan_comps, dc_tables, n_blocks, ah, al
+                    r, coefs, scan_comps, dc_tables, order, ah, al
                 )
             else:
                 if ns != 1:
                     raise ValueError("progressive AC scans are single-component")
                 ci, _dc_id, ac_id = scan_comps[0]
+                idx = [b for _si, b in order]
                 if ah == 0:
                     _decode_ac_first_scan(
-                        r, coefs[ci], ac_tables[ac_id], ss, se, al
+                        r, coefs[ci], ac_tables[ac_id], ss, se, al, idx
                     )
                 else:
                     _decode_ac_refine_scan(
-                        r, coefs[ci], ac_tables[ac_id], ss, se, al
+                        r, coefs[ci], ac_tables[ac_id], ss, se, al, idx
                     )
             # resume marker parsing after the entropy bytes the scan
             # consumed (the reader stops byte-aligned before the next
@@ -858,24 +982,34 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos = pos + seglen + r.pos
             continue
         pos += seglen
-    if not comps or not coefs:
+    if not comps or not coefs or geom is None:
         raise ValueError("missing SOF/SOS")
 
-    ph = (h + 7) // 8 * 8
-    pw = (wid + 7) // 8 * 8
-    planes = [np.empty((ph, pw), dtype=np.float64) for _ in comps]
-    qt_of = [qts[qid] for _cid, _s, qid in comps]
-    bpr = pw // 8
+    qt_of = [qts[qid] for _cid, qid in comps]
+    planes = []
     for ci in range(len(comps)):
-        for b in range(n_blocks):
-            by, bx = (b // bpr) * 8, (b % bpr) * 8
-            coeffs = (
-                coefs[ci][b][_UNZIGZAG].reshape(8, 8) * qt_of[ci]
-            ).astype(np.float64)
-            planes[ci][by : by + 8, bx : bx + 8] = _DCT.T @ coeffs @ _DCT + 128.0
+        bw, tbw, tbh = geom.bw[ci], geom.tbw[ci], geom.tbh[ci]
+        # IDCT only the TRUE block grid; MCU padding blocks never
+        # contribute samples (they exist only for interleaved coding)
+        plane = np.empty((tbh * 8, tbw * 8), dtype=np.float64)
+        for r_ in range(tbh):
+            for c_ in range(tbw):
+                coeffs = (
+                    coefs[ci][r_ * bw + c_][_UNZIGZAG].reshape(8, 8)
+                    * qt_of[ci]
+                ).astype(np.float64)
+                plane[r_ * 8 : r_ * 8 + 8, c_ * 8 : c_ * 8 + 8] = (
+                    _DCT.T @ coeffs @ _DCT + 128.0
+                )
+        plane = plane[: geom.ch[ci], : geom.cw[ci]]
+        fh = geom.hmax // geom.hv[ci][0]
+        fv = geom.vmax // geom.hv[ci][1]
+        if fh > 1 or fv > 1:  # sample-replication upsampling (JFIF)
+            plane = np.repeat(np.repeat(plane, fv, axis=0), fh, axis=1)
+        planes.append(plane[:h, :wid])
     if len(planes) == 1:
-        return np.clip(np.round(planes[0][:h, :wid]), 0, 255).astype(np.uint8)
-    y, cb, cr = (p[:h, :wid] for p in planes)
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
     rch = y + 1.402 * (cr - 128.0)
     gch = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     bch = y + 1.772 * (cb - 128.0)
