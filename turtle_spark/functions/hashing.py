@@ -202,23 +202,41 @@ def char_shingle_hashes_batch(texts: list[str], k: int) -> list[np.ndarray]:
     if total == 0:
         return [np.empty(0, dtype=np.uint64) for _ in texts]
     buf = np.frombuffer(b"".join(datas), dtype=np.uint8)
-    powers = np.power(
-        np.uint64(_SHINGLE_BASE), np.arange(k, dtype=np.uint64), dtype=np.uint64
-    )
     n_windows = max(buf.size - k + 1, 0)
     hashes = np.empty(n_windows, dtype=np.uint64)
-    windows = np.lib.stride_tricks.sliding_window_view(buf, k) if n_windows else None
-    # SMALL chunks on purpose: elementwise numpy over multi-hundred-MB
-    # temporaries runs 100x+ slower per element on this class of VM
-    # (memory-subsystem penalty on large transient working sets —
-    # measured 15 ns/elem at ~20 MB vs 1200+ ns/elem at ~268 MB).
-    # Scaled by k so the (chunk x k) uint64 temporaries stay ~4 MB for
-    # every shingle width (k=5 grams and k=64 fingerprints alike).
-    CHUNK = max(1 << 12, (1 << 19) // k)
+    # O(total) prefix-polynomial rolling form of the O(total x k)
+    # windowed sum (r5; bitwise identical): with P[i] = sum_{t<i}
+    # buf[t]*BASE^t (all mod 2^64), every window hash is
+    # h_i = (P[i+k] - P[i]) * BASE^-i — exact because BASE is odd, so
+    # its inverse mod 2^64 exists and the division is a wrapped
+    # multiply.  Measured 1.2x at k=5 grams, 7.8x at k=64
+    # fingerprints.  Chunks stay SMALL on purpose: elementwise numpy
+    # over multi-hundred-MB temporaries runs 100x+ slower per element
+    # on this class of VM (large-working-set memory penalty); each
+    # 256 KiB segment's five uint64 temporaries are ~2 MB apiece.
+    # Segments overlap k-1 bytes and restart the power ladder at their
+    # own origin, which leaves per-window values unchanged.
+    CHUNK = 1 << 18
+    ubase = np.uint64(_SHINGLE_BASE)
+    uinv = np.uint64(pow(_SHINGLE_BASE, -1, 1 << 64))
+    one = np.ones(1, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for s in range(0, n_windows, CHUNK):
             e = min(s + CHUNK, n_windows)
-            hashes[s:e] = (windows[s:e].astype(np.uint64) * powers).sum(axis=1)
+            seg = buf[s : e + k - 1].astype(np.uint64)
+            pows = np.cumprod(
+                np.concatenate((one, np.full(seg.size - 1, ubase))),
+                dtype=np.uint64,
+            )
+            seg *= pows
+            P = np.concatenate(
+                (np.zeros(1, dtype=np.uint64), np.cumsum(seg, dtype=np.uint64))
+            )
+            invp = np.cumprod(
+                np.concatenate((one, np.full(e - s - 1, uinv))),
+                dtype=np.uint64,
+            )
+            hashes[s:e] = (P[k : e - s + k] - P[: e - s]) * invp
     out = []
     pos = 0
     for length in lens:
@@ -263,8 +281,22 @@ def minhash_signatures_batch(
         docs = nz[i:j]
         xs = np.concatenate([shingle_sets[d] for d in docs]).astype(np.uint64)
         xs = xs % np.uint64(MERSENNE61)
+        uM = np.uint64(MERSENNE61)
         with np.errstate(over="ignore"):
-            vals = (a[:, None] * xs[None, :] + b[:, None]) % np.uint64(MERSENNE61)
+            # in-place Mersenne-61 reduction of the WRAPPED product
+            # (a*x mod 2^64 + b mod 2^64, then mod M — the engine's
+            # pinned golden semantics): for any 64-bit y,
+            # y mod M = (y & M) + (y >> 61), minus M at most once.
+            # Bitwise identical to `% M` and ~1.75x faster — numpy's
+            # uint64 remainder is a hardware divide per element, the
+            # reduction is three cheap vector ops (r5 A/B: 12.4 ->
+            # 7.1 ms on a 128 x 16k chunk)
+            y = a[:, None] * xs[None, :]
+            y += b[:, None]
+            vals = y & uM
+            y >>= np.uint64(61)
+            vals += y
+            np.subtract(vals, uM, out=vals, where=vals >= uM)
         offsets = np.concatenate(([0], np.cumsum(sizes[docs])[:-1]))
         mins = np.minimum.reduceat(vals, offsets, axis=1)  # (num_perm, len(docs))
         out[docs] = mins.T.astype(np.int64)
