@@ -10,9 +10,10 @@ by nearest-neighbor -> re-encode.  PNG (RGB8, stdlib zlib) decodes
 too, baseline JPEG has a real pure-numpy DCT/Huffman codec in
 `functions/jpeg.py`, and video ships in the PVID frame container
 below, so every synthetic media type round-trips through real
-byte-level codecs; formats needing true external codecs (H.264/MP3,
-subsampled JPEG, MP3) still raise at the seam, by design —
-progressive JPEG decodes for real since r4 (`functions/jpeg.py`).
+byte-level codecs; formats needing true external codecs (H.264, MP3)
+still raise at the seam, by design — progressive JPEG decodes for
+real since r4 and chroma-subsampled JPEG (4:2:0/4:2:2/4:4:0/4:1:1)
+since r5 (`functions/jpeg.py`).
 
 Determinism contract: every function here is pure and single-threaded
 numpy; `tools/golden_ref.py` reimplements the decode + feature math
