@@ -171,7 +171,9 @@ def audit(name: str, plan: str) -> list[str]:
     ops = re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, re.M)
     n_exchanges = sum(1 for o in ops if o == "Exchange")
     n_broadcast = sum(1 for o in ops if o.startswith("BroadcastHashJoin"))
-    n_python = sum(1 for o in ops if "Python" in o or "Arrow" in o)
+    n_python = sum(
+        1 for o in ops if "Python" in o or "Arrow" in o or "InPandas" in o
+    )
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     pushed_nonempty = [p for p in pushed if p.strip()]
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
