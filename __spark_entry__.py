@@ -5164,9 +5164,18 @@ def _driver_green() -> frozenset[str]:
     ones), a query that regresses red after an old green re-enters the
     window for a retry instead of staying permanently exempt."""
     latest: dict[str, bool] = {}
-    for path in sorted(pathlib.Path(__file__).resolve().parent.glob(
-        "CORRECTNESS_r*.json"
-    )):
+
+    def _round_no(p: pathlib.Path) -> int:
+        # numeric round order, not filename order: an unpadded
+        # CORRECTNESS_r5.json must still sort after r04 (and before a
+        # hypothetical r10), or an older row would override the latest
+        digits = "".join(ch for ch in p.stem if ch.isdigit())
+        return int(digits) if digits else 0
+
+    for path in sorted(
+        pathlib.Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json"),
+        key=_round_no,
+    ):
         try:
             rows = json.loads(path.read_text())
         except (OSError, json.JSONDecodeError):

@@ -81,6 +81,19 @@ def _boundary_sample(
     ship-days over 600k rows) yielded ~10 boundaries with row-skewed
     buckets.  Hashing the whole row keeps the sample ~uniform over
     ROWS, which is what equal-depth boundaries need."""
+    dtype = dict(df.dtypes).get(value_col, "")
+    if not (
+        dtype in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or dtype.startswith("decimal")
+    ):
+        # a non-numeric lead would cast to all-NULL under non-ANSI
+        # semantics and silently yield ZERO boundaries — one bucket,
+        # the single-partition sort this machinery exists to avoid
+        raise NotImplementedError(
+            f"boundary sample needs a numeric lead column; {value_col!r} "
+            f"is {dtype or 'unknown'} — rank on a numeric surrogate "
+            "(e.g. xxhash64/unix_timestamp) instead"
+        )
     return (
         df.select(
             F.lit(spec_idx).alias("i"),
