@@ -177,6 +177,15 @@ def audit(name: str, plan: str) -> list[str]:
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     pushed_nonempty = [p for p in pushed if p.strip()]
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # single-partition windows: windowspecdefinition(...) whose FIRST
+    # argument is already a sort order means an EMPTY partition list —
+    # the WindowExec scale-killer this repo bans (layout.py exact_rank
+    # exists so no query needs one)
+    n_global_windows = 0
+    for chunk in plan.split("windowspecdefinition(")[1:]:
+        head = chunk.split(",", 1)[0]
+        if " ASC" in head or " DESC" in head:
+            n_global_windows += 1
     # NOTE: whole-stage-codegen ids are assigned after AQE finalizes at
     # runtime, so they don't appear in the pre-execution formatted plan;
     # Python/Arrow operator count is the static stand-in ("0" = the
@@ -184,7 +193,8 @@ def audit(name: str, plan: str) -> list[str]:
     notes.append(
         f"shuffles={n_exchanges}, broadcast_joins={n_broadcast}, "
         f"python_ops={n_python}, scans={len(schemas)}, "
-        f"scans_with_pushed_filters={len(pushed_nonempty)}"
+        f"scans_with_pushed_filters={len(pushed_nonempty)}, "
+        f"unpartitioned_windows={n_global_windows}"
     )
     for s in schemas:
         n_cols = len([c for c in s.split(",") if ":" in c])
