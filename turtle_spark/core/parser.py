@@ -65,8 +65,36 @@ class ParseResult:
     prefixes: dict[str, str] = field(default_factory=dict)
 
 
+def _memo_view(
+    memo: dict, base: str, prefixes: dict[str, str]
+) -> dict[str, tuple[str, str, str, str]]:
+    """The token-sanitize cache for one exact (base, prefixes) context
+    inside a shared cross-document memo.  ``sanitize_token`` is pure in
+    (token, base, prefixes), so keying on the full context makes cached
+    results identical to uncached parsing; documents redeclaring the
+    same vocabulary (the overwhelmingly common case in a real corpus)
+    land in the same inner cache and skip re-sanitizing every recurring
+    term.  The outer guard bounds pathological many-context corpora."""
+    key = (base, frozenset(prefixes.items()))
+    cache = memo.get(key)
+    if cache is None:
+        if len(memo) >= 512:
+            memo.clear()
+        cache = memo[key] = {}
+    return cache
+
+
+# per-context token cache cap: ~50 MB of tuples per worker at the
+# documented entry size; a corpus of unbounded distinct literals just
+# cycles the cache (one failed get + one set per miss, never growth)
+_SAN_CACHE_CAP = 100_000
+
+
 def parse_document(
-    text: str, base: str = "", prefixes: dict[str, str] | None = None
+    text: str,
+    base: str = "",
+    prefixes: dict[str, str] | None = None,
+    san_memo: dict | None = None,
 ) -> ParseResult:
     """Parse one Turtle document into annotated triples.
 
@@ -75,6 +103,13 @@ def parse_document(
     Parse state is scoped to this call — blank-node counters and prefix
     maps never cross documents, which is what makes the extraction
     stage embarrassingly parallel across a cluster.
+
+    ``san_memo``: optional SHARED sanitize memo for high-volume callers
+    parsing many documents in one task (``operators/extract.py``).
+    Keyed by the exact (base, prefixes) context via :func:`_memo_view`,
+    so emitted triples are bit-identical with or without it; recurring
+    vocabulary terms across documents sanitize once per task instead of
+    once per document.
     """
     result = ParseResult(base=base, prefixes=dict(prefixes) if prefixes else {})
     pending: deque[str] = deque()  # injected tokens (popped blank-node labels)
@@ -95,9 +130,14 @@ def parse_document(
 
     blank_nodes: set[str] = set()
     bn_counter = 0
-    # per-document memo: sanitize_token is pure in (token, base,
-    # prefixes); directives invalidate it (they mutate that context)
-    san_cache: dict[str, tuple[str, str, str, str]] = {}
+    # token-sanitize cache: per-document by default; a shared san_memo
+    # scopes it to the exact (base, prefixes) context instead, so it
+    # survives across documents.  Directives REBIND it (they change
+    # that context), never clear another context's entries.
+    if san_memo is None:
+        san_cache: dict[str, tuple[str, str, str, str]] = {}
+    else:
+        san_cache = _memo_view(san_memo, result.base, result.prefixes)
 
     def next_tok() -> str | None:
         nonlocal ti
@@ -145,7 +185,10 @@ def parse_document(
             if value is None:
                 break
             result.prefixes[name] = value.strip("<>")
-            san_cache.clear()
+            san_cache = (
+                {} if san_memo is None
+                else _memo_view(san_memo, result.base, result.prefixes)
+            )
             continue
 
         # base directive: consumes the next raw token, last-write-wins
@@ -154,7 +197,10 @@ def parse_document(
             if value is None:
                 break
             result.base = value.strip("<>")
-            san_cache.clear()
+            san_cache = (
+                {} if san_memo is None
+                else _memo_view(san_memo, result.base, result.prefixes)
+            )
             continue
 
         # single length check gates all six punctuation handlers — the
@@ -190,6 +236,8 @@ def parse_document(
             cached = san_cache.get(token)
             if cached is None:
                 cached = sanitize_token(token, result.base, result.prefixes)
+                if len(san_cache) >= _SAN_CACHE_CAP:
+                    san_cache.clear()
                 san_cache[token] = cached
             tok, label, datatype, typ = cached
             colls[-1][4].append((tok, label, datatype, new_blank_node(), typ))
@@ -211,6 +259,8 @@ def parse_document(
         cached = san_cache.get(token)
         if cached is None:
             cached = sanitize_token(token, result.base, result.prefixes)
+            if len(san_cache) >= _SAN_CACHE_CAP:
+                san_cache.clear()
             san_cache[token] = cached
         tok, label, datatype, typ = cached
 
