@@ -111,3 +111,53 @@ def test_lint_document_edge_cases():
     src = '<a> <b> "ok" . <c> <d> "unclosed'
     assert len(parse_document(src).triples) >= 1
     assert "unclosed-literal" in lint_document(src)
+
+
+def test_parse_memo_is_observably_identical() -> None:
+    """Property: a SHARED san_memo (the extraction task cache) never
+    changes emitted triples, accumulated base, or prefixes — for
+    arbitrary documents parsed in arbitrary interleavings, including
+    directive-bearing ones that switch the sanitize context mid-doc."""
+    from hypothesis import given, settings, strategies as st
+
+    from turtle_spark.core.parser import parse_document
+
+    alphabet = 'ab"\'<>.;,()[]\\ \n\t#123eE+-:_^@prefixbase/'
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(alphabet=alphabet, max_size=100), max_size=6))
+    def check(texts: list[str]) -> None:
+        memo: dict = {}
+        for text in texts:
+            plain = parse_document(text)
+            shared = parse_document(text, san_memo=memo)
+            assert plain.triples == shared.triples
+            assert plain.base == shared.base
+            assert plain.prefixes == shared.prefixes
+
+    check()
+
+
+def test_parse_memo_cache_caps_hold() -> None:
+    """The shared memo's bounds are enforced: >=512 contexts reset the
+    outer map, and an over-cap inner cache cycles instead of growing."""
+    from turtle_spark.core import parser as P
+
+    memo: dict = {}
+    for i in range(600):
+        P._memo_view(memo, "", {"p": f"http://x{i}/"})
+    assert len(memo) <= 512
+
+    old_cap = P._SAN_CACHE_CAP
+    P._SAN_CACHE_CAP = 8
+    try:
+        memo = {}
+        doc = "@prefix e: <http://e/> . " + " ".join(
+            f'e:s{i} e:p{i} "v{i}" .' for i in range(40)
+        )
+        result = parse_document(doc, san_memo=memo)
+        assert len(result.triples) == 40
+        (inner,) = [v for k, v in memo.items() if k[1]]
+        assert len(inner) <= 8
+    finally:
+        P._SAN_CACHE_CAP = old_cap
