@@ -4446,6 +4446,40 @@ def _q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_flac_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless FLAC transcode through the real codec seam
+    (operators/multimodal.py::flac_transcode_stats over
+    functions/flac.py — the public FLAC format, fixed predictors +
+    Rice residuals + CRC-8/16 + STREAMINFO MD5): every synthesized
+    audio row's RIFF/WAVE payload is decoded, re-encoded as FLAC,
+    decoded back, and its signal statistics are computed FROM THE
+    FLAC-DECODED SAMPLES.  The golden recomputes the stats from the
+    waveform spec with no FLAC in the loop and asserts lossless=true,
+    so one dropped or altered sample anywhere in the codec breaks
+    parity.  One mapInPandas over payload bytes — archival re-encode
+    shape, parallel in the rows."""
+    from turtle_spark.operators.multimodal import (
+        flac_transcode_stats,
+        synthesize_media_table,
+    )
+    from turtle_spark.sources.corpus import generate_docs
+
+    media = synthesize_media_table(generate_docs(spark, 200, seed=42))
+    return (
+        flac_transcode_stats(media)
+        .select(
+            "media_ref",
+            "n_wav_bytes",
+            "lossless",
+            F.round(F.col("duration_s"), 4).alias("duration_s"),
+            F.round(F.col("rms"), 4).alias("rms"),
+            F.round(F.col("peak"), 4).alias("peak"),
+            F.round(F.col("zcr"), 4).alias("zcr"),
+        )
+        .orderBy("media_ref")
+    )
+
+
 def _q_pipeline_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star pipeline itself, driver-graded: run the FULL
     KG-construction pipeline (plans/pipeline.py — extract -> mention
@@ -5108,7 +5142,7 @@ _CORPUS_GOLDENS = frozenset(
         "q_dot_export",
         "q_functional_conflicts", "q_ppr", "q_sketch_cardinality",
         "q_clustering_coef", "q_text_normalize", "q_doc_lint",
-        "q_cc_incremental", "q_pipeline_lineage",
+        "q_cc_incremental", "q_pipeline_lineage", "q_flac_audio",
     }
 )
 # per-SF: computed from the documents/embeddings parquet of that SF
@@ -5295,6 +5329,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_features": _q_media_features,
         "q_dedup_clusters": _q_dedup_clusters,
         "q_audio_stats": _q_audio_stats,
+        "q_flac_audio": _q_flac_audio,
         "q_kg_delta": _q_kg_delta,
         "q_entity_cards": _q_entity_cards,
         "q_source_caps": _q_source_caps,

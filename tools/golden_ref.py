@@ -770,6 +770,30 @@ def ref_q_audio_stats() -> tuple[list[str], list[tuple]]:
     )
 
 
+def ref_q_flac_audio() -> tuple[list[str], list[tuple]]:
+    """Lossless WAV -> FLAC transcode stats: the engine re-encodes every
+    audio payload as FLAC (functions/flac.py) and reports signal stats
+    computed FROM THE FLAC-DECODED SAMPLES; this golden recomputes the
+    same stats from the waveform spec alone and asserts lossless=true —
+    if the FLAC round trip drops or alters one sample, the engine's
+    stats (or its losslessness verdict) break parity."""
+    out = []
+    for ref, _doc, mtype, plen, _dur, _img, aud, _vid in sorted(
+        _corpus_media(), key=lambda t: t[0]
+    ):
+        if aud is None:
+            continue
+        dur_s, rms, peak, zcr = _audio_feature_stats(*aud)
+        out.append(
+            (ref, plen, True, spark_round(dur_s, 4), spark_round(rms, 4),
+             spark_round(peak, 4), spark_round(zcr, 4))
+        )
+    return (
+        ["media_ref", "n_wav_bytes", "lossless", "duration_s", "rms", "peak", "zcr"],
+        out,
+    )
+
+
 def ref_q_frame_sample() -> tuple[list[str], list[tuple]]:
     """Real frame sampling — independently splits each video's frame
     list, keeps frames on the 500 ms grid, and recomputes the exact
@@ -3945,6 +3969,7 @@ CORPUS_QUERIES = {
     "q_serialize_roundtrip": ref_q_serialize_roundtrip,
     "q_media_features": ref_q_media_features,
     "q_audio_stats": ref_q_audio_stats,
+    "q_flac_audio": ref_q_flac_audio,
     "q_frame_sample": ref_q_frame_sample,
     "q_predicate_profile": ref_q_predicate_profile,
     "q_pagerank_kg": ref_q_pagerank_kg,
@@ -4067,6 +4092,7 @@ DUCK_TYPES = {
     },
     "q_media_features": {"media_type": "VARCHAR", "n_media": "BIGINT", "total_bytes": "BIGINT", "f0_sum": "DOUBLE", "px_mean_sum": "DOUBLE"},
     "q_audio_stats": {"media_ref": "VARCHAR", "duration_ms": "INTEGER", "n_bytes": "INTEGER", "duration_s": "DOUBLE", "rms": "DOUBLE", "peak": "DOUBLE", "zcr": "DOUBLE"},
+    "q_flac_audio": {"media_ref": "VARCHAR", "n_wav_bytes": "INTEGER", "lossless": "BOOLEAN", "duration_s": "DOUBLE", "rms": "DOUBLE", "peak": "DOUBLE", "zcr": "DOUBLE"},
     "q_frame_sample": {"media_ref": "VARCHAR", "frame_index": "INTEGER", "ts_ms": "INTEGER", "px_sum": "BIGINT"},
     "q_dedup_clusters": {"cluster_size": "BIGINT", "n_clusters": "BIGINT"},
     "q_predicate_profile": {

@@ -225,6 +225,11 @@ def media_decoder(payload: bytes, media_type: str, dim: int) -> np.ndarray:
     if sniff_wav(payload or b""):
         rate, samples = decode_wav(payload)
         return audio_features(samples, rate, dim)
+    from turtle_spark.functions.flac import decode_flac, sniff_flac
+
+    if sniff_flac(payload or b""):
+        rate, samples = decode_flac(payload)
+        return audio_features(samples, rate, dim)
     from turtle_spark.operators.multimodal import _stub_features
 
     return _stub_features(payload, dim)

@@ -484,3 +484,77 @@ def image_near_duplicates(
         n_bands=n_bands,
         bucket_cap=bucket_cap,
     )
+
+
+def flac_transcode_stats(media: DataFrame) -> DataFrame:
+    """Lossless WAV -> FLAC transcode through the real codec seam.
+
+    For every audio row: decode the RIFF/WAVE payload, encode the
+    samples as FLAC (``functions/flac.py``), decode the FLAC bytes
+    back, and report genuine signal statistics computed from the
+    FLAC-decoded samples plus the per-row losslessness verdict (exact
+    sample equality, independently re-checked against the stream's own
+    STREAMINFO MD5 inside the decoder).  One ``mapInPandas`` over the
+    payload bytes — at corpus scale the transcode parallelizes with
+    the rows, the way an archival re-encode job would.
+
+    Output: (media_ref, n_wav_bytes, n_flac_bytes, lossless,
+    duration_s, rms, peak, zcr) — the four stats are the same
+    definitions as ``decode_features``'s audio path, so the oracle can
+    pin them from the waveform spec alone: if the FLAC round trip
+    dropped or altered one sample, the stats (and ``lossless``) break.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("n_wav_bytes", T.IntegerType()),
+            T.StructField("n_flac_bytes", T.IntegerType()),
+            T.StructField("lossless", T.BooleanType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+            T.StructField("zcr", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        from turtle_spark.functions.audio import audio_features, decode_wav
+        from turtle_spark.functions.flac import decode_flac, encode_flac
+
+        for pdf in it:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                wav = bytes(payload)
+                rate, samples = decode_wav(wav)
+                flac = encode_flac(samples, rate)
+                rate2, decoded = decode_flac(flac)
+                feats = audio_features(decoded, rate2, 16)
+                rows.append(
+                    {
+                        "media_ref": ref,
+                        "n_wav_bytes": len(wav),
+                        "n_flac_bytes": len(flac),
+                        "lossless": bool(
+                            rate2 == rate and np.array_equal(decoded, samples)
+                        ),
+                        "duration_s": float(feats[0]),
+                        "rms": float(feats[1]),
+                        "peak": float(feats[2]),
+                        "zcr": float(feats[3]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "n_wav_bytes", "n_flac_bytes", "lossless",
+                    "duration_s", "rms", "peak", "zcr",
+                ],
+            )
+
+    audio_rows = media.where(F.col("media_type") == "audio").select(
+        "media_ref", "payload"
+    )
+    return audio_rows.mapInPandas(batches, schema=schema)
