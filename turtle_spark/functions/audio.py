@@ -6,8 +6,10 @@ libraries, so synthesized audio rows can carry actual decodable WAV
 payloads and `q_media_features` / `q_audio_stats` compute genuine
 signal statistics (duration, RMS, peak, zero-crossing rate, per-segment
 energy) through the same Arrow path a torchaudio decoder would plug
-into.  Compressed audio (MP3/AAC/Opus) still raises at the seam, by
-design — those codecs aren't in the sandbox.
+into.  FLAC — the lossless compressed format speech corpora actually
+ship — decodes for real since r5 (`functions/flac.py`); lossy
+compressed audio (MP3/AAC/Opus) still raises at the seam, by design —
+those codecs aren't in the sandbox.
 
 Determinism contract: every function here is pure single-threaded
 numpy over integer arithmetic; `tools/golden_ref.py` reimplements the

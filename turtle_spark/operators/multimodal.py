@@ -11,9 +11,10 @@ with genuine pixel statistics (``functions/imaging.py``); RIFF/WAVE
 PCM16 decodes to samples with genuine signal statistics
 (``functions/audio.py``); PVID video decodes to frames — all through
 the same Arrow seam a PIL/torchaudio/pyav decoder would plug into.
-The only remaining ``NotImplementedError`` seam is a format the
-sandbox genuinely cannot decode — MP3 (progressive JPEG decodes for
-real since r4, chroma-subsampled JPEG since r5) — and
+The only remaining ``NotImplementedError`` seams are lossy audio the
+sandbox genuinely cannot decode — MP3/AAC/Opus (progressive JPEG
+decodes for real since r4; chroma-subsampled JPEG and lossless FLAC
+since r5) — and
 ``decode_features(..., stub=True)`` produces a deterministic
 content-derived fake for those.  Everything Spark-side — schema,
 batch shape, partition behavior, UDF signature — is identical for the
