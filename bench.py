@@ -173,6 +173,7 @@ HEADLINE = [
     "q_merge_upsert",
     "q_pipeline_lineage",
     "q_snapshot_expire",
+    "q_flac_audio",
 ]
 
 

@@ -155,6 +155,7 @@ AUDITED = [
     "q_merge_upsert",
     "q_pipeline_lineage",
     "q_snapshot_expire",
+    "q_flac_audio",
 ]
 
 
