@@ -199,3 +199,63 @@ def test_media_seam_dispatch(spark):
     wav_feats = media_decoder(encode_wav(x, 16000), "audio", 16)
     assert np.array_equal(flac_feats, wav_feats)
     assert np.array_equal(flac_feats, audio_features(x, 16000, 16))
+
+
+def test_decoder_lpc_subframe():
+    """LPC decode (what real-world encoders emit): hand-build an
+    order-2 LPC frame by running the spec predictor FORWARD to derive
+    the residuals, then require the decoder to reproduce the signal
+    exactly."""
+    rng = np.random.default_rng(11)
+    blk = np.cumsum(rng.integers(-20, 21, 96)).astype(np.int64)
+    order, precision, shift = 2, 12, 9
+    coefs = [940, -430]  # ~1.84, -0.84 at shift 9
+    res = []
+    hist = list(blk[:order])
+    for i in range(order, blk.size):
+        pred = sum(c * hist[-j - 1] for j, c in enumerate(coefs))
+        res.append(int(blk[i]) - (pred >> shift))
+        hist.append(int(blk[i]))
+        hist.pop(0)
+    res = np.array(res, dtype=np.int64)
+
+    bs = blk.size
+    w = _BitWriter()
+    w.put(0b11111111111110, 14)
+    w.put(0, 2)
+    w.put(0b0111, 4)
+    w.put(0b0000, 4)
+    w.put(0b0000, 4)
+    w.put(0b100, 3)
+    w.put(0, 1)
+    w.align()
+    header = bytearray(w.bytes())
+    header += _utf8_number(0)
+    header += struct.pack(">H", bs - 1)
+    header.append(_crc8(bytes(header)))
+
+    body = _BitWriter()
+    body.put(0, 1)
+    body.put(0b100000 | (order - 1), 6)  # LPC, order
+    body.put(0, 1)                        # no wasted bits
+    for v in blk[:order]:
+        body.put(int(v), 16)
+    body.put(precision - 1, 4)
+    body.put(shift, 5)
+    for c in coefs:
+        body.put(c, precision)
+    u = _zigzag(res)
+    param = 5
+    body.put(0b00, 2)
+    body.put(0, 4)
+    body.put(param, 4)
+    for uu in u:
+        body.put_unary(int(uu) >> param)
+        body.put(int(uu) & ((1 << param) - 1), param)
+    body.align()
+    frame = bytes(header) + body.bytes()
+    frame += struct.pack(">H", _crc16(frame))
+
+    blk16 = blk.astype(np.int16)
+    sr, dec = decode_flac(_handmade_stream(blk16, frame))
+    assert np.array_equal(dec, blk16)

@@ -11,12 +11,13 @@ no codec deps.  This module implements the public FLAC format
   Rice-coded residuals with per-frame optimal parameter (escape to
   raw when Rice loses), CRC-8 frame-header and CRC-16 whole-frame
   checksums.
-* DECODER: parses any CONSTANT / VERBATIM / FIXED(0-4) subframe, both
-  Rice methods (4- and 5-bit parameters), any residual partition
-  order, escape partitions, and wasted-bits shifts; verifies both
-  CRCs and the STREAMINFO MD5.  LPC subframes and non-mono channel
-  assignments raise ``NotImplementedError`` (this encoder never emits
-  them) rather than mis-decoding.
+* DECODER: parses any CONSTANT / VERBATIM / FIXED(0-4) / LPC
+  (order 1-32, quantized-coefficient prediction with arithmetic
+  shift — what real-world encoders emit) subframe, both Rice methods
+  (4- and 5-bit parameters), any residual partition order, escape
+  partitions, and wasted-bits shifts; verifies both CRCs and the
+  STREAMINFO MD5.  Non-mono channel assignments raise
+  ``NotImplementedError`` rather than mis-decoding.
 
 What the sandbox CAN verify — and the tests pin — is the property the
 format exists for: **losslessness** (encode -> decode is bit-exact for
@@ -463,8 +464,32 @@ def _decode_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
                 seed = seeds[k - 1][-1]  # last warmup value at depth k-1
                 seq = seed + np.cumsum(seq)
             out[order:] = seq
-    elif stype >= 0b100000:
-        raise NotImplementedError("LPC subframes unsupported (never emitted)")
+    elif stype >= 0b100000:  # LPC, order = low 5 bits + 1
+        order = (stype & 0b011111) + 1
+        warm = [r.take_signed(eff) for _ in range(order)]
+        # coefficient precision: 4 bits, value-1 (1111 is invalid)
+        prec_code = r.take(4)
+        if prec_code == 0b1111:
+            raise ValueError("invalid LPC coefficient precision code")
+        precision = prec_code + 1
+        shift = r.take_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift")
+        coefs = [r.take_signed(precision) for _ in range(order)]
+        res = _decode_residual(r, bs, order)
+        out = np.empty(bs, dtype=np.int64)
+        out[:order] = warm
+        hist = list(warm)
+        # prediction = (sum coef[j] * x[i-1-j]) >> shift, exact ints —
+        # arithmetic shift per the spec, applied before adding the
+        # residual
+        for i, rv in enumerate(res):
+            pred = sum(c * hist[-j - 1] for j, c in enumerate(coefs))
+            nxt = int(rv) + (pred >> shift)
+            out[order + i] = nxt
+            hist.append(nxt)
+            if len(hist) > order:
+                hist.pop(0)
     else:
         raise ValueError(f"reserved subframe type {stype:06b}")
     if wasted:
